@@ -1,0 +1,379 @@
+"""Minimal HTML DOM + CSS-selector engine (stdlib-only).
+
+This is the substrate for the extraction kernel (SURVEY.md §2.3 T1). The
+reference parses pages with cheerio (htmlparser2); we re-express the same
+observable behavior on Python's stdlib ``html.parser`` so the kernel has zero
+native dependencies and is fully deterministic inside Arrow-batched UDFs.
+
+Only the selector features actually used by the reference are implemented
+(tag, ``.class``, ``#id``, ``[attr]``, ``[attr='value']``, compound selectors,
+descendant combinator, comma lists) — see
+``/root/reference/packages/scrape/src/core/transformers/HTMLTransformer.ts:31-165``
+and ``/root/reference/packages/search/src/engines/Google.ts:201-257``.
+"""
+
+from __future__ import annotations
+
+import re
+from html import escape as _html_escape
+from html.parser import HTMLParser
+
+VOID_ELEMENTS = {
+    "area", "base", "br", "col", "command", "embed", "hr", "img", "input",
+    "keygen", "link", "meta", "param", "source", "track", "wbr",
+}
+
+# Elements whose open tag implicitly closes a currently-open <p>
+_P_CLOSERS = {
+    "address", "article", "aside", "blockquote", "details", "div", "dl",
+    "fieldset", "figcaption", "figure", "footer", "form", "h1", "h2", "h3",
+    "h4", "h5", "h6", "header", "hr", "main", "menu", "nav", "ol", "p",
+    "pre", "section", "table", "ul",
+}
+
+# tag -> set of sibling tags whose start implicitly closes it
+_IMPLICIT_CLOSE = {
+    "li": {"li"},
+    "dt": {"dt", "dd"},
+    "dd": {"dt", "dd"},
+    "tr": {"tr"},
+    "td": {"td", "th", "tr"},
+    "th": {"td", "th", "tr"},
+    "thead": {"tbody", "tfoot"},
+    "tbody": {"tbody", "tfoot"},
+    "option": {"option", "optgroup"},
+}
+
+_RAWTEXT = {"script", "style"}
+
+
+class Node:
+    __slots__ = ("parent",)
+
+    def __init__(self) -> None:
+        self.parent: Element | None = None
+
+
+class Text(Node):
+    __slots__ = ("data",)
+
+    def __init__(self, data: str) -> None:
+        super().__init__()
+        self.data = data
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return f"Text({self.data!r})"
+
+
+class Comment(Node):
+    __slots__ = ("data",)
+
+    def __init__(self, data: str) -> None:
+        super().__init__()
+        self.data = data
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return f"Comment({self.data!r})"
+
+
+class Element(Node):
+    __slots__ = ("tag", "attrs", "children")
+
+    def __init__(self, tag: str, attrs: dict[str, str] | None = None) -> None:
+        super().__init__()
+        self.tag = tag
+        self.attrs: dict[str, str] = attrs or {}
+        self.children: list[Node] = []
+
+    # -- tree ops -----------------------------------------------------------
+    def append(self, node: Node) -> None:
+        node.parent = self
+        self.children.append(node)
+
+    def remove_child(self, node: Node) -> None:
+        self.children.remove(node)
+        node.parent = None
+
+    def detach(self) -> None:
+        if self.parent is not None:
+            self.parent.remove_child(self)
+
+    def get(self, name: str, default: str | None = None) -> str | None:
+        return self.attrs.get(name, default)
+
+    # -- accessors mirroring DOM semantics ---------------------------------
+    @property
+    def text_content(self) -> str:
+        out: list[str] = []
+        _collect_text(self, out)
+        return "".join(out)
+
+    def element_children(self) -> list[Element]:
+        return [c for c in self.children if isinstance(c, Element)]
+
+    def iter(self):
+        """Pre-order traversal over descendant elements (excluding self)."""
+        for child in self.children:
+            if isinstance(child, Element):
+                yield child
+                yield from child.iter()
+
+    def iter_nodes(self):
+        """Pre-order traversal over all descendant nodes (excluding self)."""
+        for child in self.children:
+            yield child
+            if isinstance(child, Element):
+                yield from child.iter_nodes()
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return f"<{self.tag} {self.attrs}>"
+
+
+def _collect_text(el: Element, out: list[str]) -> None:
+    for c in el.children:
+        if isinstance(c, Text):
+            out.append(c.data)
+        elif isinstance(c, Element):
+            _collect_text(c, out)
+
+
+def next_sibling(node: Node) -> Node | None:
+    p = node.parent
+    if p is None:
+        return None
+    idx = p.children.index(node)
+    return p.children[idx + 1] if idx + 1 < len(p.children) else None
+
+
+def prev_sibling(node: Node) -> Node | None:
+    p = node.parent
+    if p is None:
+        return None
+    idx = p.children.index(node)
+    return p.children[idx - 1] if idx > 0 else None
+
+
+class _TreeBuilder(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.root = Element("#root")
+        self.stack: list[Element] = [self.root]
+        self._rawtext_tag: str | None = None
+
+    # html.parser already handles rawtext (script/style) content as data
+    def handle_starttag(self, tag: str, attrs: list[tuple[str, str | None]]) -> None:
+        tag = tag.lower()
+        self._implicit_close(tag)
+        attr_dict: dict[str, str] = {}
+        for k, v in attrs:
+            if k not in attr_dict:  # first occurrence wins (htmlparser2 behavior)
+                attr_dict[k] = v if v is not None else ""
+        el = Element(tag, attr_dict)
+        self.stack[-1].append(el)
+        if tag not in VOID_ELEMENTS:
+            self.stack.append(el)
+
+    def handle_startendtag(self, tag: str, attrs: list[tuple[str, str | None]]) -> None:
+        tag = tag.lower()
+        if tag in VOID_ELEMENTS:
+            self.handle_starttag(tag, attrs)
+        else:
+            # <div/> in HTML is treated as an open tag by browsers/htmlparser2
+            self.handle_starttag(tag, attrs)
+
+    def handle_endtag(self, tag: str) -> None:
+        tag = tag.lower()
+        if tag in VOID_ELEMENTS:
+            return
+        for i in range(len(self.stack) - 1, 0, -1):
+            if self.stack[i].tag == tag:
+                del self.stack[i:]
+                return
+        # unmatched end tag: ignore
+
+    def handle_data(self, data: str) -> None:
+        if data:
+            self.stack[-1].append(Text(data))
+
+    def handle_comment(self, data: str) -> None:
+        self.stack[-1].append(Comment(data))
+
+    def handle_decl(self, decl: str) -> None:
+        pass  # DOCTYPE dropped; serializer does not re-emit it
+
+    def _implicit_close(self, tag: str) -> None:
+        top = self.stack[-1].tag
+        if top == "p" and tag in _P_CLOSERS:
+            del self.stack[-1:]
+            return
+        closers = _IMPLICIT_CLOSE.get(top)
+        if closers and tag in closers:
+            del self.stack[-1:]
+
+
+def parse_html(html: str) -> Element:
+    """Parse an HTML string into a DOM rooted at a synthetic ``#root``."""
+    builder = _TreeBuilder()
+    builder.feed(html or "")
+    builder.close()
+    return builder.root
+
+
+# ---------------------------------------------------------------------------
+# Serialization ($.html() equivalent)
+# ---------------------------------------------------------------------------
+
+def _escape_text(s: str) -> str:
+    return s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+
+def _escape_attr(s: str) -> str:
+    return s.replace("&", "&amp;").replace('"', "&quot;")
+
+
+def serialize(node: Node, *, _in_raw: bool = False) -> str:
+    if isinstance(node, Text):
+        return node.data if _in_raw else _escape_text(node.data)
+    if isinstance(node, Comment):
+        return f"<!--{node.data}-->"
+    assert isinstance(node, Element)
+    if node.tag == "#root":
+        return "".join(serialize(c) for c in node.children)
+    attrs = "".join(
+        f' {k}' if v == "" else f' {k}="{_escape_attr(v)}"'
+        for k, v in node.attrs.items()
+    )
+    if node.tag in VOID_ELEMENTS:
+        return f"<{node.tag}{attrs}>"
+    raw = node.tag in _RAWTEXT
+    inner = "".join(serialize(c, _in_raw=raw) for c in node.children)
+    return f"<{node.tag}{attrs}>{inner}</{node.tag}>"
+
+
+def inner_html(el: Element) -> str:
+    raw = el.tag in _RAWTEXT
+    return "".join(serialize(c, _in_raw=raw) for c in el.children)
+
+
+# ---------------------------------------------------------------------------
+# CSS selector engine (subset)
+# ---------------------------------------------------------------------------
+
+_COMPOUND_RE = re.compile(
+    r"""
+    (?P<tag>[a-zA-Z][\w-]*|\*)?
+    (?P<rest>(?:
+        \.[\w-]+ |
+        \#[\w-]+ |
+        \[[^\]]+\]
+    )*)
+    """,
+    re.VERBOSE,
+)
+
+_PART_RE = re.compile(r"\.[\w-]+|\#[\w-]+|\[[^\]]+\]")
+_ATTR_RE = re.compile(r"""\[\s*([\w-]+)\s*(?:=\s*(?:"([^"]*)"|'([^']*)'|([^\]\s]+)))?\s*\]""")
+
+
+class Compound:
+    __slots__ = ("tag", "ids", "classes", "attrs")
+
+    def __init__(self, tag: str | None, ids: list[str], classes: list[str],
+                 attrs: list[tuple[str, str | None]]) -> None:
+        self.tag = tag
+        self.ids = ids
+        self.classes = classes
+        self.attrs = attrs
+
+    def matches(self, el: Element) -> bool:
+        if self.tag and self.tag != "*" and el.tag != self.tag:
+            return False
+        if self.ids and el.attrs.get("id") not in self.ids:
+            return False
+        if self.classes:
+            el_classes = el.attrs.get("class", "").split()
+            for c in self.classes:
+                if c not in el_classes:
+                    return False
+        for name, value in self.attrs:
+            if name not in el.attrs:
+                return False
+            if value is not None and el.attrs.get(name) != value:
+                return False
+        return True
+
+
+def _parse_compound(token: str) -> Compound:
+    m = _COMPOUND_RE.match(token)
+    if not m or (m.end() != len(token)):
+        raise ValueError(f"unsupported selector: {token!r}")
+    tag = m.group("tag")
+    ids: list[str] = []
+    classes: list[str] = []
+    attrs: list[tuple[str, str | None]] = []
+    for part in _PART_RE.findall(m.group("rest") or ""):
+        if part.startswith("."):
+            classes.append(part[1:])
+        elif part.startswith("#"):
+            ids.append(part[1:])
+        else:
+            am = _ATTR_RE.match(part)
+            if not am:
+                raise ValueError(f"unsupported attribute selector: {part!r}")
+            value = am.group(2) if am.group(2) is not None else (
+                am.group(3) if am.group(3) is not None else am.group(4))
+            attrs.append((am.group(1), value))
+    return Compound(tag.lower() if tag else None, ids, classes, attrs)
+
+
+_SELECTOR_CACHE: dict[str, list[list[Compound]]] = {}
+
+
+def parse_selector(selector: str) -> list[list[Compound]]:
+    """Parse ``"a h3, div.x"`` into a list of descendant-chains."""
+    cached = _SELECTOR_CACHE.get(selector)
+    if cached is not None:
+        return cached
+    chains: list[list[Compound]] = []
+    for alt in selector.split(","):
+        alt = alt.strip()
+        if not alt:
+            continue
+        chains.append([_parse_compound(tok) for tok in alt.split()])
+    _SELECTOR_CACHE[selector] = chains
+    return chains
+
+
+def _chain_matches(el: Element, chain: list[Compound]) -> bool:
+    if not chain[-1].matches(el):
+        return False
+    # match remaining compounds against ancestors (descendant combinator)
+    idx = len(chain) - 2
+    cur = el.parent
+    while idx >= 0 and cur is not None:
+        if cur.tag != "#root" and chain[idx].matches(cur):
+            idx -= 1
+        cur = cur.parent
+    return idx < 0
+
+
+def matches(el: Element, selector: str) -> bool:
+    return any(_chain_matches(el, chain) for chain in parse_selector(selector))
+
+
+def select(root: Element, selector: str) -> list[Element]:
+    """All descendant elements matching the selector, in document order."""
+    chains = parse_selector(selector)
+    out: list[Element] = []
+    for el in root.iter():
+        if any(_chain_matches(el, chain) for chain in chains):
+            out.append(el)
+    return out
+
+
+def select_one(root: Element, selector: str) -> Element | None:
+    chains = parse_selector(selector)
+    for el in root.iter():
+        if any(_chain_matches(el, chain) for chain in chains):
+            return el
+    return None

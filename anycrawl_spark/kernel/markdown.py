@@ -1,0 +1,748 @@
+"""HTML → Markdown conversion (SURVEY.md §2.3 T10-T13), byte-exact contract.
+
+Re-implements the reference's ``htmlToMarkdown``
+(``/root/reference/packages/libs/src/html-to-markdown.ts:98-457``): the
+Turndown conversion algorithm (public MIT library semantics: whitespace
+collapse, rule resolution, flanking whitespace, newline-joining) configured
+with atx headings / ``---`` hr / ``-`` bullets / fenced code / inlined links,
+the GFM plugin (tables, strikethrough, task lists), the reference's nine
+custom rules, and its pre/post-processing passes — all in pure Python so it
+runs inside Arrow-batched UDFs with no JS runtime.
+
+Rule-for-rule citations are inline below. Order of post-processing passes is
+semantic (html-to-markdown.ts:432-438): normalizeBracketWrappedImages →
+normalizeLinkTextWhitespace → postProcessMarkdown.
+"""
+
+from __future__ import annotations
+
+import re
+
+from .dom import (
+    Comment,
+    Element,
+    Node,
+    Text,
+    next_sibling,
+    parse_html,
+    prev_sibling,
+    select_one,
+)
+
+BLOCK_ELEMENTS = {
+    "address", "article", "aside", "audio", "blockquote", "body", "canvas",
+    "center", "dd", "dir", "div", "dl", "dt", "fieldset", "figcaption",
+    "figure", "footer", "form", "frameset", "h1", "h2", "h3", "h4", "h5",
+    "h6", "header", "hgroup", "hr", "html", "isindex", "li", "main", "menu",
+    "nav", "noframes", "noscript", "ol", "output", "p", "pre", "section",
+    "table", "tbody", "td", "tfoot", "th", "thead", "tr", "ul",
+}
+
+VOID = {
+    "area", "base", "br", "col", "command", "embed", "hr", "img", "input",
+    "keygen", "link", "meta", "param", "source", "track", "wbr",
+}
+
+MEANINGFUL_WHEN_BLANK = {
+    "a", "table", "thead", "tbody", "tfoot", "th", "td", "iframe", "script",
+    "audio", "video",
+}
+
+_REMOVED_TAGS = {"script", "style", "noscript", "meta", "link"}  # html-to-markdown.ts:208-214
+
+
+def _is_block(node: Node) -> bool:
+    return isinstance(node, Element) and node.tag in BLOCK_ELEMENTS
+
+
+def _is_void(node: Node) -> bool:
+    return isinstance(node, Element) and node.tag in VOID
+
+
+def _is_pre_or_code(node: Node) -> bool:
+    # preformattedCode: true → CODE content is treated as preformatted
+    return isinstance(node, Element) and node.tag in ("pre", "code")
+
+
+def _has_descendant(el: Element, tags: set[str]) -> bool:
+    return any(d.tag in tags for d in el.iter())
+
+
+def _is_blank(node: Node) -> bool:
+    """Turndown isBlank: drives the blank-replacement rule."""
+    if not isinstance(node, Element):
+        return False
+    if _is_void(node) or node.tag in MEANINGFUL_WHEN_BLANK:
+        return False
+    if not re.fullmatch(r"\s*", node.text_content or ""):
+        return False
+    if _has_descendant(node, VOID) or _has_descendant(node, MEANINGFUL_WHEN_BLANK):
+        return False
+    return True
+
+
+def _in_code(node: Node) -> bool:
+    cur: Node | None = node
+    while cur is not None:
+        if isinstance(cur, Element) and cur.tag == "code":
+            return True
+        cur = cur.parent
+    return False
+
+
+def _in_anchor(node: Node) -> bool:
+    cur: Node | None = node
+    while cur is not None:
+        if isinstance(cur, Element) and cur.tag == "a":
+            return True
+        cur = cur.parent
+    return False
+
+
+# ---------------------------------------------------------------------------
+# Whitespace collapse (Turndown collapse-whitespace algorithm)
+# ---------------------------------------------------------------------------
+
+def _collapse_whitespace(root: Element) -> None:
+    if not root.children:
+        return
+
+    def _next(prev: Node | None, current: Node) -> Node | None:
+        # identical traversal contract to turndown's collapse.js `next()`
+        if prev is not None and prev.parent is current:
+            sib = next_sibling(current)
+            if sib is not None:
+                return sib
+            return current.parent
+        if isinstance(current, Element) and not _is_pre_or_code(current) and current.children:
+            return current.children[0]
+        sib = next_sibling(current)
+        if sib is not None:
+            return sib
+        # climb until a sibling exists
+        cur = current.parent
+        while cur is not None and cur is not root:
+            s = next_sibling(cur)
+            if s is not None:
+                return s
+            cur = cur.parent
+        return root
+
+    prev_text: Text | None = None
+    keep_leading_ws = False
+    prev: Node | None = None
+    node = _next(prev, root)
+    while node is not root and node is not None:
+        if isinstance(node, Text):
+            text = re.sub(r"[ \r\n\t]+", " ", node.data)
+            if (
+                (prev_text is None or prev_text.data.endswith(" "))
+                and not keep_leading_ws
+                and text.startswith(" ")
+            ):
+                text = text[1:]
+            if not text:
+                parent = node.parent
+                nxt = next_sibling(node) or (parent if parent is not root else root)
+                parent.remove_child(node)
+                prev_kept = prev
+                node = nxt if nxt is not None else root
+                prev = prev_kept
+                continue
+            node.data = text
+            prev_text = node
+        elif isinstance(node, Element):
+            if _is_block(node) or node.tag == "br":
+                if prev_text is not None:
+                    prev_text.data = re.sub(r" $", "", prev_text.data)
+                prev_text = None
+                keep_leading_ws = False
+            elif _is_void(node) or _is_pre_or_code(node):
+                prev_text = None
+                keep_leading_ws = True
+            elif prev_text is not None:
+                keep_leading_ws = False
+        else:  # comment — turndown removes non-text/element nodes here
+            parent = node.parent
+            nxt = next_sibling(node) or (parent if parent is not root else root)
+            parent.remove_child(node)
+            node = nxt if nxt is not None else root
+            continue
+        next_node = _next(prev, node)
+        prev = node
+        node = next_node if next_node is not None else root
+    if prev_text is not None:
+        prev_text.data = re.sub(r" $", "", prev_text.data)
+        if not prev_text.data:
+            prev_text.parent.remove_child(prev_text)
+
+
+# ---------------------------------------------------------------------------
+# Markdown escaping (Turndown default escapes)
+# ---------------------------------------------------------------------------
+
+_ESCAPES: list[tuple[re.Pattern[str], str]] = [
+    (re.compile(r"\\"), r"\\\\"),
+    (re.compile(r"\*"), r"\\*"),
+    (re.compile(r"^-", re.M), r"\\-"),
+    (re.compile(r"^\+ ", re.M), r"\\+ "),
+    (re.compile(r"^(=+)", re.M), r"\\\1"),
+    (re.compile(r"^(#{1,6}) ", re.M), r"\\\1 "),
+    (re.compile(r"`"), r"\\`"),
+    (re.compile(r"^~~~", re.M), r"\\~~~"),
+    (re.compile(r"\["), r"\\["),
+    (re.compile(r"\]"), r"\\]"),
+    (re.compile(r"^>", re.M), r"\\>"),
+    (re.compile(r"_"), r"\\_"),
+    (re.compile(r"^(\d+)\. ", re.M), r"\1\\. "),
+]
+
+
+def _escape(text: str) -> str:
+    for pattern, repl in _ESCAPES:
+        text = pattern.sub(repl, text)
+    return text
+
+
+# ---------------------------------------------------------------------------
+# Flanking whitespace + joining
+# ---------------------------------------------------------------------------
+
+_EDGE_RE = re.compile(r"^(([ \t\r\n]*)(\s*))(?:(?=\S)[\s\S]*\S)?((\s*?)([ \t\r\n]*))$")
+
+
+def _flanking(node: Element) -> tuple[str, str]:
+    if _is_block(node) or node.tag == "code":
+        return "", ""
+    m = _EDGE_RE.match(node.text_content or "")
+    if not m:
+        return "", ""
+    leading, leading_ascii = m.group(1), m.group(2)
+    trailing, trailing_ascii = m.group(4), m.group(5) + m.group(6)
+    # regex groups: 1=full leading, 2=ascii leading, 3=non-ascii leading,
+    #               4=full trailing, 5=non-ascii trailing, 6=ascii trailing
+    leading_non_ascii = m.group(3)
+    trailing_non_ascii = m.group(5)
+    trailing_ascii = m.group(6)
+    if leading_ascii and _flanked_by_ws(node, left=True):
+        leading = leading_non_ascii
+    if trailing_ascii and _flanked_by_ws(node, left=False):
+        trailing = trailing_non_ascii
+    return leading, trailing
+
+
+def _flanked_by_ws(node: Element, *, left: bool) -> bool:
+    sibling = prev_sibling(node) if left else next_sibling(node)
+    if sibling is None:
+        return False
+    if isinstance(sibling, Text):
+        return sibling.data.endswith(" ") if left else sibling.data.startswith(" ")
+    if isinstance(sibling, Element) and not _is_block(sibling):
+        tc = sibling.text_content
+        return tc.endswith(" ") if left else tc.startswith(" ")
+    return False
+
+
+_TRAIL_NL = re.compile(r"\n+$")
+_LEAD_NL = re.compile(r"^\n+")
+
+
+def _join(left: str, right: str) -> str:
+    s1 = _TRAIL_NL.sub("", left)
+    s2 = _LEAD_NL.sub("", right)
+    nls = max(len(left) - len(s1), len(right) - len(s2))
+    return s1 + "\n\n"[:min(nls, 2)] + s2
+
+
+# ---------------------------------------------------------------------------
+# Rules
+# ---------------------------------------------------------------------------
+# Each rule: (filter(node) -> bool, replacement(content, node) -> str).
+# Resolution order mirrors the reference service: custom rules override
+# defaults, later-added custom rules override earlier ones
+# (html-to-markdown.ts:130-389); GFM plugin rules sit between defaults and
+# customs (ts:127).
+
+
+def _child_index_in_parent(node: Element) -> int:
+    return node.parent.element_children().index(node)
+
+
+class _Converter:
+    def __init__(self) -> None:
+        # ordered highest-priority first
+        self.rules: list[tuple] = []
+        self._build_rules()
+
+    def add(self, filt, repl) -> None:
+        self.rules.insert(0, (filt, repl))
+
+    # -- default turndown rules (lowest priority) --------------------------
+    def _build_rules(self) -> None:
+        def tag_filter(*tags):
+            return lambda n: n.tag in tags
+
+        # heading (atx)
+        def heading_repl(content: str, node: Element) -> str:
+            level = int(node.tag[1])
+            return "\n\n" + "#" * level + " " + content + "\n\n"
+
+        self.add(tag_filter("h1", "h2", "h3", "h4", "h5", "h6"), heading_repl)
+
+        # paragraph (default; overridden later by custom rule)
+        self.add(tag_filter("p"), lambda c, n: "\n\n" + c + "\n\n")
+
+        # blockquote
+        def blockquote_repl(content: str, node: Element) -> str:
+            content = re.sub(r"^\n+|\n+$", "", content)
+            content = re.sub(r"^", "> ", content, flags=re.M)
+            return "\n\n" + content + "\n\n"
+
+        self.add(tag_filter("blockquote"), blockquote_repl)
+
+        # list
+        def list_repl(content: str, node: Element) -> str:
+            parent = node.parent
+            if (
+                isinstance(parent, Element)
+                and parent.tag == "li"
+                and parent.element_children()
+                and parent.element_children()[-1] is node
+            ):
+                return "\n" + content
+            return "\n\n" + content + "\n\n"
+
+        self.add(tag_filter("ul", "ol"), list_repl)
+
+        # list item
+        def list_item_repl(content: str, node: Element) -> str:
+            content = re.sub(r"^\n+", "", content)
+            content = re.sub(r"\n+$", "\n", content)
+            content = content.replace("\n", "\n    ")
+            prefix = "-   "
+            parent = node.parent
+            if isinstance(parent, Element) and parent.tag == "ol":
+                start = parent.attrs.get("start")
+                index = _child_index_in_parent(node)
+                number = (int(start) + index) if start and start.isdigit() else index + 1
+                prefix = f"{number}.  "
+            suffix = "\n" if (next_sibling(node) is not None and not content.endswith("\n")) else ""
+            return prefix + content + suffix
+
+        self.add(tag_filter("li"), list_item_repl)
+
+        # fenced code block (default; overridden by custom preCodeBlock)
+        def fenced_repl(content: str, node: Element) -> str:
+            code = node.children[0]
+            assert isinstance(code, Element)
+            class_attr = code.attrs.get("class", "")
+            m = re.search(r"language-(\S+)", class_attr)
+            language = m.group(1) if m else ""
+            code_text = code.text_content
+            return "\n\n```" + language + "\n" + code_text.replace("\n$", "") + "\n```\n\n"
+
+        self.add(
+            lambda n: n.tag == "pre" and n.children and isinstance(n.children[0], Element)
+            and n.children[0].tag == "code",
+            fenced_repl,
+        )
+
+        # hr
+        self.add(tag_filter("hr"), lambda c, n: "\n\n---\n\n")
+
+        # inline code (turndown `code` rule)
+        def inline_code_filter(node: Element) -> bool:
+            if node.tag != "code":
+                return False
+            has_siblings = prev_sibling(node) is not None or next_sibling(node) is not None
+            is_code_block = (
+                isinstance(node.parent, Element)
+                and node.parent.tag == "pre"
+                and not has_siblings
+            )
+            return not is_code_block
+
+        def inline_code_repl(content: str, node: Element) -> str:
+            content = node.text_content  # preformattedCode: raw content
+            if not content:
+                return ""
+            content = re.sub(r"\r?\n|\r", " ", content)
+            extra = " " if re.search(r"^`|^ .*?[^ ].* $|`$", content) else ""
+            delimiter = "`"
+            matches = re.findall(r"`+", content)
+            while delimiter in matches:
+                delimiter += "`"
+            return delimiter + extra + content + extra + delimiter
+
+        self.add(inline_code_filter, inline_code_repl)
+
+        # default image/link rules are fully overridden below; skip them.
+
+        # ---- GFM plugin rules (turndown-plugin-gfm) ----------------------
+        # strikethrough: del/s/strike → ~content~
+        self.add(tag_filter("del", "s", "strike"), lambda c, n: "~" + c + "~")
+
+        # task list items: input[type=checkbox] inside li
+        def task_filter(node: Element) -> bool:
+            return (
+                node.tag == "input"
+                and node.attrs.get("type") == "checkbox"
+                and isinstance(node.parent, Element)
+                and node.parent.tag == "li"
+            )
+
+        self.add(task_filter, lambda c, n: ("[x] " if "checked" in n.attrs else "[ ] "))
+
+        # tables
+        def is_heading_row(tr: Element | None) -> bool:
+            if tr is None:
+                return False
+            parent = tr.parent
+            if not isinstance(parent, Element):
+                return False
+            if parent.tag == "thead":
+                return True
+            table = parent if parent.tag == "table" else parent.parent
+            first_section_ok = parent.tag == "table" or (
+                parent.tag == "tbody"
+                and isinstance(table, Element)
+                and table.element_children()
+                and table.element_children()[0] is parent
+            )
+            return (
+                first_section_ok
+                and isinstance(table, Element)
+                and parent.element_children()
+                and parent.element_children()[0] is tr
+                and all(ch.tag == "th" for ch in tr.element_children())
+            )
+
+        def first_row(table: Element) -> Element | None:
+            for d in table.iter():
+                if d.tag == "tr":
+                    return d
+            return None
+
+        def cell(content: str, node: Element) -> str:
+            index = _child_index_in_parent(node)
+            prefix = "| " if index == 0 else " "
+            return prefix + content.strip().replace("\n", " ") + " |"
+
+        def table_cell_filter(node: Element) -> bool:
+            return node.tag in ("th", "td") and _table_of(node) is not None
+
+        def _table_of(node: Element) -> Element | None:
+            cur = node.parent
+            while isinstance(cur, Element):
+                if cur.tag == "table":
+                    return cur
+                cur = cur.parent
+            return None
+
+        self.add(table_cell_filter, cell)
+
+        def table_row_repl(content: str, node: Element) -> str:
+            border = ""
+            if is_heading_row(node):
+                align_map = {"left": ":--", "right": "--:", "center": ":-:"}
+                border = "\n" + "".join(
+                    ("| " if i == 0 else " ")
+                    + align_map.get((ch.attrs.get("align") or "").lower(), "---")
+                    + " |"
+                    for i, ch in enumerate(node.element_children())
+                )
+            return "\n" + content + border
+
+        self.add(lambda n: n.tag == "tr" and _table_of(n) is not None, table_row_repl)
+
+        def table_repl(content: str, node: Element) -> str:
+            if not is_heading_row(first_row(node)):
+                return content  # gfm keeps such tables as raw HTML; we emit content
+            content = content.replace("\n\n", "\n")
+            return "\n\n" + content + "\n\n"
+
+        self.add(tag_filter("table"), table_repl)
+        self.add(tag_filter("thead", "tbody", "tfoot"), lambda c, n: c)
+
+        # ---- custom rules from html-to-markdown.ts (highest priority) ----
+        # preCodeBlock (ts:130-153)
+        def pre_code_repl(content: str, node: Element) -> str:
+            code = next((c for c in node.children if isinstance(c, Element)), None)
+            class_name = code.attrs.get("class", "") if code is not None else ""
+            m = re.search(r"language-(\w+)|lang-(\w+)", class_name)
+            language = (m.group(1) or m.group(2) or "") if m else ""
+            clean = re.sub(r"^\d+\s+", "", content, flags=re.M).strip()
+            return "\n\n```" + language + "\n" + clean + "\n```\n\n"
+
+        self.add(
+            lambda n: n.tag == "pre" and n.children and isinstance(n.children[0], Element)
+            and n.children[0].tag == "code",
+            pre_code_repl,
+        )
+
+        # inlineLink (ts:156-178)
+        def inline_link_repl(content: str, node: Element) -> str:
+            href = (node.attrs.get("href") or "").strip()
+            title_attr = node.attrs.get("title") or ""
+            title = f' "{title_attr}"' if title_attr else ""
+            clean = re.sub(r"\s+", " ", content).strip()
+            link_text = clean or href
+            return f"[{link_text}]({href}{title})"
+
+        self.add(lambda n: n.tag == "a" and n.attrs.get("href"), inline_link_repl)
+
+        # images (ts:181-205)
+        def image_repl(content: str, node: Element) -> str:
+            alt = node.attrs.get("alt") or ""
+            title = node.attrs.get("title") or ""
+            src = (
+                node.attrs.get("data-src")
+                or node.attrs.get("data-original")
+                or node.attrs.get("src")
+                or ""
+            )
+            if not src or src.startswith("data:image/svg"):
+                return ""
+            title_part = f' "{title}"' if title else ""
+            return f"\n\n![{alt}]({src}{title_part})\n\n"
+
+        self.add(tag_filter("img"), image_repl)
+
+        # removed elements (ts:208-214)
+        self.add(lambda n: n.tag in _REMOVED_TAGS, lambda c, n: "")
+
+        # paragraphs (ts:217-234)
+        def para_repl(content: str, node: Element) -> str:
+            trimmed = content.strip()
+            if not trimmed:
+                return ""
+            if _in_anchor(node):
+                return trimmed
+            return "\n\n" + trimmed + "\n\n"
+
+        self.add(tag_filter("p"), para_repl)
+
+        # divs (ts:237-262)
+        def div_repl(content: str, node: Element) -> str:
+            trimmed = content.strip()
+            if not trimmed:
+                return ""
+            has_block = select_one(
+                node, "p, h1, h2, h3, h4, h5, h6, ul, ol, blockquote, pre"
+            ) is not None
+            if _in_anchor(node):
+                return trimmed
+            if has_block:
+                return "\n\n" + trimmed + "\n\n"
+            return trimmed + " "
+
+        self.add(tag_filter("div"), div_repl)
+
+        # spans (ts:265-293)
+        def span_repl(content: str, node: Element) -> str:
+            trimmed = content.strip()
+            if not trimmed:
+                return ""
+
+            def _has_content(sib: Node | None) -> bool:
+                if isinstance(sib, Text):
+                    return bool(sib.data.strip())
+                if isinstance(sib, Element) and sib.tag == "span":
+                    return bool(sib.text_content.strip())
+                return False
+
+            prefix = " " if _has_content(prev_sibling(node)) else ""
+            suffix = " " if _has_content_next(next_sibling(node)) else ""
+            return prefix + trimmed + suffix
+
+        def _has_content_next(sib: Node | None) -> bool:
+            # reference checks only text/span siblings, same as prefix side
+            if isinstance(sib, Text):
+                return bool(sib.data.strip())
+            if isinstance(sib, Element) and sib.tag == "span":
+                return bool(sib.text_content.strip())
+            return False
+
+        self.add(tag_filter("span"), span_repl)
+
+        # linkedImages (ts:296-317) — added after inlineLink, so wins for
+        # anchors whose only (non-whitespace) child is an <img>.
+        def linked_image_filter(node: Element) -> bool:
+            if node.tag != "a":
+                return False
+            children = [
+                c for c in node.children
+                if not (isinstance(c, Text) and not c.data.strip())
+            ]
+            return len(children) == 1 and isinstance(children[0], Element) and children[0].tag == "img"
+
+        def linked_image_repl(content: str, node: Element) -> str:
+            href = (node.attrs.get("href") or "").strip()
+            invalid = (not href) or href == "#" or href.lower().startswith("javascript:")
+            image_md = content.strip()
+            return image_md if invalid else f"[{image_md}]({href})"
+
+        self.add(linked_image_filter, linked_image_repl)
+
+        # sections (ts:320-345)
+        def section_repl(content: str, node: Element) -> str:
+            trimmed = content.strip()
+            if not trimmed:
+                return ""
+            has_block = select_one(
+                node, "p, h1, h2, h3, h4, h5, h6, ul, ol, blockquote, pre, img"
+            ) is not None
+            if _in_anchor(node):
+                return trimmed
+            if has_block:
+                return "\n\n" + trimmed + "\n\n"
+            return trimmed + " "
+
+        self.add(tag_filter("section"), section_repl)
+
+        # figure / picture wrappers (ts:348-354)
+        def figure_repl(content: str, node: Element) -> str:
+            inner = content.strip()
+            return f"\n\n{inner}\n\n" if inner else ""
+
+        self.add(tag_filter("figure", "picture"), figure_repl)
+
+        # figcaption (ts:357-363)
+        self.add(
+            tag_filter("figcaption"),
+            lambda c, n: (f"\n\n{c.strip()}\n\n" if c.strip() else ""),
+        )
+
+        # emphasis (ts:366-381)
+        def emphasis_repl(content: str, node: Element) -> str:
+            clean = content.strip()
+            if not clean:
+                return ""
+            if node.tag in ("em", "i"):
+                return "*" + clean + "*"
+            return "**" + clean + "**"
+
+        self.add(tag_filter("em", "i", "strong", "b"), emphasis_repl)
+
+        # line breaks (ts:384-389)
+        self.add(tag_filter("br"), lambda c, n: "\n")
+
+    # -- rule resolution ---------------------------------------------------
+    def rule_for(self, node: Element):
+        if _is_blank(node):
+            return None, lambda c, n: ("\n\n" if _is_block(n) else "")
+        for filt, repl in self.rules:
+            try:
+                if filt(node):
+                    return filt, repl
+            except Exception:
+                continue
+        # default rule
+        return None, lambda c, n: ("\n\n" + c + "\n\n" if _is_block(n) else c)
+
+    # -- tree processing ---------------------------------------------------
+    def process(self, parent: Element) -> str:
+        output = ""
+        for node in list(parent.children):
+            if isinstance(node, Text):
+                replacement = node.data if _in_code(node) else _escape(node.data)
+                output = _join(output, replacement)
+            elif isinstance(node, Element):
+                output = _join(output, self.replacement_for(node))
+            # comments are dropped by collapse; ignore any stragglers
+        return output
+
+    def replacement_for(self, node: Element) -> str:
+        _, repl = self.rule_for(node)
+        content = self.process(node)
+        leading, trailing = _flanking(node)
+        if leading or trailing:
+            content = content.strip()
+        return leading + repl(content, node) + trailing
+
+
+# ---------------------------------------------------------------------------
+# Pre/post-processing (html-to-markdown.ts:23-96, 392-438)
+# ---------------------------------------------------------------------------
+
+def _preprocess_html(html: str) -> str:
+    return re.sub(r">\s+<", "><", html).strip()  # ts:23-29
+
+
+def _fix_multiline_links(markdown: str) -> str:  # ts:61-86
+    result: list[str] = []
+    in_link = False
+    bracket_count = 0
+    prev_char = ""
+    for char in markdown:
+        if char == "[" and prev_char != "\\":
+            bracket_count += 1
+            in_link = True
+        elif char == "]" and prev_char != "\\":
+            bracket_count -= 1
+            if bracket_count == 0:
+                in_link = False
+        if in_link and char == "\n":
+            result.append("\\n")
+        else:
+            result.append(char)
+        prev_char = char
+    return "".join(result)
+
+
+_SKIP_LINK_RE = re.compile(r"\[skip\s+to\s+(content|main)\]\(#[^\)]*\)", re.I)  # ts:91-96
+
+
+def _post_process(markdown: str) -> str:  # ts:34-56
+    result = _fix_multiline_links(markdown)
+    result = _SKIP_LINK_RE.sub("", result)
+    result = re.sub(r"\n{3,}", "\n\n", result)
+    result = re.sub(
+        r"\[([^\]]+)\]",
+        lambda m: "[" + re.sub(r"\s+", " ", m.group(1)).strip() + "]",
+        result,
+    )
+    result = re.sub(r"([^\n])\n!\[", r"\1\n\n![", result)
+    result = re.sub(r"!\[([^\]]*)\]\(([^\)]+)\)\n(?!\n)", r"![\1](\2)\n\n", result)
+    return result.strip()
+
+
+_COLLAPSE_INSIDE_RE = re.compile(r"\[\s*(!\[[^\]]*\]\([^\)]+\))\s*\]")
+_STRIP_BARE_RE = re.compile(r"\[\s*(!\[[^\]]*\]\([^\)]+\))\s*\](?!\s*[\(\[])")
+
+
+def _normalize_bracket_wrapped_images(s: str) -> str:  # ts:392-410
+    while True:
+        prev = s
+        s = _COLLAPSE_INSIDE_RE.sub(r"[\1]", s)
+        s = _STRIP_BARE_RE.sub(r"\1", s)
+        if s == prev:
+            return s
+
+
+_LINK_TEXT_RE = re.compile(r"\[\s*([\s\S]*?)\s*\]\(([^\)]+)\)")
+
+
+def _normalize_link_text_whitespace(s: str) -> str:  # ts:413-422
+    def repl(m: re.Match[str]) -> str:
+        cleaned = re.sub(r"[\t\r\n]+", " ", m.group(1))
+        cleaned = re.sub(r"\s{2,}", " ", cleaned).strip()
+        return f"[{cleaned}]({m.group(2)})"
+
+    return _LINK_TEXT_RE.sub(repl, s)
+
+
+def html_to_markdown(html: str) -> str:
+    """Full pipeline: preprocess → turndown-equivalent → post-process."""
+    html = _preprocess_html(html or "")
+    if not html:
+        return ""
+    root = parse_html(html)
+    _collapse_whitespace(root)
+    converter = _Converter()
+    markdown = converter.process(root)
+    markdown = re.sub(r"^[\t\r\n]+|[\t\r\n\s]+$", "", markdown)  # turndown postProcess trim
+    markdown = _normalize_bracket_wrapped_images(markdown)
+    markdown = _normalize_link_text_whitespace(markdown)
+    markdown = _post_process(markdown)
+    return markdown

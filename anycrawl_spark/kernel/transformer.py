@@ -1,0 +1,249 @@
+"""HTML cleaning / transformation (SURVEY.md §2.3 T4-T9) + link & metadata
+extraction (T2/T3/T15).
+
+Re-expresses the reference's ``HTMLTransformer``
+(``/root/reference/packages/scrape/src/core/transformers/HTMLTransformer.ts``)
+on our stdlib DOM:
+
+- relative→absolute URL rewrite for ``img[srcset]`` / ``img[src]`` /
+  ``a[href]`` with the srcset largest-first selection and ``http:/x`` repair
+  (ts:363-532),
+- ALWAYS_REMOVE_TAGS, EXCLUDE_NON_MAIN_TAGS + FORCE_INCLUDE_MAIN_TAGS
+  main-content filter (the two selector lists are verbatim constants,
+  ts:21-165),
+- include_tags projection / exclude_tags removal / comment stripping
+  (ts:204-270),
+- metadata extraction (``DataExtractor.extractMetadata``, DataExtractor.ts:307-330),
+- link extraction equivalent to crawlee's ``extractUrlsFromCheerio($,'a[href]',base)``
+  (DataExtractor.ts:490-494).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from .canonical import resolve_url
+from .dom import Comment, Element, Text, inner_html, parse_html, select, serialize
+
+# Verbatim constants from HTMLTransformer.ts:21-165
+ALWAYS_REMOVE_TAGS = ["script", "style", "noscript"]
+
+EXCLUDE_NON_MAIN_TAGS = [
+    "header", "footer", "nav", "aside",
+    ".header", ".top", ".navbar", "#header", ".site-header", ".page-header",
+    ".footer", ".bottom", "#footer", ".site-footer", ".page-footer",
+    ".sidebar", ".side", ".aside", "#sidebar", ".left-sidebar", ".right-sidebar",
+    ".modal", ".popup", "#modal", ".overlay", ".dialog", ".lightbox",
+    ".ad", ".ads", ".advert", "#ad", ".advertisement", ".banner-ad",
+    ".lang-selector", ".language", "#language-selector", ".locale-selector",
+    ".social", ".social-media", ".social-links", "#social", ".social-share",
+    ".share-buttons",
+    ".menu", ".navigation", "#nav", ".nav-menu", ".site-nav",
+    ".breadcrumbs", "#breadcrumbs", ".breadcrumb",
+    ".share", "#share",
+    ".cookie", "#cookie", ".cookie-banner", ".cookie-notice", ".cookie-consent",
+    ".related", ".related-posts", ".related-articles",
+    ".fc-decoration",
+]
+
+FORCE_INCLUDE_MAIN_TAGS = [
+    "#main", "main", "[role='main']", ".main-content", ".content-main",
+    "article", ".article", ".post-content", ".entry-content",
+    ".swoogo-cols", ".swoogo-text", ".swoogo-table-div", ".swoogo-space",
+    ".swoogo-alert", ".swoogo-sponsors", ".swoogo-title", ".swoogo-tabs",
+    ".swoogo-logo", ".swoogo-image", ".swoogo-button", ".swoogo-agenda",
+]
+
+
+@dataclass
+class TransformOptions:
+    include_tags: list[str] = field(default_factory=list)
+    exclude_tags: list[str] = field(default_factory=list)
+    only_main_content: bool = True  # default ON (BaseSchema.ts:137)
+    transform_relative_urls: bool = True
+
+
+# ---------------------------------------------------------------------------
+# URL rewriting (ts:363-532)
+# ---------------------------------------------------------------------------
+
+def _transform_srcset(root: Element, base_url: str) -> None:
+    for img in select(root, "img[srcset]"):
+        srcset = img.attrs.get("srcset")
+        if not srcset:
+            continue
+        entries = [e.strip() for e in srcset.split(",")]
+        sources: list[tuple[str, float, bool]] = []  # (abs_url, size, is_pixel_density)
+        for entry in entries:
+            parts = re.split(r"\s+", entry)
+            if not parts or not parts[0]:
+                continue
+            url = parts[0]
+            descriptor = parts[1] if len(parts) > 1 else "1x"
+            size, is_px = 1.0, True
+            if descriptor.endswith("x"):
+                try:
+                    size = float(descriptor[:-1])
+                except ValueError:
+                    pass
+            elif descriptor.endswith("w"):
+                try:
+                    size = float(int(descriptor[:-1]))
+                    is_px = False
+                except ValueError:
+                    pass
+            sources.append((resolve_url(base_url, url) or url, size, is_px))
+        if sources and all(s[2] for s in sources):
+            src = img.attrs.get("src")
+            if src:
+                sources.append((resolve_url(base_url, src) or src, 1.0, True))
+        # stable sort descending by size (ts:441-444 — Array.sort is stable)
+        sources.sort(key=lambda s: -s[1])
+        if sources:
+            img.attrs["src"] = sources[0][0]
+        new_entries = []
+        for entry in entries:
+            parts = re.split(r"\s+", entry)
+            if not parts or not parts[0]:
+                new_entries.append(entry)
+                continue
+            absolute = resolve_url(base_url, parts[0]) or parts[0]
+            new_entries.append(f"{absolute} {parts[1]}" if len(parts) > 1 else absolute)
+        img.attrs["srcset"] = ", ".join(new_entries)
+
+
+def _transform_relative_urls(root: Element, base_url: str) -> None:
+    _transform_srcset(root, base_url)
+    for img in select(root, "img[src]"):
+        src = img.attrs.get("src")
+        if src:
+            img.attrs["src"] = resolve_url(base_url, src) or src
+    for a in select(root, "a[href]"):
+        href = a.attrs.get("href")
+        if href:
+            a.attrs["href"] = resolve_url(base_url, href) or href
+
+
+# ---------------------------------------------------------------------------
+# Cleaning (ts:204-270)
+# ---------------------------------------------------------------------------
+
+def _remove_selected(root: Element, selector: str) -> None:
+    for el in select(root, selector):
+        if el.parent is not None:
+            el.detach()
+
+
+def _remove_comments(root: Element) -> None:
+    for el in [root, *list(root.iter())]:
+        for child in list(el.children):
+            if isinstance(child, Comment):
+                el.remove_child(child)
+
+
+def _clean_dom(root: Element, options: TransformOptions) -> str:
+    _remove_selected(root, ", ".join(ALWAYS_REMOVE_TAGS))
+
+    if options.include_tags:
+        # Build a fresh <div> holding clones of every match, in selector order
+        # (ts:209-224). Matches are moved (our DOM is already a private clone).
+        new_root = Element("#root")
+        div = Element("div")
+        new_root.append(div)
+        for selector in options.include_tags:
+            for el in select(root, selector):
+                el.detach()
+                div.append(el)
+        return inner_html(div)
+
+    if options.only_main_content:
+        for exclude_selector in EXCLUDE_NON_MAIN_TAGS:
+            for el in select(root, exclude_selector):
+                if el.parent is None:
+                    continue  # already removed with an ancestor
+                keep = any(
+                    select(el, include_selector)
+                    for include_selector in FORCE_INCLUDE_MAIN_TAGS
+                )
+                if not keep:
+                    el.detach()
+
+    for selector in options.exclude_tags:
+        _remove_selected(root, selector)
+
+    _remove_comments(root)
+    return serialize(root)
+
+
+def transform_html(html: str, base_url: str, options: TransformOptions | None = None) -> str:
+    """``HTMLTransformer.transformHtml`` equivalent (ts:176-187)."""
+    options = options or TransformOptions()
+    root = parse_html(html)
+    if options.transform_relative_urls and base_url:
+        _transform_relative_urls(root, base_url)
+    return _clean_dom(root, options)
+
+
+def fallback_html(html: str) -> str:
+    """Minimal cleaning for the markdown fallback path
+    (``DataExtractor.getFallbackHtml``, DataExtractor.ts:397-412): remove only
+    script/style/noscript/iframe and comments."""
+    root = parse_html(html)
+    _remove_selected(root, "script, style, noscript, iframe")
+    _remove_comments(root)
+    return serialize(root)
+
+
+# ---------------------------------------------------------------------------
+# Title / metadata / links (T2/T3/T15)
+# ---------------------------------------------------------------------------
+
+def extract_title(html_or_root) -> str:
+    root = html_or_root if isinstance(html_or_root, Element) else parse_html(html_or_root)
+    title = None
+    for el in root.iter():
+        if el.tag == "title":
+            title = el
+            break
+    return title.text_content.strip() if title is not None else ""
+
+
+def extract_metadata(html_or_root) -> list[dict]:
+    """Every ``<meta>`` with (name|property)+content → ordered entries
+    (DataExtractor.ts:307-330)."""
+    root = html_or_root if isinstance(html_or_root, Element) else parse_html(html_or_root)
+    out: list[dict] = []
+    for el in root.iter():
+        if el.tag != "meta":
+            continue
+        name = el.attrs.get("name")
+        prop = el.attrs.get("property")
+        content = el.attrs.get("content")
+        if (name or prop) and content:
+            out.append({
+                "name": name or prop,
+                "content": content.strip(),
+                "property": prop,
+            })
+    return out
+
+
+def extract_links(html_or_root, base_url: str) -> list[str]:
+    """All ``a[href]`` resolved against base, http(s) only, document order,
+    first-seen dedup — crawlee ``extractUrlsFromCheerio`` semantics
+    (DataExtractor.ts:490-494)."""
+    root = html_or_root if isinstance(html_or_root, Element) else parse_html(html_or_root)
+    seen: set[str] = set()
+    out: list[str] = []
+    for a in select(root, "a[href]"):
+        href = (a.attrs.get("href") or "").strip()
+        if not href:
+            continue
+        absolute = resolve_url(base_url, href)
+        if not absolute or not absolute.startswith(("http://", "https://")):
+            continue
+        if absolute not in seen:
+            seen.add(absolute)
+            out.append(absolute)
+    return out

@@ -1,0 +1,247 @@
+"""Kernel tests: transformer (T4-T9), text (T14), canonical (F1/F2),
+full-page extraction (T16/T20).
+
+Cases re-express the reference's semantics with citations; cache/normalizeUrl
+cases mirror ``packages/libs/src/__tests__/cache.test.ts``.
+"""
+
+from anycrawl_spark.kernel.canonical import (
+    base_domain_of,
+    host_of,
+    normalize_url,
+    origin_of,
+    resolve_url,
+    unique_key,
+    url_hash,
+)
+from anycrawl_spark.kernel.extract import extract_page, process_markdown
+from anycrawl_spark.kernel.text import html_to_text
+from anycrawl_spark.kernel.transformer import (
+    TransformOptions,
+    extract_links,
+    extract_metadata,
+    extract_title,
+    transform_html,
+)
+
+
+class TestCanonical:
+    def test_lowercase_hostname(self):
+        assert normalize_url("https://EXAMPLE.com/Path") == "https://example.com/Path"
+
+    def test_strip_trailing_slash_non_root(self):
+        assert normalize_url("https://example.com/a/b/") == "https://example.com/a/b"
+
+    def test_keep_root_slash(self):
+        assert normalize_url("https://example.com/") == "https://example.com/"
+
+    def test_add_root_slash(self):
+        # JS `new URL('https://example.com').toString()` → trailing slash
+        assert normalize_url("https://example.com") == "https://example.com/"
+
+    def test_drop_tracking_params(self):
+        url = "https://example.com/p?utm_source=x&utm_medium=y&fbclid=1&gclid=2&keep=1"
+        assert normalize_url(url) == "https://example.com/p?keep=1"
+
+    def test_sort_params(self):
+        assert normalize_url("https://example.com/p?b=2&a=1&c=3") == "https://example.com/p?a=1&b=2&c=3"
+
+    def test_invalid_url_passthrough(self):
+        assert normalize_url("not a url") == "not a url"
+
+    def test_fragment_kept_by_normalize(self):
+        # reference normalizeUrl never touches the hash (cache/index.ts:130-148)
+        assert normalize_url("https://example.com/p#sec") == "https://example.com/p#sec"
+
+    def test_unique_key_strips_fragment(self):
+        assert unique_key("https://example.com/p#sec") == "https://example.com/p"
+
+    def test_unique_key_job_scope(self):
+        # Base.ts:464-473 — uniqueKey = `${jobId}-${computeUniqueKey(url)}`
+        assert unique_key("https://example.com/p", "job1") == "job1-https://example.com/p"
+
+    def test_url_hash_is_sha256_of_canonical(self):
+        import hashlib
+        expect = hashlib.sha256(b"https://example.com/p?a=1").hexdigest()
+        assert url_hash("https://EXAMPLE.com/p/?a=1&utm_source=z") == expect
+
+    def test_resolve_relative(self):
+        assert resolve_url("https://example.com/a/b", "/c") == "https://example.com/c"
+        assert resolve_url("https://example.com/a/", "c") == "https://example.com/a/c"
+
+    def test_resolve_malformed_scheme(self):
+        # HTMLTransformer.ts:514-532 — http:/x → http://x
+        assert resolve_url("https://base.test/", "http:/example.com/x") == "http://example.com/x"
+
+    def test_resolve_protocol_relative(self):
+        assert resolve_url("https://base.test/", "//cdn.test/a.js") == "https://cdn.test/a.js"
+
+    def test_host_origin_basedomain(self):
+        assert host_of("https://Sub.Example.COM:8443/x") == "sub.example.com"
+        assert origin_of("https://sub.example.com/x") == "https://sub.example.com"
+        assert origin_of("https://sub.example.com:8443/x") == "https://sub.example.com:8443"
+        assert base_domain_of("a.b.example.com") == "example.com"
+        assert base_domain_of("localhost") == "localhost"
+
+
+class TestTransformer:
+    def test_always_remove_tags(self):
+        html = "<script>x</script><style>y</style><noscript>z</noscript><p>keep</p>"
+        out = transform_html(html, "https://t.test/")
+        assert "script" not in out and "style" not in out and "noscript" not in out
+        assert "keep" in out
+
+    def test_only_main_content_removes_chrome(self):
+        html = (
+            "<header>site chrome</header><nav>menu</nav>"
+            '<div class="sidebar">sb</div><div class="cookie-banner">cookies</div>'
+            "<main><p>the article</p></main><footer>foot</footer>"
+        )
+        out = transform_html(html, "https://t.test/")
+        assert "site chrome" not in out and "menu" not in out
+        assert "sb" not in out and "cookies" not in out and "foot" not in out
+        assert "the article" in out
+
+    def test_force_include_preserves_wrappers(self):
+        # HTMLTransformer.ts:229-253 — excluded wrapper kept when it contains
+        # a FORCE_INCLUDE_MAIN_TAGS match
+        html = '<div class="sidebar"><div class="post-content">real content</div></div>'
+        out = transform_html(html, "https://t.test/")
+        assert "real content" in out
+
+    def test_only_main_content_off(self):
+        html = "<header>chrome</header><p>body</p>"
+        out = transform_html(html, "https://t.test/", TransformOptions(only_main_content=False))
+        assert "chrome" in out
+
+    def test_include_tags_projection(self):
+        html = "<div class='a'><p>one</p></div><div class='b'><p>two</p></div>"
+        out = transform_html(html, "https://t.test/", TransformOptions(include_tags=[".b"]))
+        assert "two" in out and "one" not in out
+
+    def test_exclude_tags(self):
+        html = "<p class='x'>drop</p><p>keep</p>"
+        out = transform_html(html, "https://t.test/", TransformOptions(exclude_tags=[".x"]))
+        assert "drop" not in out and "keep" in out
+
+    def test_comment_removal(self):
+        out = transform_html("<p>a<!-- hidden -->b</p>", "https://t.test/")
+        assert "hidden" not in out
+
+    def test_relative_url_rewrite(self):
+        html = '<a href="/x">l</a><img src="img/pic.png">'
+        out = transform_html(html, "https://t.test/base/")
+        assert 'href="https://t.test/x"' in out
+        assert 'src="https://t.test/base/img/pic.png"' in out
+
+    def test_srcset_largest_wins(self):
+        # HTMLTransformer.ts:383-466 — width descriptors, largest becomes src
+        html = '<img srcset="/small.png 400w, /big.png 800w" src="/orig.png">'
+        out = transform_html(html, "https://t.test/")
+        assert 'src="https://t.test/big.png"' in out
+        assert "https://t.test/small.png 400w" in out
+
+    def test_srcset_pixel_density_includes_src_as_1x(self):
+        html = '<img srcset="/two.png 2x" src="/one.png">'
+        out = transform_html(html, "https://t.test/")
+        assert 'src="https://t.test/two.png"' in out
+
+    def test_title_and_metadata(self):
+        html = (
+            "<html><head><title> My Page </title>"
+            '<meta name="description" content=" desc ">'
+            '<meta property="og:title" content="OG">'
+            '<meta name="empty">'
+            "</head><body></body></html>"
+        )
+        assert extract_title(html) == "My Page"
+        meta = extract_metadata(html)
+        assert meta == [
+            {"name": "description", "content": "desc", "property": None},
+            {"name": "og:title", "content": "OG", "property": "og:title"},
+        ]
+
+    def test_extract_links(self):
+        html = (
+            '<a href="/a">1</a><a href="https://other.test/b">2</a>'
+            '<a href="mailto:x@y.z">m</a><a href="/a">dup</a>'
+            '<a href="#frag">f</a>'
+        )
+        links = extract_links(html, "https://t.test/")
+        assert links == [
+            "https://t.test/a",
+            "https://other.test/b",
+            "https://t.test/#frag",
+        ]
+
+
+class TestText:
+    def test_headings_uppercase(self):
+        out = html_to_text("<h1>Hello World</h1><p>body text</p>")
+        assert "HELLO WORLD" in out
+        assert "body text" in out
+
+    def test_links_bracketed(self):
+        out = html_to_text('<p>see <a href="https://x.test/">docs</a></p>')
+        assert "see docs [https://x.test/]" in out
+
+    def test_lists(self):
+        out = html_to_text("<ul><li>alpha</li><li>beta</li></ul>")
+        assert " * alpha" in out and " * beta" in out
+
+    def test_wordwrap_80(self):
+        out = html_to_text("<p>" + "word " * 40 + "</p>")
+        assert all(len(line) <= 80 for line in out.split("\n"))
+
+    def test_pre_verbatim(self):
+        out = html_to_text("<pre>a\n  b\n    c</pre>")
+        assert "a\n  b\n    c" in out
+
+    def test_blockquote(self):
+        out = html_to_text("<blockquote>quoted</blockquote>")
+        assert "> quoted" in out
+
+    def test_script_dropped(self):
+        out = html_to_text("<script>var x;</script><p>content</p>")
+        assert "var x" not in out and "content" in out
+
+
+class TestExtractPage:
+    HTML = (
+        "<html><head><title>T</title><meta name='d' content='x'></head><body>"
+        "<header>chrome</header>"
+        "<main><h1>Article</h1><p>Hello <strong>world</strong>, this is the main "
+        "body of the article with plenty of words to avoid the fallback path. "
+        "It keeps going for a while so the markdown is long enough.</p>"
+        "<a href='/next'>next</a></main>"
+        "</body></html>"
+    )
+
+    def test_document_shape(self):
+        doc = extract_page("https://site.test/page", self.HTML)
+        assert doc["title"] == "T"
+        assert doc["metadata"][0]["name"] == "d"
+        assert "# Article" in doc["markdown"]
+        assert "chrome" not in doc["markdown"]  # main-content filter applied
+        assert "ARTICLE" in doc["text"]          # text comes from RAW html
+        assert "chrome" in doc["text"]
+        assert doc["links"] == ["https://site.test/next"]
+
+    def test_markdown_fallback_for_thin_pages(self):
+        # DataExtractor.ts:335-394 — <100 chars / <20 words triggers a
+        # re-conversion of the SAME input html after minimal cleaning only
+        # (getFallbackHtml removes script/style/noscript/iframe + comments).
+        from anycrawl_spark.kernel.markdown import html_to_markdown
+        from anycrawl_spark.kernel.transformer import fallback_html
+
+        thin = "<p>short</p><!-- note --><iframe>f</iframe>"
+        md = process_markdown(thin)
+        assert md == html_to_markdown(fallback_html(thin))
+        # a rich page does NOT take the fallback path
+        rich = "<p>" + "many words of real article content here. " * 10 + "</p>"
+        assert process_markdown(rich) == html_to_markdown(rich)
+
+    def test_deterministic(self):
+        a = extract_page("https://site.test/page", self.HTML)
+        b = extract_page("https://site.test/page", self.HTML)
+        assert a == b
