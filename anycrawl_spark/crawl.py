@@ -1,0 +1,351 @@
+"""The crawl engine: frontier + fetch-join + extraction rounds on Spark
+(SURVEY.md §3.2 — the flagship path, re-expressed as batch micro-iterations).
+
+Each round r is one Spark batch over immutable checkpointed state:
+
+    pending_r  →  per-host budget window (politeness shuffle by host)
+               →  fetch = broadcast-free equi-join against the pages corpus
+                  on url_hash (partition-prunable at scale)
+               →  vectorized extraction UDF (T1-T20)
+               →  results_r append (scrape_paths-gated persistence)
+               →  posexplode(links) → canonicalize (JVM expr) → strategy /
+                  path / depth / robots filters → in-batch dedup
+               →  Bloom pre-filter + exact anti-join vs seen set
+               →  enqueue-cap top-k → seq assignment → pending_{r+1}
+               →  seen segment, progress, per-partition lineage appended;
+                  manifest commit (atomic) → resumable
+
+Dedup semantics follow the reference's queue path (crawlee uniqueKey dedup at
+enqueue time, ``Base.ts:464-493``): the seen set is "everything ever
+enqueued", and ``limit`` caps total enqueued URLs (coordinator admission
+``completed+failed+pending >= limit``, ``crawlCoordinator.ts:106-113``).
+Visit order is the coordinator's FIFO-BFS: children are appended in
+(parent seq, link position) order, which our dense ``seq`` assignment
+reproduces exactly (SURVEY.md §7.4 hard-part 2/3).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from .catalog import Catalog
+from .kernel.canonical import host_of
+from .politeness import (
+    apply_host_budget,
+    path_filter_cond,
+    robots_allowed,
+    strategy_cond,
+)
+from .seen import build_segments, filter_new, merge_segments
+from .udfs import make_extract_udf
+
+FRONTIER_COLS = ["job_id", "url", "url_hash", "host", "origin", "path",
+                 "depth", "seq", "round_added"]
+
+
+@dataclass
+class CrawlConfig:
+    """Mirror of the reference's crawl_options zod schema with identical
+    defaults (CrawlSchema.ts:6-49: max_depth default 10, strategy
+    'same-domain', limit default 100... coordinator uses limit||10)."""
+
+    job_id: str
+    seed_url: str
+    strategy: str = "same-domain"
+    max_depth: int = 10
+    limit: int = 100
+    include_paths: list[str] = field(default_factory=list)
+    exclude_paths: list[str] = field(default_factory=list)
+    scrape_paths: list[str] = field(default_factory=list)
+    politeness_budget: int = 0           # per-host fetches per round; 0 = unlimited
+    batch_size: int = 0                  # rows fetched per round; 0 = whole round
+    respect_robots: bool = True          # --anycrawl-compat off ⇒ True (north rule)
+    formats: tuple[str, ...] = ("markdown", "text", "links", "html")
+    only_main_content: bool = True
+    bloom_num_buckets: int = 32
+    bloom_m_bits: int = 1 << 17
+    bloom_k: int = 4
+    max_rounds: int = 1000
+
+
+def _strip_fragment(col):
+    return F.split(col, "#", 2)[0]
+
+
+def _canonical_cols(df: DataFrame, url_col: str) -> DataFrame:
+    """Attach (url_hash, host, origin, path) derived from the fragment-stripped
+    canonical URL — the crawlee uniqueKey scope. All JVM expressions."""
+    from .kernel.canonical import canonical_url_col
+
+    canon = _strip_fragment(canonical_url_col(url_col))
+    return (
+        df.withColumn("__canon", canon)
+        .withColumn("url_hash", F.sha2(F.col("__canon"), 256))
+        .withColumn("host", F.lower(F.parse_url(F.col("__canon"), F.lit("HOST"))))
+        .withColumn("origin", F.concat(
+            F.lower(F.regexp_extract(F.col("__canon"), r"^([A-Za-z][A-Za-z0-9+.-]*):", 1)),
+            F.lit("://"),
+            F.lower(F.parse_url(F.col("__canon"), F.lit("HOST"))),
+        ))
+        .withColumn("path", F.coalesce(F.parse_url(F.col("__canon"), F.lit("PATH")), F.lit("/")))
+        .drop("__canon")
+    )
+
+
+def prepare_corpus(pages: DataFrame) -> DataFrame:
+    """Corpus keyed by url_hash for the fetch join. At deployment scale the
+    Iceberg pages table is bucketed by this hash so the join prunes
+    partitions; html stays unread until after the join (column pruning)."""
+    return _canonical_cols(pages, "url").select(
+        F.col("url_hash").alias("page_url_hash"),
+        F.col("url").alias("page_url"),
+        "warc_ts", "html", "lang",
+    )
+
+
+class CrawlEngine:
+    def __init__(self, spark: SparkSession, corpus: DataFrame,
+                 checkpoint_dir: str, robots: DataFrame | None = None) -> None:
+        self.spark = spark
+        self.corpus = prepare_corpus(corpus)
+        self.catalog = Catalog(checkpoint_dir)
+        self.robots = robots
+
+    # -- state helpers ------------------------------------------------------
+    def _progress(self) -> dict:
+        last = self.catalog.last_round()
+        if last is None:
+            return {"round": -1, "done": 0, "failed": 0, "enqueued": 0, "finalized": False}
+        return self.catalog.round_meta(last) or {}
+
+    def _seed_frontier(self, cfg: CrawlConfig) -> DataFrame:
+        seed = self.spark.createDataFrame(
+            [(cfg.job_id, cfg.seed_url, 0, 0, 0)],
+            schema="job_id string, url string, depth int, seq long, round_added int",
+        )
+        return _canonical_cols(seed, "url").select(*FRONTIER_COLS)
+
+    # -- the round loop -----------------------------------------------------
+    def run(self, cfg: CrawlConfig, resume: bool = False) -> dict:
+        t0 = time.time()
+        if resume:
+            self.catalog.drop_uncommitted()
+            progress = self._progress()
+            round_no = progress["round"] + 1
+        else:
+            self.catalog.destroy()
+            self.catalog = Catalog(self.catalog.root)
+            progress = {"round": -1, "done": 0, "failed": 0, "enqueued": 0, "finalized": False}
+            round_no = 0
+
+        if round_no == 0:
+            frontier = self._seed_frontier(cfg)
+            if self.robots is not None and cfg.respect_robots:
+                frontier = robots_allowed(frontier, self.robots)
+            n_seed = frontier.count()
+            self.catalog.append_round(frontier, "pending", 0)
+            self.catalog.append_round(
+                frontier.select("url_hash"), "seen", 0)
+            self.catalog.append_round(
+                build_segments(frontier, num_buckets=cfg.bloom_num_buckets,
+                               m_bits=cfg.bloom_m_bits, k=cfg.bloom_k),
+                "bloom", 0)
+            progress = {"round": 0, "done": 0, "failed": 0, "enqueued": n_seed,
+                        "finalized": n_seed == 0, "phase": "seeded"}
+            self.catalog.commit_round(0, ["pending", "seen", "bloom"], progress)
+            round_no = 1
+
+        extract_udf = make_extract_udf(
+            formats=cfg.formats, only_main_content=cfg.only_main_content)
+
+        while round_no <= cfg.max_rounds and not progress.get("finalized"):
+            progress = self._run_round(cfg, round_no, progress, extract_udf)
+            round_no += 1
+
+        fetched_total = progress["done"] - progress["failed"]
+        return {
+            "job_id": cfg.job_id,
+            "rounds": progress["round"],
+            "done": progress["done"],
+            "fetched": fetched_total,
+            "failed": progress["failed"],
+            "enqueued": progress["enqueued"],
+            "seconds": time.time() - t0,
+        }
+
+    def _run_round(self, cfg: CrawlConfig, r: int, progress: dict, extract_udf) -> dict:
+        spark = self.spark
+        pending = self.catalog.read_round(spark, "pending", r - 1)
+        if pending is None or not pending.head(1):
+            meta = {**progress, "round": r, "finalized": True, "phase": "drained"}
+            self.catalog.commit_round(r, [], meta)
+            return meta
+
+        # --- politeness: per-host budget window (the host shuffle) ---------
+        admitted, deferred = apply_host_budget(
+            pending, cfg.politeness_budget, order_cols=("depth", "seq"))
+        if cfg.batch_size and cfg.batch_size > 0:
+            # coordinator batch semantics (crawlCoordinator.ts:33-38): take
+            # the first batch_size rows in FIFO (seq) order
+            batch = admitted.orderBy("seq").limit(cfg.batch_size)
+            deferred = pending.join(batch.select("url_hash"), "url_hash", "left_anti")
+            admitted = batch
+        admitted = admitted.cache()
+
+        # --- fetch = equi-join against the corpus --------------------------
+        fetched = (
+            admitted.join(self.corpus, admitted["url_hash"] == self.corpus["page_url_hash"], "left")
+            .drop("page_url_hash")
+            .withColumn("status", F.when(F.col("html").isNotNull(), 200).otherwise(404))
+        )
+
+        # --- extraction (vectorized UDF) -----------------------------------
+        docs = (
+            fetched.withColumn(
+                "doc",
+                F.when(F.col("status") == 200, extract_udf(F.col("url"), F.col("html"))),
+            )
+            .select(
+                "job_id", "url", "url_hash", "host", "depth", "seq", "status",
+                F.col("doc.title").alias("title"),
+                F.col("doc.metadata").alias("metadata"),
+                F.col("doc.html").alias("html_clean"),
+                F.col("doc.markdown").alias("markdown"),
+                F.col("doc.text").alias("text"),
+                F.col("doc.links").alias("links"),
+                F.length("html").alias("bytes"),
+            )
+            .withColumn("round", F.lit(r))
+            .withColumn(
+                "should_scrape",
+                path_filter_cond(F.col("url"), cfg.scrape_paths, []) if cfg.scrape_paths
+                else F.lit(True),
+            )
+            .cache()
+        )
+
+        n_fetched = docs.where(F.col("status") == 200).count()
+        n_failed = docs.where(F.col("status") != 200).count()
+
+        # results: persistence gated by scrape_paths (F5) — links still flow
+        self.catalog.append_round(
+            docs.where(F.col("should_scrape")).drop("links", "should_scrape"),
+            "results", r)
+        # visits: complete per-round visit log (crawl-order golden surface)
+        self.catalog.append_round(
+            docs.select("job_id", "url", "url_hash", "host", "depth", "seq",
+                        "status", "round"),
+            "visits", r)
+
+        # per-partition lineage/metrics (north rule)
+        metrics = (
+            docs.groupBy(F.spark_partition_id().alias("partition_id"), "host")
+            .agg(F.count("*").alias("urls"),
+                 F.sum(F.when(F.col("status") == 200, 1).otherwise(0)).alias("fetched"),
+                 F.sum(F.coalesce(F.col("bytes"), F.lit(0))).alias("bytes"))
+            .withColumn("round", F.lit(r))
+            .withColumn("job_id", F.lit(cfg.job_id))
+        )
+        self.catalog.append_round(metrics, "metrics", r)
+
+        # --- discover → filter → dedup → enqueue ---------------------------
+        new_rows = None
+        n_new = 0
+        enqueued = progress["enqueued"]
+        if enqueued < cfg.limit:
+            links = (
+                docs.where(F.col("status") == 200)
+                .select("job_id",
+                        F.col("depth").alias("parent_depth"),
+                        F.col("seq").alias("parent_seq"),
+                        F.posexplode_outer("links").alias("link_pos", "url"))
+                .where(F.col("url").isNotNull())
+                .where(F.col("parent_depth") < cfg.max_depth)     # F6
+                .where(F.col("url").startswith("http"))
+            )
+            links = _canonical_cols(links, "url")
+            links = links.where(
+                strategy_cond(F.col("host"), F.col("origin"), cfg.seed_url, cfg.strategy))
+            links = links.where(
+                path_filter_cond(F.col("url"), cfg.include_paths, cfg.exclude_paths))
+            if self.robots is not None and cfg.respect_robots:
+                links = robots_allowed(links, self.robots)
+
+            # in-batch dedup: first discovery wins (FIFO order)
+            w_first = Window.partitionBy("url_hash").orderBy("parent_seq", "link_pos")
+            links = (
+                links.withColumn("__rn", F.row_number().over(w_first))
+                .where(F.col("__rn") == 1).drop("__rn")
+            )
+
+            # seen filter: Bloom pre-filter + exact anti-join
+            segments = self.catalog.read(spark, "bloom", up_to_round=r - 1)
+            if segments is not None:
+                segments = merge_segments(segments)
+            seen = self.catalog.read(spark, "seen", up_to_round=r - 1)
+            links = filter_new(links, segments, seen,
+                               num_buckets=cfg.bloom_num_buckets,
+                               m_bits=cfg.bloom_m_bits, k=cfg.bloom_k)
+
+            # enqueue cap + dense seq (FIFO append order)
+            w_seq = Window.partitionBy("job_id").orderBy("parent_seq", "link_pos")
+            capacity = cfg.limit - enqueued
+            new_rows = (
+                links.withColumn("__rn", F.row_number().over(w_seq))
+                .where(F.col("__rn") <= capacity)
+                .withColumn("depth", F.col("parent_depth") + 1)
+                .withColumn("seq", F.lit(enqueued) - 1 + F.col("__rn"))
+                .withColumn("round_added", F.lit(r))
+                .select(*FRONTIER_COLS)
+                .cache()
+            )
+            n_new = new_rows.count()
+
+        # --- next pending + seen/bloom appends -----------------------------
+        next_pending = deferred.select(*FRONTIER_COLS)
+        if new_rows is not None and n_new > 0:
+            next_pending = next_pending.unionByName(new_rows)
+        self.catalog.append_round(next_pending, "pending", r)
+        if n_new > 0:
+            self.catalog.append_round(new_rows.select("url_hash"), "seen", r)
+            self.catalog.append_round(
+                build_segments(new_rows, num_buckets=cfg.bloom_num_buckets,
+                               m_bits=cfg.bloom_m_bits, k=cfg.bloom_k),
+                "bloom", r)
+
+        done = progress["done"] + n_fetched + n_failed
+        failed = progress["failed"] + n_failed
+        enqueued_total = enqueued + n_new
+        n_pending_next = next_pending.count()
+        finalized = n_pending_next == 0 or done >= cfg.limit
+        meta = {
+            "round": r, "done": done, "failed": failed,
+            "enqueued": enqueued_total, "finalized": finalized,
+            "admitted": n_fetched + n_failed, "new": n_new,
+            "pending_next": n_pending_next, "phase": "crawl",
+        }
+        tables = ["pending", "results", "visits", "metrics"]
+        if n_new > 0:
+            tables += ["seen", "bloom"]
+        self.catalog.commit_round(r, tables, meta)
+        admitted.unpersist()
+        docs.unpersist()
+        if new_rows is not None:
+            new_rows.unpersist()
+        return meta
+
+    # -- reads for callers --------------------------------------------------
+    def results(self) -> DataFrame | None:
+        return self.catalog.read(self.spark, "results")
+
+    def visits(self) -> DataFrame | None:
+        return self.catalog.read(self.spark, "visits")
+
+    def visit_order(self) -> DataFrame | None:
+        v = self.visits()
+        if v is None:
+            return None
+        return v.select("round", "seq", "url", "depth", "status").orderBy("seq")

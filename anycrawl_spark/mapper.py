@@ -1,0 +1,87 @@
+"""Map (URL discovery) operators (SURVEY.md §2.4/§2.5 A4, F9, L1).
+
+Re-expresses ``MapService`` (``/root/reference/packages/scrape/src/services/
+MapService.ts:40-164``): multi-source union (sitemap ∪ search ∪ page-links ∪
+cache-index) with first-wins field merge per url, domain filtering, and the
+result limit — as ``unionByName`` + ``groupBy(url).agg(first ignorenulls)``
++ broadcast-friendly filters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+MAP_SOURCE_ORDER = {"sitemap": 0, "search": 1, "crawl": 2, "cache": 3}
+
+
+def union_dedup(sources: dict[str, DataFrame], limit: int = 5000) -> DataFrame:
+    """``sources`` maps source-name → DataFrame(url, title, description).
+
+    First-wins per field across sources in MAP_SOURCE_ORDER (the reference
+    merges into a Map in source order, coalescing title/description —
+    MapService.ts:56-163); deterministic via min_by over the source rank.
+    """
+    tagged = []
+    for name, df in sources.items():
+        tagged.append(
+            df.select(
+                "url",
+                F.col("title"),
+                F.col("description"),
+                F.lit(MAP_SOURCE_ORDER.get(name, 99)).alias("source_rank"),
+                F.lit(name).alias("source"),
+            )
+        )
+    unioned = tagged[0]
+    for t in tagged[1:]:
+        unioned = unioned.unionByName(t)
+    merged = (
+        unioned.groupBy("url")
+        .agg(
+            F.min_by("title", F.when(F.col("title").isNotNull(), F.col("source_rank"))
+                     .otherwise(F.lit(10**9))).alias("title"),
+            F.min_by("description", F.when(F.col("description").isNotNull(), F.col("source_rank"))
+                     .otherwise(F.lit(10**9))).alias("description"),
+            F.min("source_rank").alias("first_rank"),
+        )
+        .orderBy("first_rank", "url")
+        .limit(limit)                      # MapService.ts:151-153
+        .drop("first_rank")
+    )
+    return merged
+
+
+def domain_filter(df: DataFrame, seed_host: str, include_subdomains: bool = True) -> DataFrame:
+    """Keep exact-hostname or same base-domain urls (MapService.ts:301-329)."""
+    host = F.lower(F.parse_url(F.col("url"), F.lit("HOST")))
+    base = F.array_join(F.slice(F.split(host, r"\."), -2, 2), ".")
+    from anycrawl_spark.kernel.canonical import base_domain_of
+
+    if include_subdomains:
+        return df.where(base == base_domain_of(seed_host))
+    return df.where(host == seed_host.lower())
+
+
+def clean_page_links(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Map page-link cleanup (MapService.ts:268-289, F12): http(s) only,
+    fragment stripped, dedup."""
+    return (
+        df.withColumn(url_col, F.split(F.col(url_col), "#", 2)[0])
+        .where(F.col(url_col).startswith("http"))
+        .dropDuplicates([url_col])
+    )
+
+
+def expand_sitemaps(robots: DataFrame, pages: DataFrame) -> DataFrame:
+    """Sitemap discovery (MapService.ts:172-201 re-expressed): explode the
+    robots fixture's sitemap urls and join to the corpus host's pages —
+    sitemap expansion = explode + equi-join."""
+    hosts = robots.select("host", F.explode("sitemaps").alias("sitemap_url"))
+    page_hosts = pages.select(
+        F.col("url"),
+        F.lower(F.parse_url(F.col("url"), F.lit("HOST"))).alias("host"),
+    )
+    return hosts.join(page_hosts, "host", "inner").select(
+        "host", "url", F.lit(None).cast("string").alias("title"),
+        F.lit(None).cast("string").alias("description"),
+    )

@@ -1,0 +1,165 @@
+"""Politeness, robots enforcement, path filters, skew salting
+(SURVEY.md §2.2 F3-F9, §2.10 items 1/3; north rule: per-host priority queue,
+robots rules, per-domain politeness budgets, explicit salting of skewed
+hosts).
+
+All of this is JVM-side DataFrame code — window functions, broadcast joins,
+and rlike predicates. No Python executes per row.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+# ---------------------------------------------------------------------------
+# include/exclude path patterns (F4): minimatch globs (dot:true) or /re/flags
+# literals — Base.ts:391-417, crawlCoordinator.ts:155-168. Compiled
+# driver-side to Java-regex strings, applied via rlike (JVM-side).
+# ---------------------------------------------------------------------------
+
+_REGEX_LITERAL = re.compile(r"^/(.*)/([gimsuy]*)$")
+
+
+def glob_to_regex(glob: str) -> str:
+    """minimatch-compatible translation for the subset used in crawl options:
+    ``**`` crosses ``/``, ``*`` and ``?`` do not; dot:true semantics."""
+    out = []
+    i = 0
+    while i < len(glob):
+        c = glob[i]
+        if c == "*":
+            if glob[i:i + 2] == "**":
+                out.append(".*")
+                i += 2
+                if i < len(glob) and glob[i] == "/":
+                    i += 1  # '**/' already covered by '.*'
+                continue
+            out.append("[^/]*")
+        elif c == "?":
+            out.append("[^/]")
+        elif c in ".+^$()[]{}|\\":
+            out.append("\\" + c)
+        else:
+            out.append(c)
+        i += 1
+    return "^" + "".join(out) + "$"
+
+
+def compile_path_patterns(patterns: list[str]) -> list[str]:
+    """Each pattern → Java-regex string. ``/re/flags`` literals pass through
+    (flags other than i are dropped — crawl patterns in practice use none)."""
+    compiled = []
+    for pattern in patterns or []:
+        m = _REGEX_LITERAL.match(pattern)
+        if m:
+            body, flags = m.group(1), m.group(2)
+            compiled.append(("(?i)" if "i" in flags else "") + body)
+        else:
+            compiled.append(glob_to_regex(pattern))
+    return compiled
+
+
+def path_filter_cond(url_col, include: list[str], exclude: list[str]):
+    """Boolean Column: url passes include (any, if provided) and no exclude.
+    Semantics of crawlCoordinator.matchesPaths (crawlCoordinator.ts:155-168)."""
+    cond = F.lit(True)
+    inc = compile_path_patterns(include)
+    exc = compile_path_patterns(exclude)
+    if inc:
+        inc_cond = F.lit(False)
+        for rx in inc:
+            inc_cond = inc_cond | url_col.rlike(rx)
+        cond = cond & inc_cond
+    for rx in exc:
+        cond = cond & ~url_col.rlike(rx)
+    return cond
+
+
+# ---------------------------------------------------------------------------
+# Crawl strategy (F3) — crawlCoordinator.ts:138-153 / CrawlSchema.ts:43
+# ---------------------------------------------------------------------------
+
+def strategy_cond(host_col, origin_col, seed_url: str, strategy: str):
+    from anycrawl_spark.kernel.canonical import base_domain_of, host_of, origin_of
+
+    seed_host = host_of(seed_url)
+    if strategy == "same-hostname":
+        return host_col == seed_host
+    if strategy == "same-domain":
+        # crawlee SameDomain = same registrable domain; approximated as the
+        # last-2-label base domain (MapService.ts:325-329 uses the same rule)
+        seed_base = base_domain_of(seed_host)
+        return F.array_join(
+            F.slice(F.split(host_col, r"\."), -2, 2), "."
+        ) == seed_base
+    if strategy == "same-origin":
+        return origin_col == origin_of(seed_url)
+    return F.lit(True)  # 'all'
+
+
+# ---------------------------------------------------------------------------
+# Robots enforcement (north-rule delta #1; fixture schema FIXTURES.md §3)
+# ---------------------------------------------------------------------------
+
+def robots_allowed(candidates: DataFrame, robots: DataFrame | None,
+                   host_col: str = "host", path_col: str = "path") -> DataFrame:
+    """Drop candidates whose path matches a disallow prefix for their host.
+    robots is tiny (one row per host) → broadcast join; prefix test is an
+    array ``exists`` — all JVM-side."""
+    if robots is None:
+        return candidates
+    joined = candidates.join(
+        F.broadcast(robots.select(F.col("host").alias("__rhost"), "disallow")),
+        on=candidates[host_col] == F.col("__rhost"),
+        how="left",
+    )
+    denied = F.when(
+        F.col("disallow").isNotNull(),
+        F.exists("disallow", lambda p: F.col(path_col).startswith(p)),
+    ).otherwise(F.lit(False))
+    return joined.where(~denied).drop("__rhost", "disallow")
+
+
+# ---------------------------------------------------------------------------
+# Per-host budget + skew salting (F7/F8 generalized; SURVEY.md §3.2)
+# ---------------------------------------------------------------------------
+
+def apply_host_budget(frontier: DataFrame, budget: int | None,
+                      host_col: str = "host",
+                      order_cols: tuple[str, ...] = ("depth", "seq")) -> tuple[DataFrame, DataFrame]:
+    """Split a round's frontier into (admitted, deferred) by per-host top-k.
+
+    The window shuffles by host — that shuffle IS the politeness mechanism
+    (it also co-locates each host's rows, which downstream per-host fetch
+    would want). Returns deferred rows so the round loop re-enqueues them.
+    """
+    if not budget or budget <= 0:
+        return frontier, frontier.limit(0)
+    w = Window.partitionBy(host_col).orderBy(*[F.col(c) for c in order_cols])
+    ranked = frontier.withColumn("__host_rank", F.row_number().over(w))
+    admitted = ranked.where(F.col("__host_rank") <= budget).drop("__host_rank")
+    deferred = ranked.where(F.col("__host_rank") > budget).drop("__host_rank")
+    return admitted, deferred
+
+
+def salt_skewed_hosts(df: DataFrame, host_col: str = "host",
+                      url_col: str = "url", salt_n: int = 16,
+                      skew_threshold: int = 10_000) -> DataFrame:
+    """Explicit skew handling (north rule): hosts with more rows than
+    ``skew_threshold`` in this batch get a salted partition key
+    ``host#<pmod(sha2(url),salt_n)>`` so one hot host spreads over ``salt_n``
+    tasks; cold hosts keep key = host. AQE's skew-join split complements this
+    but the salt also covers aggregations/windows AQE cannot rewrite."""
+    counts = df.groupBy(host_col).agg(F.count("*").alias("__host_n"))
+    with_n = df.join(F.broadcast(counts), host_col, "left")
+    salted_key = F.when(
+        F.col("__host_n") > skew_threshold,
+        F.concat(
+            F.col(host_col), F.lit("#"),
+            F.pmod(F.conv(F.substring(F.sha2(F.col(url_col), 256), 1, 8), 16, 10).cast("long"),
+                   F.lit(salt_n)).cast("string"),
+        ),
+    ).otherwise(F.col(host_col))
+    return with_n.withColumn("salted_host", salted_key).drop("__host_n")

@@ -1,0 +1,138 @@
+"""Partitioned Bloom-filter URL-seen set + exact anti-join fallback
+(SURVEY.md §2.2 F2, §2.10 item 2; north rule: "URL-seen set is a partitioned
+Bloom/cuckoo filter keyed by canonicalized-URL hash").
+
+The reference deduplicates exactly via crawlee RequestQueue uniqueKeys
+(``Base.ts:464-493``) — correct but single-node. At 10^10-URL-frontier scale
+an exact anti-join of every candidate batch against the full history is a
+massive shuffle, so we put a **partitioned Bloom filter in front of it**:
+
+- the hash space of ``sha2(canonical_url, 256)`` is split into
+  ``num_buckets`` partitions; each bucket owns an ``m_bits`` bit array;
+- segments are built per-bucket with ``applyInPandas`` (numpy bitset, no
+  driver involvement), OR-merged across rounds, and checkpointed (they are
+  just ``(bucket, bitmap)`` rows — Iceberg/parquet friendly);
+- candidate filtering joins candidates to their bucket's bitmap and tests
+  k positions inside an Arrow batch. Rows the filter rejects are
+  **definitely new** (no false negatives) and skip the exact join entirely;
+  only the "maybe seen" minority pays the exact anti-join, which guarantees
+  byte-exact membership semantics equal to the reference's exact set.
+
+Bit positions are derived from independent 32-bit slices of the sha256 hex,
+so membership is a pure function of the canonical URL — deterministic across
+cluster sizes and resumes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+SEGMENT_SCHEMA = "bucket int, bitmap binary"
+
+DEFAULT_NUM_BUCKETS = 32
+DEFAULT_M_BITS = 1 << 17  # 16 KiB per bucket; override per deployment scale
+DEFAULT_K = 4
+
+
+def bucket_col(url_hash_col: str, num_buckets: int = DEFAULT_NUM_BUCKETS):
+    """Bucket id from the first 8 hex chars of the sha256 url hash (JVM-side)."""
+    return F.pmod(
+        F.conv(F.substring(F.col(url_hash_col), 1, 8), 16, 10).cast("long"),
+        F.lit(num_buckets),
+    ).cast("int")
+
+
+def _positions(hash_hex: str, m_bits: int, k: int) -> list[int]:
+    # slices [9:17), [17:25), ... of the 64-char sha256 hex → k independent
+    # 32-bit values (slice [1:9) is reserved for the bucket id)
+    return [int(hash_hex[9 + 8 * i: 17 + 8 * i], 16) % m_bits for i in range(k)]
+
+
+def build_segments(df: DataFrame, url_hash_col: str = "url_hash",
+                   num_buckets: int = DEFAULT_NUM_BUCKETS,
+                   m_bits: int = DEFAULT_M_BITS,
+                   k: int = DEFAULT_K) -> DataFrame:
+    """Build (bucket, bitmap) segment rows from a DataFrame of url hashes."""
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        bitmap = np.zeros(m_bits // 8, dtype=np.uint8)
+        for h in pdf[url_hash_col]:
+            for pos in _positions(h, m_bits, k):
+                bitmap[pos >> 3] |= 1 << (pos & 7)
+        return pd.DataFrame({"bucket": [int(pdf["bucket"].iloc[0])],
+                             "bitmap": [bitmap.tobytes()]})
+
+    return (
+        df.select(url_hash_col)
+        .withColumn("bucket", bucket_col(url_hash_col, num_buckets))
+        .groupBy("bucket")
+        .applyInPandas(build, schema=SEGMENT_SCHEMA)
+    )
+
+
+def merge_segments(segments: DataFrame) -> DataFrame:
+    """OR-merge multiple rounds' segments per bucket."""
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        arrays = [np.frombuffer(b, dtype=np.uint8) for b in pdf["bitmap"]]
+        merged = arrays[0].copy()
+        for a in arrays[1:]:
+            np.bitwise_or(merged, a, out=merged)
+        return pd.DataFrame({"bucket": [int(pdf["bucket"].iloc[0])],
+                             "bitmap": [merged.tobytes()]})
+
+    return segments.groupBy("bucket").applyInPandas(merge, schema=SEGMENT_SCHEMA)
+
+
+def filter_new(candidates: DataFrame, segments: DataFrame | None,
+               seen_exact: DataFrame | None,
+               url_hash_col: str = "url_hash",
+               num_buckets: int = DEFAULT_NUM_BUCKETS,
+               m_bits: int = DEFAULT_M_BITS,
+               k: int = DEFAULT_K) -> DataFrame:
+    """Rows of ``candidates`` whose url_hash is NOT in the seen set.
+
+    Bloom pre-filter (definitely-new fast path) + exact anti-join on the
+    maybe-seen remainder. With no segments yet (round 0) this degrades to the
+    plain exact anti-join (or a no-op when there is no history at all).
+    """
+    if segments is None or seen_exact is None:
+        return candidates
+
+    cand = candidates.withColumn("__bucket", bucket_col(url_hash_col, num_buckets))
+    joined = cand.join(
+        F.broadcast(segments.withColumnRenamed("bucket", "__bucket")),
+        "__bucket", "left",
+    )
+
+    out_fields = [f for f in candidates.columns]
+    schema = candidates.schema.add("__maybe_seen", "boolean")
+
+    def test(iterator):
+        for pdf in iterator:
+            maybe = np.zeros(len(pdf), dtype=bool)
+            for i, (h, bm) in enumerate(zip(pdf[url_hash_col], pdf["bitmap"])):
+                if bm is None:
+                    continue
+                arr = np.frombuffer(bm, dtype=np.uint8)
+                hit = True
+                for pos in _positions(h, m_bits, k):
+                    if not (arr[pos >> 3] >> (pos & 7)) & 1:
+                        hit = False
+                        break
+                maybe[i] = hit
+            out = pdf[out_fields].copy()
+            out["__maybe_seen"] = maybe
+            yield out
+
+    tested = joined.mapInPandas(test, schema=schema)
+    definitely_new = tested.where(~F.col("__maybe_seen")).drop("__maybe_seen")
+    maybe_seen = tested.where(F.col("__maybe_seen")).drop("__maybe_seen")
+    confirmed_new = maybe_seen.join(
+        seen_exact.select(F.col(url_hash_col).alias("__seen_hash")).distinct(),
+        on=maybe_seen[url_hash_col] == F.col("__seen_hash"),
+        how="left_anti",
+    )
+    return definitely_new.unionByName(confirmed_new)

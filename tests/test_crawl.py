@@ -1,0 +1,213 @@
+"""Crawl engine vs pure-Python simulator: visit order, seen membership,
+limits, depth, strategies, globs, politeness budgets, robots, batch parity,
+checkpoint resume (SURVEY.md §5.2 items 2-4)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from anycrawl_spark.crawl import CrawlConfig, CrawlEngine
+from simulator import corpus_to_dict, key_of, simulate_crawl
+
+SEED = "https://site000.test/p/0"
+
+
+@pytest.fixture(scope="module")
+def corpus_dict(small_corpus):
+    return corpus_to_dict([r.asDict() for r in small_corpus.select("url", "html").collect()])
+
+
+@pytest.fixture(scope="module")
+def robots_dict(robots_df):
+    return {r["host"]: list(r["disallow"]) for r in robots_df.collect()}
+
+
+def run_engine(spark, corpus, tmp_root, name, robots=None, **cfg_kwargs):
+    engine = CrawlEngine(spark, corpus, os.path.join(tmp_root, name), robots=robots)
+    cfg = CrawlConfig(job_id=name, **cfg_kwargs)
+    summary = engine.run(cfg)
+    visits = [
+        (r["seq"], r["url"], r["depth"], r["status"])
+        for r in engine.visit_order().collect()
+    ]
+    seen = {r["url_hash"] for r in engine.catalog.read(spark, "seen").collect()}
+    return engine, summary, visits, seen
+
+
+def sim_visits(sim):
+    return [(v.seq, v.url, v.depth, v.status) for v in sorted(sim.visits, key=lambda v: v.seq)]
+
+
+def assert_parity(spark, visits, seen, sim):
+    assert visits == sim_visits(sim)
+    # seen set: engine stores sha256 of canonical; recompute from simulator
+    import hashlib
+
+    sim_hashes = {hashlib.sha256(k.encode()).hexdigest() for k in sim.seen}
+    assert seen == sim_hashes
+
+
+class TestCrawlParity:
+    def test_bfs_same_hostname(self, spark, small_corpus, corpus_dict, tmp_root):
+        kw = dict(seed_url=SEED, strategy="same-hostname", max_depth=5, limit=40,
+                  respect_robots=False)
+        _, summary, visits, seen = run_engine(spark, small_corpus, tmp_root, "bfs", **kw)
+        sim = simulate_crawl(corpus_dict, SEED, strategy="same-hostname",
+                             max_depth=5, limit=40)
+        assert_parity(spark, visits, seen, sim)
+        assert summary["done"] == sim.done
+        assert summary["enqueued"] == sim.enqueued
+
+    def test_limit_enforced(self, spark, small_corpus, corpus_dict, tmp_root):
+        kw = dict(seed_url=SEED, strategy="same-hostname", max_depth=10, limit=12,
+                  respect_robots=False)
+        _, summary, visits, seen = run_engine(spark, small_corpus, tmp_root, "lim", **kw)
+        sim = simulate_crawl(corpus_dict, SEED, strategy="same-hostname",
+                             max_depth=10, limit=12)
+        assert_parity(spark, visits, seen, sim)
+        assert summary["enqueued"] <= 12
+        assert summary["done"] <= 12
+
+    def test_depth_cap(self, spark, small_corpus, corpus_dict, tmp_root):
+        kw = dict(seed_url=SEED, strategy="same-hostname", max_depth=1, limit=100,
+                  respect_robots=False)
+        _, _, visits, seen = run_engine(spark, small_corpus, tmp_root, "depth", **kw)
+        sim = simulate_crawl(corpus_dict, SEED, strategy="same-hostname",
+                             max_depth=1, limit=100)
+        assert_parity(spark, visits, seen, sim)
+        assert max(v[2] for v in visits) <= 1
+
+    def test_include_exclude_globs(self, spark, small_corpus, corpus_dict, tmp_root):
+        inc, exc = ["**/p/*"], ["**/blog/**"]
+        kw = dict(seed_url=SEED, strategy="same-hostname", max_depth=6, limit=60,
+                  include_paths=inc, exclude_paths=exc, respect_robots=False)
+        _, _, visits, seen = run_engine(spark, small_corpus, tmp_root, "glob", **kw)
+        sim = simulate_crawl(corpus_dict, SEED, strategy="same-hostname", max_depth=6,
+                             limit=60, include_paths=inc, exclude_paths=exc)
+        assert_parity(spark, visits, seen, sim)
+        assert all("/blog/" not in v[1] for v in visits[1:])
+
+    def test_same_domain_crosses_subdomain(self, spark, small_corpus, corpus_dict, tmp_root):
+        seed = "https://site003.test/p/0"
+        kw = dict(seed_url=seed, strategy="same-domain", max_depth=4, limit=50,
+                  respect_robots=False)
+        _, _, visits, seen = run_engine(spark, small_corpus, tmp_root, "dom", **kw)
+        sim = simulate_crawl(corpus_dict, seed, strategy="same-domain",
+                             max_depth=4, limit=50)
+        assert_parity(spark, visits, seen, sim)
+        hosts = {v[1].split("/")[2] for v in visits}
+        # sub.site003.test is same-domain with site003.test
+        assert any(h.startswith("sub.") for h in hosts) or len(hosts) == 1
+
+    def test_all_strategy(self, spark, small_corpus, corpus_dict, tmp_root):
+        kw = dict(seed_url=SEED, strategy="all", max_depth=3, limit=60,
+                  respect_robots=False)
+        _, _, visits, seen = run_engine(spark, small_corpus, tmp_root, "all", **kw)
+        sim = simulate_crawl(corpus_dict, SEED, strategy="all", max_depth=3, limit=60)
+        assert_parity(spark, visits, seen, sim)
+
+    def test_politeness_budget(self, spark, small_corpus, corpus_dict, tmp_root):
+        kw = dict(seed_url=SEED, strategy="all", max_depth=4, limit=60,
+                  politeness_budget=2, respect_robots=False)
+        engine, _, visits, seen = run_engine(spark, small_corpus, tmp_root, "budget", **kw)
+        sim = simulate_crawl(corpus_dict, SEED, strategy="all", max_depth=4,
+                             limit=60, politeness_budget=2)
+        assert_parity(spark, visits, seen, sim)
+        # invariant: per (round, host) fetch count ≤ budget
+        per_round = (
+            engine.visits().groupBy("round", "host").count().collect()
+        )
+        assert all(r["count"] <= 2 for r in per_round)
+
+    def test_batch_size_coordinator_parity(self, spark, small_corpus, corpus_dict, tmp_root):
+        # crawlCoordinator.ts:33-38 — batches of 5
+        kw = dict(seed_url=SEED, strategy="same-hostname", max_depth=5, limit=30,
+                  batch_size=5, respect_robots=False)
+        _, _, visits, seen = run_engine(spark, small_corpus, tmp_root, "batch", **kw)
+        sim = simulate_crawl(corpus_dict, SEED, strategy="same-hostname",
+                             max_depth=5, limit=30, batch_size=5)
+        assert_parity(spark, visits, seen, sim)
+
+    def test_robots_enforced(self, spark, small_corpus, corpus_dict, robots_df,
+                             robots_dict, tmp_root):
+        kw = dict(seed_url=SEED, strategy="same-hostname", max_depth=6, limit=60,
+                  respect_robots=True)
+        _, _, visits, seen = run_engine(spark, small_corpus, tmp_root, "robots",
+                                        robots=robots_df, **kw)
+        sim = simulate_crawl(corpus_dict, SEED, strategy="same-hostname",
+                             max_depth=6, limit=60, robots=robots_dict)
+        assert_parity(spark, visits, seen, sim)
+        # site000.test denies /private (k=0 → k%3==0)
+        assert all("/private/" not in v[1] for v in visits)
+
+    def test_scrape_paths_gate(self, spark, small_corpus, corpus_dict, tmp_root):
+        # visits cover everything; persisted results only match scrape_paths
+        kw = dict(seed_url=SEED, strategy="same-hostname", max_depth=5, limit=40,
+                  scrape_paths=["**/blog/**"], respect_robots=False)
+        engine, _, visits, _ = run_engine(spark, small_corpus, tmp_root, "spaths", **kw)
+        results = engine.results()
+        urls = [r["url"] for r in results.select("url").collect()]
+        assert urls, "expected at least one /blog/ page in results"
+        assert all("/blog/" in u for u in urls)
+        assert any("/blog/" not in v[1] for v in visits)
+
+
+class TestResume:
+    def test_kill_and_resume_exact(self, spark, small_corpus, tmp_root):
+        kw = dict(seed_url=SEED, strategy="same-hostname", max_depth=5, limit=40,
+                  respect_robots=False)
+
+        # uninterrupted run
+        full_dir = os.path.join(tmp_root, "resume_full")
+        engine_full = CrawlEngine(spark, small_corpus, full_dir)
+        engine_full.run(CrawlConfig(job_id="resume", **kw))
+        full_visits = [
+            (r["seq"], r["url"], r["depth"], r["status"])
+            for r in engine_full.visit_order().collect()
+        ]
+
+        # killed after 2 rounds (max_rounds=2 simulates the kill), then resume
+        part_dir = os.path.join(tmp_root, "resume_part")
+        engine_part = CrawlEngine(spark, small_corpus, part_dir)
+        engine_part.run(CrawlConfig(job_id="resume", max_rounds=2, **kw))
+        # leave an uncommitted junk round behind to prove manifest hygiene
+        junk = os.path.join(part_dir, "results", "round=99")
+        os.makedirs(junk, exist_ok=True)
+        with open(os.path.join(junk, "part-junk.parquet"), "w") as f:
+            f.write("junk")
+
+        engine_resumed = CrawlEngine(spark, small_corpus, part_dir)
+        engine_resumed.run(CrawlConfig(job_id="resume", **kw), resume=True)
+        resumed_visits = [
+            (r["seq"], r["url"], r["depth"], r["status"])
+            for r in engine_resumed.visit_order().collect()
+        ]
+        assert resumed_visits == full_visits
+
+        full_results = {
+            (r["url"], r["markdown"], r["text"])
+            for r in engine_full.results().select("url", "markdown", "text").collect()
+        }
+        resumed_results = {
+            (r["url"], r["markdown"], r["text"])
+            for r in engine_resumed.results().select("url", "markdown", "text").collect()
+        }
+        assert resumed_results == full_results
+
+
+class TestExtractionParity:
+    def test_byte_identical_text_vs_corpus_golden(self, spark, small_corpus, tmp_root):
+        """The per-row invariant (input_hint): extracted text byte-equals the
+        corpus golden `text` column for every fetched url."""
+        engine, _, _, _ = run_engine(
+            spark, small_corpus, tmp_root, "golden",
+            seed_url=SEED, strategy="same-hostname", max_depth=6, limit=40,
+            respect_robots=False)
+        results = engine.results().where(F.col("status") == 200)
+        joined = results.alias("r").join(
+            small_corpus.alias("c"), F.col("r.url") == F.col("c.url"), "inner")
+        n = joined.count()
+        assert n > 0
+        mismatches = joined.where(F.col("r.text") != F.col("c.text")).count()
+        assert mismatches == 0
