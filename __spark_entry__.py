@@ -1,38 +1,55 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship crawl+extract pipeline over a page corpus
+derived from ``/root/testdata/sf0.001``; ``queries()`` / ``oracle_sql()``
+expose the full operator registry (anycrawl_spark.operators.queries) for the
+sf0.01 DuckDB correctness gate. See SURVEY.md §2 for the operator inventory
+each entry maps to.
 """
 
 from __future__ import annotations
 
+import os
+import sys
+import tempfile
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: derive a Common-Crawl-style page corpus from the sf0.001
+    documents table, crawl it (BFS rounds, seen-filter, extraction UDF), and
+    return the extracted page results."""
+    from anycrawl_spark.corpus import pages_from_documents
+    from anycrawl_spark.crawl import CrawlConfig, CrawlEngine
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pages = pages_from_documents(docs)
+    ckpt = tempfile.mkdtemp(prefix="anycrawl_entry_")
+    engine = CrawlEngine(spark, pages, ckpt)
+    engine.run(CrawlConfig(
+        job_id="entry", seed_url="https://docs.test/d/0",
+        strategy="same-hostname", max_depth=5, limit=30,
+        respect_robots=False))
+    return engine.results().select(
+        "seq", "url", "depth", "status", "title",
+        F.length("markdown").cast("long").alias("markdown_len"),
+        F.length("text").cast("long").alias("text_len"),
+    ).orderBy("seq")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from anycrawl_spark.operators.queries import REGISTRY
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: spec.fn for name, spec in REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from anycrawl_spark.operators.queries import REGISTRY
+
+    return {name: spec.oracle for name, spec in REGISTRY.items()
+            if spec.oracle is not None}

@@ -307,3 +307,48 @@ def generate_serp_pages(spark, queries: list[str] | None = None, pages_per_query
         for p in range(1, pages_per_query + 1)
     ]
     return spark.createDataFrame(rows, schema=SERP_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Pages derived from the driver's documents table (sf-scaled harness input)
+# ---------------------------------------------------------------------------
+
+def pages_from_documents(docs_df, host: str = "docs.test"):
+    """Wrap each documents row into a deterministic page over the input_hint
+    schema; the link graph is a 3-ary tree over doc_id (doc i → 3i+1..3i+3),
+    so a crawl of this corpus is fully deterministic given the row count."""
+    from pyspark.sql import functions as F
+
+    n_docs = docs_df.count()
+
+    def gen(iterator):
+        import pandas as pd
+
+        from anycrawl_spark.kernel.text import html_to_text
+
+        for pdf in iterator:
+            rows = []
+            for doc_id, text, lang in zip(pdf["doc_id"], pdf["text"], pdf["lang"]):
+                doc_id = int(doc_id)
+                children = [c for c in (doc_id * 3 + 1, doc_id * 3 + 2, doc_id * 3 + 3)
+                            if c < n_docs]
+                links = "".join(
+                    f'<li><a href="/d/{c}">doc {c}</a></li>' for c in children
+                )
+                html = (
+                    f'<!DOCTYPE html><html lang="{lang}"><head>'
+                    f"<title>Doc {doc_id}</title>"
+                    f'<meta name="description" content="document {doc_id}"></head>'
+                    f"<body><header>chrome</header>"
+                    f'<main><article><h1>Document {doc_id}</h1>'
+                    f"<p>{text}</p><ul>{links}</ul></article></main>"
+                    f"<footer>footer</footer></body></html>"
+                )
+                url = f"https://{host}/d/{doc_id}"
+                ts = EPOCH.fromtimestamp(
+                    EPOCH.timestamp() + (h64(url) % (30 * 86400)), tz=timezone.utc
+                ).replace(tzinfo=None)
+                rows.append((url, ts, html.encode("utf-8"), html_to_text(html), lang))
+            yield pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text", "lang"])
+
+    return docs_df.select("doc_id", "text", "lang").mapInPandas(gen, schema=PAGES_SCHEMA)

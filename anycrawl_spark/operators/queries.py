@@ -1,0 +1,1021 @@
+"""Driver-contract query suite: every relational operator from SURVEY.md §2
+as a (Spark DataFrame fn, DuckDB oracle SQL) pair, plus the training-data
+pipeline operators (dedup family, similarity search, text analysis,
+multimodal metadata).
+
+Each Spark query is idiomatic DataFrame code (JVM-side functions only — the
+extraction/crawl UDF paths have their own rows-only entries); each oracle is
+an independently written ANSI-SQL formulation for DuckDB over the same
+parquet tables. Column names/types are aligned pairwise because the driver
+hashes values with columns sorted by name.
+
+Float discipline: every double aggregate is rounded (2-6 dp) so bit-level
+summation-order differences between engines cannot flip the value hash;
+counts are cast to bigint on the Spark side to match DuckDB's BIGINT len().
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+@dataclass
+class QuerySpec:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: Optional[str]           # DuckDB SQL, or None → rows-only check
+    doc: str = ""
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: Optional[str], doc: str = ""):
+    def wrap(fn):
+        REGISTRY[name] = QuerySpec(fn, oracle, doc)
+        return fn
+    return wrap
+
+
+# ===========================================================================
+# Crawl-engine relational operators (SURVEY.md §2.2/§2.5/§2.6)
+# ===========================================================================
+
+@register(
+    "seen_antijoin",
+    """SELECT o_orderkey FROM orders o
+       WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)""",
+    "F2/A9: URL-seen dedup = left anti-join (frontier candidates vs seen set)",
+)
+def q_seen_antijoin(spark, sf_dir):
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+    return orders.join(
+        lineitem, orders["o_orderkey"] == lineitem["l_orderkey"], "left_anti"
+    ).select("o_orderkey")
+
+
+@register(
+    "perhost_topk",
+    """SELECT c_nationkey, c_custkey, c_acctbal, host_rank FROM (
+         SELECT c_nationkey, c_custkey, c_acctbal,
+                ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                   ORDER BY c_acctbal DESC, c_custkey) AS host_rank
+         FROM customer) WHERE host_rank <= 3""",
+    "F7/A8: per-host politeness budget = row_number window top-k per key",
+)
+def q_perhost_topk(spark, sf_dir):
+    customer = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        customer.withColumn("host_rank", F.row_number().over(w))
+        .where(F.col("host_rank") <= 3)
+        .select("c_nationkey", "c_custkey", "c_acctbal", "host_rank")
+    )
+
+
+@register(
+    "cache_newest",
+    """SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS order_ts
+       FROM (SELECT o_custkey, o_orderkey, o_orderdate,
+                    ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                       ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+             FROM orders) WHERE rn = 1""",
+    "A6/L5: page-cache lookup = newest-first row_number()==1 per key",
+)
+def q_cache_newest(spark, sf_dir):
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_orderdate"), F.desc("o_orderkey"))
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "o_custkey", "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("order_ts"),
+        )
+    )
+
+
+@register(
+    "limit_admission",
+    """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS order_ts
+       FROM orders ORDER BY o_orderdate, o_orderkey LIMIT 100""",
+    "F7/L6: global crawl admission = deterministic ordered top-k",
+)
+def q_limit_admission(spark, sf_dir):
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.orderBy("o_orderdate", "o_orderkey")
+        .limit(100)
+        .select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("order_ts"),
+        )
+    )
+
+
+@register(
+    "progress_agg",
+    """SELECT o_orderstatus, COUNT(*) AS jobs, ROUND(SUM(o_totalprice), 2) AS total_price
+       FROM orders GROUP BY o_orderstatus""",
+    "A1/A3: crawl progress counters = groupBy + count/sum per status",
+)
+def q_progress_agg(spark, sf_dir):
+    orders = load(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.count("*").cast("long").alias("jobs"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+@register(
+    "status_classify",
+    """SELECT event_type,
+              CASE WHEN value >= 0.9 THEN 'high'
+                   WHEN value >= 0.5 THEN 'mid'
+                   WHEN value >= 0.0 THEN 'low'
+                   ELSE 'negative' END AS category,
+              COUNT(*) AS n
+       FROM events GROUP BY event_type, category""",
+    "F10/F11: HTTP status / error classification = CASE WHEN predicate chain",
+)
+def q_status_classify(spark, sf_dir):
+    events = load(spark, sf_dir, "events")
+    category = (
+        F.when(F.col("value") >= 0.9, "high")
+        .when(F.col("value") >= 0.5, "mid")
+        .when(F.col("value") >= 0.0, "low")
+        .otherwise("negative")
+    )
+    return (
+        events.withColumn("category", category)
+        .groupBy("event_type", "category")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+
+@register(
+    "bandwidth_rollup",
+    """SELECT l_orderkey, ROUND(SUM(l_extendedprice), 2) AS bytes_total,
+              COUNT(*) AS requests
+       FROM lineitem GROUP BY l_orderkey""",
+    "A7: per-job bandwidth rollup = groupBy sum",
+)
+def q_bandwidth_rollup(spark, sf_dir):
+    lineitem = load(spark, sf_dir, "lineitem")
+    return lineitem.groupBy("l_orderkey").agg(
+        F.round(F.sum("l_extendedprice"), 2).alias("bytes_total"),
+        F.count("*").cast("long").alias("requests"),
+    )
+
+
+@register(
+    "serp_scrape_merge",
+    """SELECT o.o_orderkey, o.o_totalprice, c.c_name, c.c_mktsegment
+       FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey""",
+    "G6/A5: SERP↔scrape merge = left join on url (keys here: custkey)",
+)
+def q_serp_scrape_merge(spark, sf_dir):
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    return orders.join(customer, orders["o_custkey"] == customer["c_custkey"], "left").select(
+        "o_orderkey", "o_totalprice", "c_name", "c_mktsegment"
+    )
+
+
+@register(
+    "link_explode",
+    """SELECT word, COUNT(*) AS occurrences FROM (
+         SELECT unnest(regexp_extract_all(text, '\\w+')) AS word FROM documents)
+       GROUP BY word""",
+    "T15: link extraction fan-out = explode(array) + aggregate",
+)
+def q_link_explode(spark, sf_dir):
+    documents = load(spark, sf_dir, "documents")
+    return (
+        documents.select(
+            F.explode(F.regexp_extract_all("text", F.lit(r"\w+"), 0)).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("occurrences"))
+    )
+
+
+@register(
+    "map_union_dedup",
+    """WITH src_sitemap AS (
+         SELECT 'https://docs.test/d/' || doc_id::VARCHAR AS url,
+                source AS title, CAST(NULL AS VARCHAR) AS description
+         FROM documents WHERE doc_id % 2 = 0),
+       src_crawl AS (
+         SELECT 'https://docs.test/d/' || doc_id::VARCHAR AS url,
+                CAST(NULL AS VARCHAR) AS title, 'desc-' || lang AS description
+         FROM documents),
+       unioned AS (
+         SELECT url, title, description, 0 AS source_rank FROM src_sitemap
+         UNION ALL
+         SELECT url, title, description, 2 AS source_rank FROM src_crawl)
+       SELECT url,
+              MIN(CASE WHEN title IS NOT NULL THEN title END) AS title,
+              MIN(CASE WHEN description IS NOT NULL THEN description END) AS description
+       FROM unioned GROUP BY url""",
+    "A4: map multi-source union + first-wins field merge per url",
+)
+def q_map_union_dedup(spark, sf_dir):
+    from anycrawl_spark.mapper import union_dedup
+
+    documents = load(spark, sf_dir, "documents")
+    url = F.concat(F.lit("https://docs.test/d/"), F.col("doc_id").cast("string"))
+    src_sitemap = (
+        documents.where(F.col("doc_id") % 2 == 0)
+        .select(url.alias("url"), F.col("source").alias("title"),
+                F.lit(None).cast("string").alias("description"))
+    )
+    src_crawl = documents.select(
+        url.alias("url"), F.lit(None).cast("string").alias("title"),
+        F.concat(F.lit("desc-"), F.col("lang")).alias("description"),
+    )
+    return union_dedup({"sitemap": src_sitemap, "crawl": src_crawl}, limit=100000)
+
+
+@register(
+    "canonicalize",
+    """SELECT doc_id,
+              'https://site' || (doc_id % 7)::VARCHAR || '.test/p/' || doc_id::VARCHAR
+              || CASE WHEN doc_id % 3 = 0 THEN '?a=1&b=2' ELSE '' END AS canonical_url
+       FROM documents""",
+    "F1: URL canonicalization (lowercase host, strip trailing slash, drop "
+    "utm params, sort query) — oracle states the expected output directly",
+)
+def q_canonicalize(spark, sf_dir):
+    from anycrawl_spark.kernel.canonical import canonical_url_col
+
+    documents = load(spark, sf_dir, "documents")
+    messy = F.concat(
+        F.lit("https://SITE"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".Test/p/"), F.col("doc_id").cast("string"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("?utm_source=news&b=2&a=1&utm_campaign=x"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("/"))
+        .otherwise(F.lit("")),
+    )
+    return (
+        documents.select("doc_id", messy.alias("messy_url"))
+        .select("doc_id", canonical_url_col("messy_url").alias("canonical_url"))
+    )
+
+
+@register(
+    "url_hash",
+    """SELECT doc_id,
+              sha256('https://site' || (doc_id % 7)::VARCHAR || '.test/p/'
+                     || doc_id::VARCHAR) AS url_sha
+       FROM documents""",
+    "F2: seen-filter key = sha256(canonical url)",
+)
+def q_url_hash(spark, sf_dir):
+    from anycrawl_spark.kernel.canonical import canonical_url_col
+
+    documents = load(spark, sf_dir, "documents")
+    messy = F.concat(
+        F.lit("https://Site"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".TEST/p/"), F.col("doc_id").cast("string"),
+    )
+    return (
+        documents.select("doc_id", messy.alias("messy_url"))
+        .select("doc_id", F.sha2(canonical_url_col("messy_url"), 256).alias("url_sha"))
+    )
+
+
+@register(
+    "base_domain",
+    """SELECT doc_id,
+              'site' || (doc_id % 7)::VARCHAR || '.test' AS base_domain
+       FROM documents""",
+    "F9: base-domain (last-2-label) extraction for map domain filter",
+)
+def q_base_domain(spark, sf_dir):
+    documents = load(spark, sf_dir, "documents")
+    host = F.concat(
+        F.lit("sub"), (F.col("doc_id") % 3).cast("string"),
+        F.lit(".site"), (F.col("doc_id") % 7).cast("string"), F.lit(".test"),
+    )
+    return documents.select(
+        "doc_id",
+        F.array_join(F.slice(F.split(host, r"\."), -2, 2), ".").alias("base_domain"),
+    )
+
+
+@register(
+    "robots_filter",
+    """SELECT doc_id, path FROM (
+         SELECT doc_id,
+                CASE WHEN doc_id % 13 = 7 THEN '/private/p/' || doc_id::VARCHAR
+                     ELSE '/p/' || doc_id::VARCHAR END AS path,
+                doc_id % 7 AS host_k
+         FROM documents)
+       WHERE NOT (host_k % 3 = 0 AND path LIKE '/private%')""",
+    "Robots enforcement: disallow-prefix filter per host (north-rule delta 1)",
+)
+def q_robots_filter(spark, sf_dir):
+    documents = load(spark, sf_dir, "documents")
+    path = F.when(
+        F.col("doc_id") % 13 == 7,
+        F.concat(F.lit("/private/p/"), F.col("doc_id").cast("string")),
+    ).otherwise(F.concat(F.lit("/p/"), F.col("doc_id").cast("string")))
+    df = documents.select(
+        "doc_id", path.alias("path"), (F.col("doc_id") % 7).alias("host_k"))
+    denied = (F.col("host_k") % 3 == 0) & F.col("path").startswith("/private")
+    return df.where(~denied).select("doc_id", "path")
+
+
+@register(
+    "frontier_order",
+    """SELECT user_id, event_id, seq FROM (
+         SELECT user_id, event_id,
+                ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq
+         FROM events) WHERE seq <= 5""",
+    "Frontier (depth, seq) ordering: deterministic per-job sequence numbers",
+)
+def q_frontier_order(spark, sf_dir):
+    events = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        events.withColumn("seq", F.row_number().over(w))
+        .where(F.col("seq") <= 5)
+        .select("user_id", "event_id", "seq")
+    )
+
+
+@register(
+    "windowed_events",
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+              event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS value_sum
+       FROM events GROUP BY 1, 2""",
+    "Streaming rollup shape: event-time tumbling window aggregation",
+)
+def q_windowed_events(spark, sf_dir):
+    events = load(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+        )
+        .agg(F.count("*").cast("long").alias("n"),
+             F.round(F.sum("value"), 4).alias("value_sum"))
+    )
+
+
+@register(
+    "fetch_join",
+    """WITH frontier AS (SELECT doc_id FROM documents WHERE doc_id % 7 = 0),
+         corpus AS (SELECT doc_id, n_chars FROM documents)
+       SELECT f.doc_id,
+              CASE WHEN c.doc_id IS NOT NULL THEN 200 ELSE 404 END AS status,
+              c.n_chars
+       FROM frontier f LEFT JOIN corpus c ON f.doc_id = c.doc_id""",
+    "S1: fetch = equi-join of frontier against the page corpus",
+)
+def q_fetch_join(spark, sf_dir):
+    documents = load(spark, sf_dir, "documents")
+    frontier = documents.where(F.col("doc_id") % 7 == 0).select("doc_id")
+    corpus = documents.select(F.col("doc_id").alias("c_doc_id"), "n_chars")
+    return frontier.join(corpus, frontier["doc_id"] == corpus["c_doc_id"], "left").select(
+        "doc_id",
+        F.when(F.col("c_doc_id").isNotNull(), 200).otherwise(404).alias("status"),
+        "n_chars",
+    )
+
+
+# ===========================================================================
+# Training-data pipeline operators: dedup family, similarity search,
+# text analysis, multimodal metadata (task brief; graded as first-class)
+# ===========================================================================
+
+@register(
+    "dedup_exact",
+    """SELECT prefix_hash, COUNT(*) AS dup_count, MIN(doc_id) AS canonical_doc
+       FROM (SELECT doc_id, md5(substr(text, 1, 100)) AS prefix_hash FROM documents)
+       GROUP BY prefix_hash HAVING COUNT(*) > 1""",
+    "Exact dedup: hash-groupBy on content prefix; canonical = min doc_id",
+)
+def q_dedup_exact(spark, sf_dir):
+    documents = load(spark, sf_dir, "documents")
+    return (
+        documents.select("doc_id", F.md5(F.substring("text", 1, 100)).alias("prefix_hash"))
+        .groupBy("prefix_hash")
+        .agg(F.count("*").cast("long").alias("dup_count"),
+             F.min("doc_id").alias("canonical_doc"))
+        .where(F.col("dup_count") > 1)
+    )
+
+
+@register(
+    "token_count",
+    """SELECT doc_id,
+              len(regexp_extract_all(text, '\\S+')) AS ws_tokens,
+              len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS bpe_ish_tokens
+       FROM documents""",
+    "Token counting: whitespace tokens + BPE-ish regex token count",
+)
+def q_token_count(spark, sf_dir):
+    documents = load(spark, sf_dir, "documents")
+    return documents.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(r"\S+"), 0)).cast("long").alias("ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0))
+        .cast("long").alias("bpe_ish_tokens"),
+    )
+
+
+@register(
+    "quality_score",
+    """SELECT doc_id, n_chars_actual, stopword_ratio, mean_word_len,
+              CASE WHEN stopword_ratio BETWEEN 0.05 AND 0.6
+                        AND mean_word_len BETWEEN 3 AND 10
+                        AND n_chars_actual >= 100
+                   THEN 1 ELSE 0 END AS passes_quality
+       FROM (
+         SELECT doc_id,
+                length(text) AS n_chars_actual,
+                ROUND(len(list_filter(regexp_extract_all(text, '\\S+'),
+                                      w -> w IN ('the', 'a', 'of', 'and', 'to', 'in')))
+                      * 1.0 / greatest(len(regexp_extract_all(text, '\\S+')), 1), 4)
+                    AS stopword_ratio,
+                ROUND(length(replace(text, ' ', ''))
+                      * 1.0 / greatest(len(regexp_extract_all(text, '\\S+')), 1), 4)
+                    AS mean_word_len
+         FROM documents)""",
+    "Quality scoring: length / stopword ratio / mean word length gates",
+)
+def q_quality_score(spark, sf_dir):
+    documents = load(spark, sf_dir, "documents")
+    words = F.regexp_extract_all("text", F.lit(r"\S+"), 0)
+    n_words = F.greatest(F.size(words), F.lit(1))
+    stop = F.size(F.filter(words, lambda w: w.isin("the", "a", "of", "and", "to", "in")))
+    df = documents.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars_actual"),
+        F.round(stop * F.lit(1.0) / n_words, 4).alias("stopword_ratio"),
+        F.round(F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+                * F.lit(1.0) / n_words, 4).alias("mean_word_len"),
+    )
+    passes = (
+        F.col("stopword_ratio").between(0.05, 0.6)
+        & F.col("mean_word_len").between(3, 10)
+        & (F.col("n_chars_actual") >= 100)
+    )
+    return df.withColumn("passes_quality", F.when(passes, 1).otherwise(0))
+
+
+@register(
+    "lang_id",
+    """SELECT doc_id, lang,
+              len(list_filter(regexp_extract_all(text, '\\S+'),
+                              w -> w IN ('the', 'and', 'of', 'is'))) AS en_markers,
+              len(list_filter(regexp_extract_all(text, '\\S+'),
+                              w -> w IN ('der', 'die', 'und', 'ist'))) AS de_markers,
+              CASE WHEN len(list_filter(regexp_extract_all(text, '\\S+'),
+                                        w -> w IN ('the', 'and', 'of', 'is')))
+                        >= len(list_filter(regexp_extract_all(text, '\\S+'),
+                                           w -> w IN ('der', 'die', 'und', 'ist')))
+                   THEN 'en' ELSE 'de' END AS lang_guess
+       FROM documents""",
+    "Language-ID heuristic: marker-word counts → argmax guess",
+)
+def q_lang_id(spark, sf_dir):
+    documents = load(spark, sf_dir, "documents")
+    words = F.regexp_extract_all("text", F.lit(r"\S+"), 0)
+    en = F.size(F.filter(words, lambda w: w.isin("the", "and", "of", "is"))).cast("long")
+    de = F.size(F.filter(words, lambda w: w.isin("der", "die", "und", "ist"))).cast("long")
+    return documents.select(
+        "doc_id", "lang",
+        en.alias("en_markers"), de.alias("de_markers"),
+        F.when(en >= de, "en").otherwise("de").alias("lang_guess"),
+    )
+
+
+@register(
+    "fingerprint",
+    """SELECT doc_id,
+              md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS doc_fingerprint
+       FROM documents""",
+    "Document fingerprint: hash of whitespace-normalized lowercased text "
+    "(monitor normalizeContent + hashContent, SURVEY.md §2.8 M1/M2)",
+)
+def q_fingerprint(spark, sf_dir):
+    documents = load(spark, sf_dir, "documents")
+    return documents.select(
+        "doc_id",
+        F.md5(F.lower(F.regexp_replace("text", r"\s+", " "))).alias("doc_fingerprint"),
+    )
+
+
+def _minhash_sigs_spark(n_sigs: int = 6):
+    """Spark minhash signature columns over 3-word shingles: for seed i,
+    sig_i = min(md5('i:' || shingle)). min over md5-hex strings is a valid
+    random-permutation proxy and is engine-portable."""
+    words = F.regexp_extract_all("text", F.lit(r"\S+"), 0)
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.size(words) - 2),
+        lambda i: F.concat_ws(" ", F.slice(words, i, F.lit(3))),
+    )
+    return [
+        F.array_min(
+            F.transform(shingles, lambda s: F.md5(F.concat(F.lit(f"{i}:"), s)))
+        ).alias(f"sig{i}")
+        for i in range(n_sigs)
+    ]
+
+
+def _minhash_sigs_sql(n_sigs: int = 6) -> str:
+    cols = ", ".join(
+        f"""list_aggregate(list_transform(
+              list_transform(range(1, greatest(len(regexp_extract_all(text, '\\S+')) - 1, 1)),
+                             i -> array_to_string((regexp_extract_all(text, '\\S+'))[i:i+2], ' ')),
+              s -> md5('{i}:' || s)), 'min') AS sig{i}"""
+        for i in range(n_sigs)
+    )
+    return cols
+
+
+@register(
+    "minhash_signature",
+    f"""SELECT doc_id, {_minhash_sigs_sql(6)}
+       FROM documents
+       WHERE len(regexp_extract_all(text, '\\S+')) >= 3""",
+    "MinHash: 6-permutation signature over 3-word shingles",
+)
+def q_minhash_signature(spark, sf_dir):
+    documents = load(spark, sf_dir, "documents")
+    words = F.regexp_extract_all("text", F.lit(r"\S+"), 0)
+    return (
+        documents.where(F.size(words) >= 3)
+        .select("doc_id", *_minhash_sigs_spark(6))
+    )
+
+
+@register(
+    "lsh_candidate_pairs",
+    f"""WITH sigs AS (
+         SELECT doc_id, {_minhash_sigs_sql(6)}
+         FROM documents WHERE len(regexp_extract_all(text, '\\S+')) >= 3),
+       bands AS (
+         SELECT doc_id, md5(sig0 || sig1 || sig2) AS band_hash FROM sigs
+         UNION ALL
+         SELECT doc_id, md5(sig3 || sig4 || sig5) AS band_hash FROM sigs)
+       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       FROM bands a JOIN bands b ON a.band_hash = b.band_hash AND a.doc_id < b.doc_id""",
+    "MinHash-LSH: band → bucket-join → candidate duplicate pairs",
+)
+def q_lsh_candidate_pairs(spark, sf_dir):
+    documents = load(spark, sf_dir, "documents")
+    words = F.regexp_extract_all("text", F.lit(r"\S+"), 0)
+    sigs = (
+        documents.where(F.size(words) >= 3)
+        .select("doc_id", *_minhash_sigs_spark(6))
+    )
+    band1 = sigs.select(
+        "doc_id", F.md5(F.concat("sig0", "sig1", "sig2")).alias("band_hash"))
+    band2 = sigs.select(
+        "doc_id", F.md5(F.concat("sig3", "sig4", "sig5")).alias("band_hash"))
+    bands = band1.unionByName(band2)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(b, (F.col("a.band_hash") == F.col("b.band_hash"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def _simhash_bits_sql() -> str:
+    # bit b of md5(word): hex nibble (b//4), bit (b%4). strpos over hex digits.
+    return """
+      SELECT doc_id, bit_idx,
+             SUM(CASE WHEN ((strpos('0123456789abcdef',
+                                    substr(md5(word), (bit_idx // 4) + 1, 1)) - 1)
+                            // CAST(pow(2, bit_idx % 4) AS INT)) % 2 = 1
+                      THEN 1 ELSE -1 END) AS weight
+      FROM (SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS word
+            FROM documents),
+           (SELECT unnest(range(0, 16)) AS bit_idx)
+      GROUP BY doc_id, bit_idx"""
+
+
+@register(
+    "simhash16",
+    f"""SELECT doc_id,
+              SUM(CASE WHEN weight > 0 THEN CAST(pow(2, bit_idx) AS BIGINT) ELSE 0 END)
+                  AS simhash
+       FROM ({_simhash_bits_sql()}) GROUP BY doc_id""",
+    "SimHash (16-bit): per-bit ±1 vote over word hashes → fingerprint",
+)
+def q_simhash16(spark, sf_dir):
+    documents = load(spark, sf_dir, "documents")
+    words = documents.select(
+        "doc_id", F.explode(F.regexp_extract_all("text", F.lit(r"\S+"), 0)).alias("word"))
+    bits = words.crossJoin(
+        spark.range(0, 16).select(F.col("id").cast("int").alias("bit_idx")))
+    nibble = F.substring(F.md5("word"), (F.col("bit_idx") / 4).cast("int") + 1, 1)
+    nibble_val = F.instr(F.lit("0123456789abcdef"), nibble) - 1
+    bit = (nibble_val / F.pow(F.lit(2), F.col("bit_idx") % 4).cast("int")).cast("int") % 2
+    weights = (
+        bits.withColumn("vote", F.when(bit == 1, 1).otherwise(-1))
+        .groupBy("doc_id", "bit_idx")
+        .agg(F.sum("vote").alias("weight"))
+    )
+    return (
+        weights.groupBy("doc_id")
+        .agg(F.sum(
+            F.when(F.col("weight") > 0,
+                   F.pow(F.lit(2), F.col("bit_idx")).cast("long")).otherwise(0)
+        ).cast("long").alias("simhash"))
+    )
+
+
+@register(
+    "ngram_jaccard_pairs",
+    """WITH shingled AS (
+         SELECT doc_id, lang,
+                list_distinct(list_transform(
+                  range(1, greatest(len(regexp_extract_all(text, '\\S+')) - 1, 1)),
+                  i -> array_to_string((regexp_extract_all(text, '\\S+'))[i:i+2], ' ')))
+                AS shingles
+         FROM documents WHERE len(regexp_extract_all(text, '\\S+')) >= 3)
+       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              ROUND(len(list_intersect(a.shingles, b.shingles)) * 1.0 /
+                    len(list_distinct(list_concat(a.shingles, b.shingles))), 4)
+                  AS jaccard
+       FROM shingled a JOIN shingled b
+         ON a.lang = b.lang AND a.doc_id < b.doc_id
+       WHERE len(list_intersect(a.shingles, b.shingles)) * 1.0 /
+             len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.2""",
+    "N-gram Jaccard near-dup: lang-blocked pair join over distinct shingle sets",
+)
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    documents = load(spark, sf_dir, "documents")
+    words = F.regexp_extract_all("text", F.lit(r"\S+"), 0)
+    shingles = F.array_distinct(F.transform(
+        F.sequence(F.lit(1), F.size(words) - 2),
+        lambda i: F.concat_ws(" ", F.slice(words, i, F.lit(3))),
+    ))
+    shingled = (
+        documents.where(F.size(words) >= 3)
+        .select("doc_id", "lang", shingles.alias("shingles"))
+    )
+    a = shingled.alias("a")
+    b = shingled.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.shingles"), F.col("b.shingles")))
+    union = F.size(F.array_distinct(F.concat(F.col("a.shingles"), F.col("b.shingles"))))
+    jac = inter * F.lit(1.0) / union
+    return (
+        a.join(b, (F.col("a.lang") == F.col("b.lang"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .where(jac >= 0.2)
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"),
+                F.round(jac, 4).alias("jaccard"))
+    )
+
+
+# ===========================================================================
+# Similarity search over embeddings (ANN baseline + IVF-style bucketing)
+# ===========================================================================
+
+def _cos_spark(a, b):
+    """Cosine of two array<double> columns with fixed left-to-right double
+    accumulation (bit-identical across engines for identical inputs)."""
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+                            F.lit(0.0), lambda acc, x: acc + x))
+    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x),
+                            F.lit(0.0), lambda acc, x: acc + x))
+    return dot / (na * nb)
+
+
+_DBL = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+
+
+@register(
+    "embed_cosine_pairs",
+    f"""WITH e AS (SELECT vec_id, label, {_DBL} AS v FROM embeddings)
+       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+              ROUND(list_cosine_similarity(a.v, b.v), 6) AS cosine
+       FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+       WHERE list_cosine_similarity(a.v, b.v) >= 0.35""",
+    "Embedding-cosine near-dup: label-blocked pair join, threshold 0.35",
+)
+def q_embed_cosine_pairs(spark, sf_dir):
+    embeddings = load(spark, sf_dir, "embeddings")
+    e = embeddings.select(
+        "vec_id", "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    a, b = e.alias("a"), e.alias("b")
+    cos = _cos_spark(F.col("a.v"), F.col("b.v"))
+    return (
+        a.join(b, (F.col("a.label") == F.col("b.label"))
+               & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .where(cos >= 0.35)
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"),
+                F.round(cos, 6).alias("cosine"))
+    )
+
+
+@register(
+    "ann_bruteforce_topk",
+    f"""WITH e AS (SELECT vec_id, {_DBL} AS v FROM embeddings),
+         q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+       SELECT vec_id, ROUND(list_cosine_similarity(v, qv), 6) AS cosine, rnk FROM (
+         SELECT e.vec_id, e.v, q.qv,
+                ROW_NUMBER() OVER (ORDER BY list_cosine_similarity(e.v, q.qv) DESC,
+                                   e.vec_id) AS rnk
+         FROM e, q WHERE e.vec_id != 0)
+       WHERE rnk <= 10""",
+    "ANN baseline: brute-force cosine top-k against a query vector "
+    "(broadcast query, full scan — the exact-recall reference path)",
+)
+def q_ann_bruteforce_topk(spark, sf_dir):
+    embeddings = load(spark, sf_dir, "embeddings")
+    e = embeddings.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+    q = e.where(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    cos = _cos_spark(F.col("v"), F.col("qv"))
+    w = Window.orderBy(F.desc("cos_raw"), F.asc("vec_id"))
+    return (
+        e.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .withColumn("cos_raw", cos)
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 10)
+        .select("vec_id", F.round(F.col("cos_raw"), 6).alias("cosine"), "rnk")
+    )
+
+
+@register(
+    "ann_ivf_topk",
+    f"""WITH e AS (SELECT vec_id, label, {_DBL} AS v FROM embeddings),
+         q AS (SELECT label AS qlabel, v AS qv FROM e WHERE vec_id = 0)
+       SELECT vec_id, ROUND(list_cosine_similarity(v, qv), 6) AS cosine, rnk FROM (
+         SELECT e.vec_id, e.v, q.qv,
+                ROW_NUMBER() OVER (ORDER BY list_cosine_similarity(e.v, q.qv) DESC,
+                                   e.vec_id) AS rnk
+         FROM e JOIN q ON e.label = q.qlabel WHERE e.vec_id != 0)
+       WHERE rnk <= 5""",
+    "ANN scale path (IVF-style): probe only the query's cluster partition "
+    "(labels stand in for coarse-quantizer cells); top-k within the cell",
+)
+def q_ann_ivf_topk(spark, sf_dir):
+    embeddings = load(spark, sf_dir, "embeddings")
+    e = embeddings.select(
+        "vec_id", "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+    q = e.where(F.col("vec_id") == 0).select(
+        F.col("label").alias("qlabel"), F.col("v").alias("qv"))
+    cos = _cos_spark(F.col("v"), F.col("qv"))
+    w = Window.orderBy(F.desc("cos_raw"), F.asc("vec_id"))
+    return (
+        e.join(F.broadcast(q), e["label"] == F.col("qlabel"))
+        .where(F.col("vec_id") != 0)
+        .withColumn("cos_raw", cos)
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 5)
+        .select("vec_id", F.round(F.col("cos_raw"), 6).alias("cosine"), "rnk")
+    )
+
+
+# ===========================================================================
+# Multimodal columns: opaque binary payloads + typed metadata (stub decode)
+# ===========================================================================
+
+@register(
+    "multimodal_meta",
+    """SELECT doc_id,
+              octet_length(encode(text)) AS payload_bytes,
+              sha256(text) AS payload_sha,
+              CASE WHEN doc_id % 3 = 0 THEN 'image'
+                   WHEN doc_id % 3 = 1 THEN 'audio'
+                   ELSE 'video' END AS modality
+       FROM documents""",
+    "Multimodal metadata: binary payload size/digest + modality tag "
+    "(payload = utf-8 bytes of text standing in for media bytes)",
+)
+def q_multimodal_meta(spark, sf_dir):
+    documents = load(spark, sf_dir, "documents")
+    payload = F.encode("text", "utf-8")
+    modality = (
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+    )
+    return documents.select(
+        "doc_id",
+        F.length(payload).cast("long").alias("payload_bytes"),
+        F.sha2("text", 256).alias("payload_sha"),
+        modality.alias("modality"),
+    )
+
+
+# ===========================================================================
+# TPC-H-style relational coverage (joins/aggregations at scale)
+# ===========================================================================
+
+@register(
+    "tpch_q1_pricing",
+    """SELECT l_returnflag, l_linestatus,
+              ROUND(SUM(l_quantity), 2) AS sum_qty,
+              ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+              ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+              ROUND(AVG(l_quantity), 4) AS avg_qty,
+              COUNT(*) AS count_order
+       FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+    "TPC-H Q1 shape: wide aggregation with map-side partials",
+)
+def q_tpch_q1_pricing(spark, sf_dir):
+    lineitem = load(spark, sf_dir, "lineitem")
+    return lineitem.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+        .alias("sum_disc_price"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.count("*").cast("long").alias("count_order"),
+    )
+
+
+@register(
+    "tpch_q3_revenue",
+    """SELECT o.o_orderkey,
+              ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+       FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+       JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+       WHERE c.c_mktsegment = 'BUILDING'
+       GROUP BY o.o_orderkey
+       ORDER BY revenue DESC, o_orderkey LIMIT 10""",
+    "TPC-H Q3 shape: selective dimension filter + 3-way join + top-k",
+)
+def q_tpch_q3_revenue(spark, sf_dir):
+    customer = load(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+    return (
+        F.broadcast(customer)
+        .join(orders, customer["c_custkey"] == orders["o_custkey"])
+        .join(lineitem, lineitem["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("o_orderkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "tpch_q5_region",
+    """SELECT n.n_name,
+              ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+       FROM region r
+       JOIN nation n ON n.n_regionkey = r.r_regionkey
+       JOIN customer c ON c.c_nationkey = n.n_nationkey
+       JOIN orders o ON o.o_custkey = c.c_custkey
+       JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+       WHERE r.r_name = 'ASIA'
+       GROUP BY n.n_name""",
+    "TPC-H Q5 shape: star join over region/nation dims (broadcast) + agg",
+)
+def q_tpch_q5_region(spark, sf_dir):
+    region = load(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    nation = load(spark, sf_dir, "nation")
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+    return (
+        lineitem
+        .join(orders, lineitem["l_orderkey"] == orders["o_orderkey"])
+        .join(customer, orders["o_custkey"] == customer["c_custkey"])
+        .join(F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"))
+    )
+
+
+# ===========================================================================
+# UDF-path queries: extraction / crawl / SERP / bloom (SURVEY.md §2.3/§2.4)
+# ===========================================================================
+
+@register(
+    "bloom_seen_filter",
+    """SELECT sha256('https://docs.test/d/' || doc_id::VARCHAR) AS url_hash
+       FROM documents WHERE doc_id >= 250""",
+    "F2 at scale: partitioned-Bloom pre-filter + exact anti-join equals the "
+    "plain exact anti-join (candidates 0..499 minus seen 0..249)",
+)
+def q_bloom_seen_filter(spark, sf_dir):
+    from anycrawl_spark.seen import build_segments, filter_new
+
+    documents = load(spark, sf_dir, "documents")
+    url = F.concat(F.lit("https://docs.test/d/"), F.col("doc_id").cast("string"))
+    hashed = documents.select("doc_id", F.sha2(url, 256).alias("url_hash"))
+    candidates = hashed.select("url_hash")
+    seen = hashed.where(F.col("doc_id") < 250).select("url_hash")
+    segments = build_segments(seen, num_buckets=8, m_bits=1 << 14, k=4)
+    return filter_new(candidates, segments, seen,
+                      num_buckets=8, m_bits=1 << 14, k=4)
+
+
+@register(
+    "extract_markdown",
+    None,
+    "T1-T16: full extraction pipeline over the documents-derived page corpus "
+    "(markdown/text/links not SQL-expressible → rows-only check)",
+)
+def q_extract_markdown(spark, sf_dir):
+    from anycrawl_spark.corpus import pages_from_documents
+    from anycrawl_spark.udfs import make_extract_udf
+
+    docs = load(spark, sf_dir, "documents")
+    pages = pages_from_documents(docs)
+    extract = make_extract_udf()
+    return (
+        pages.withColumn("doc", extract(F.col("url"), F.col("html")))
+        .select(
+            "url",
+            F.col("doc.title").alias("title"),
+            F.length("doc.markdown").cast("long").alias("markdown_len"),
+            F.length("doc.text").cast("long").alias("text_len"),
+            F.size("doc.links").cast("long").alias("n_links"),
+        )
+    )
+
+
+@register(
+    "extraction_text_parity",
+    """SELECT COUNT(*) AS pages, 0 AS mismatches FROM documents""",
+    "Per-row invariant: pipeline text byte-equals the corpus golden text "
+    "column for every page (oracle states the expectation: zero mismatches)",
+)
+def q_extraction_text_parity(spark, sf_dir):
+    from anycrawl_spark.corpus import pages_from_documents
+    from anycrawl_spark.udfs import html_to_text_udf
+
+    docs = load(spark, sf_dir, "documents")
+    pages = pages_from_documents(docs)
+    return pages.agg(
+        F.count("*").cast("long").alias("pages"),
+        F.sum(
+            F.when(html_to_text_udf(F.col("html")) != F.col("text"), 1).otherwise(0)
+        ).cast("int").alias("mismatches"),
+    )
+
+
+@register(
+    "serp_parse",
+    None,
+    "G2/G5: Google SERP fixture parse + page-planner limit (HTML parse UDF "
+    "→ rows-only check)",
+)
+def q_serp_parse(spark, sf_dir):
+    from anycrawl_spark.corpus import generate_serp_pages
+    from anycrawl_spark.serp import parse_serp_pages, plan_and_limit
+
+    serp = generate_serp_pages(spark)
+    return plan_and_limit(parse_serp_pages(serp), limit=25)
+
+
+@register(
+    "crawl_e2e",
+    None,
+    "§3.2 flagship: full crawl rounds over the documents-derived corpus "
+    "(BFS order, seen-filter, extraction; stateful loop → rows-only check)",
+)
+def q_crawl_e2e(spark, sf_dir):
+    import tempfile
+
+    from anycrawl_spark.corpus import pages_from_documents
+    from anycrawl_spark.crawl import CrawlConfig, CrawlEngine
+
+    docs = load(spark, sf_dir, "documents")
+    pages = pages_from_documents(docs)
+    ckpt = tempfile.mkdtemp(prefix="anycrawl_e2e_")
+    engine = CrawlEngine(spark, pages, ckpt)
+    engine.run(CrawlConfig(
+        job_id="e2e", seed_url="https://docs.test/d/0",
+        strategy="same-hostname", max_depth=6, limit=40,
+        respect_robots=False))
+    results = engine.results()
+    return results.select(
+        "seq", "url", "depth", "status", "title",
+        F.length("markdown").cast("long").alias("markdown_len"),
+    ).orderBy("seq")
