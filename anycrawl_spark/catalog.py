@@ -85,6 +85,12 @@ class Catalog:
         paths = [self.round_path(table, r) for r in rounds]
         return spark.read.parquet(*paths)
 
+    def read_round_uncommitted(self, spark: SparkSession, table: str,
+                               round_no: int) -> DataFrame:
+        """Read a round directory that has been written but not yet committed
+        (used for footer-only counts inside the committing round)."""
+        return spark.read.parquet(self.round_path(table, round_no))
+
     def read_round(self, spark: SparkSession, table: str, round_no: int) -> DataFrame | None:
         if round_no not in self.committed_rounds(table):
             return None

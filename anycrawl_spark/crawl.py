@@ -108,9 +108,18 @@ def prepare_corpus(pages: DataFrame) -> DataFrame:
 
 class CrawlEngine:
     def __init__(self, spark: SparkSession, corpus: DataFrame,
-                 checkpoint_dir: str, robots: DataFrame | None = None) -> None:
+                 checkpoint_dir: str, robots: DataFrame | None = None,
+                 cache_corpus: bool = True) -> None:
         self.spark = spark
         self.corpus = prepare_corpus(corpus)
+        if cache_corpus:
+            # local/bench convenience: avoid re-scanning + re-canonicalizing
+            # the corpus every round. At deployment scale the corpus is an
+            # Iceberg table bucketed by url_hash instead (no cache needed —
+            # the join prunes buckets).
+            from pyspark.storagelevel import StorageLevel
+
+            self.corpus = self.corpus.persist(StorageLevel.MEMORY_AND_DISK)
         self.catalog = Catalog(checkpoint_dir)
         self.robots = robots
 
@@ -196,10 +205,17 @@ class CrawlEngine:
         admitted = admitted.cache()
 
         # --- fetch = equi-join against the corpus --------------------------
+        # Explicit repartition before the extraction UDF: AQE would otherwise
+        # coalesce the small post-join shuffle into a handful of partitions
+        # and serialize the expensive Python stage. Partitioning by url_hash
+        # spreads any single hot host across all cores (extraction is
+        # host-agnostic; politeness was already enforced upstream).
+        n_parts = self.spark.sparkContext.defaultParallelism
         fetched = (
             admitted.join(self.corpus, admitted["url_hash"] == self.corpus["page_url_hash"], "left")
             .drop("page_url_hash")
             .withColumn("status", F.when(F.col("html").isNotNull(), 200).otherwise(404))
+            .repartition(n_parts, "url_hash")
         )
 
         # --- extraction (vectorized UDF) -----------------------------------
@@ -227,8 +243,10 @@ class CrawlEngine:
             .cache()
         )
 
-        n_fetched = docs.where(F.col("status") == 200).count()
-        n_failed = docs.where(F.col("status") != 200).count()
+        status_counts = {row["status"]: row["count"]
+                         for row in docs.groupBy("status").count().collect()}
+        n_fetched = status_counts.get(200, 0)
+        n_failed = sum(v for k, v in status_counts.items() if k != 200)
 
         # results: persistence gated by scrape_paths (F5) — links still flow
         self.catalog.append_round(
@@ -309,6 +327,8 @@ class CrawlEngine:
         if new_rows is not None and n_new > 0:
             next_pending = next_pending.unionByName(new_rows)
         self.catalog.append_round(next_pending, "pending", r)
+        # pending count from the written files' footers (metadata-only scan)
+        n_pending_next = self.catalog.read_round_uncommitted(spark, "pending", r).count()
         if n_new > 0:
             self.catalog.append_round(new_rows.select("url_hash"), "seen", r)
             self.catalog.append_round(
@@ -319,7 +339,6 @@ class CrawlEngine:
         done = progress["done"] + n_fetched + n_failed
         failed = progress["failed"] + n_failed
         enqueued_total = enqueued + n_new
-        n_pending_next = next_pending.count()
         finalized = n_pending_next == 0 or done >= cfg.limit
         meta = {
             "round": r, "done": done, "failed": failed,

@@ -371,6 +371,19 @@ def select(root: Element, selector: str) -> list[Element]:
     return out
 
 
+def parse_compound_list(selectors: list[str]) -> list[Compound]:
+    """Compile a list of single-compound selectors (no combinators) for
+    one-pass matching."""
+    out = []
+    for sel in selectors:
+        chains = parse_selector(sel)
+        for chain in chains:
+            if len(chain) != 1:
+                raise ValueError(f"not a single compound: {sel!r}")
+            out.append(chain[0])
+    return out
+
+
 def select_one(root: Element, selector: str) -> Element | None:
     chains = parse_selector(selector)
     for el in root.iter():

@@ -19,15 +19,17 @@ from __future__ import annotations
 import re
 from typing import Any
 
-from .dom import parse_html
-from .markdown import html_to_markdown
+from .dom import parse_html, serialize
+from .markdown import html_to_markdown, html_to_markdown_dom
 from .text import html_to_text
 from .transformer import (
     TransformOptions,
     extract_links,
     extract_metadata,
     extract_title,
+    fallback_clean_dom,
     fallback_html,
+    transform_dom,
     transform_html,
 )
 
@@ -55,6 +57,11 @@ def extract_page(
     exclude_tags: list[str] | None = None,
     only_main_content: bool = True,
 ) -> dict[str, Any]:
+    """Single-parse pipeline: title/metadata/links read the raw DOM first,
+    then the transformer mutates that same tree (the reference clones before
+    transforming — our tree is already private per row), the cleaned tree is
+    serialized once for the ``html`` format, and the markdown converter
+    consumes the cleaned DOM directly (no re-parse)."""
     formats = tuple(formats)
     root = parse_html(raw_html or "")
     result: dict[str, Any] = {
@@ -67,29 +74,44 @@ def extract_page(
         "links": None,
         "raw_html": raw_html if "rawHtml" in formats else None,
     }
+    if "links" in formats:
+        result["links"] = extract_links(root, url)
+    if "text" in formats:
+        # text is computed from RAW html, not the cleaned html (DataExtractor.ts:486-488)
+        result["text"] = html_to_text(raw_html or "")
 
     needs_transform = any(f in formats for f in ("html", "markdown", "json", "summary"))
-    transformed: str | None = None
     if needs_transform:
-        transformed = transform_html(
-            raw_html or "",
-            url,
+        cleaned = transform_dom(
+            root, url,
             TransformOptions(
                 include_tags=list(include_tags or []),
                 exclude_tags=list(exclude_tags or []),
                 only_main_content=only_main_content,
             ),
         )
-    if "html" in formats:
-        result["html"] = transformed
-    if "markdown" in formats:
-        result["markdown"] = process_markdown(transformed or "")
-    if "text" in formats:
-        # text is computed from RAW html, not the cleaned html (DataExtractor.ts:486-488)
-        result["text"] = html_to_text(raw_html or "")
-    if "links" in formats:
-        result["links"] = extract_links(root, url)
+        if "html" in formats:
+            from .dom import inner_html
+
+            result["html"] = (
+                inner_html(cleaned) if cleaned.tag == "div" else serialize(cleaned)
+            )
+        if "markdown" in formats:
+            result["markdown"] = process_markdown_dom(cleaned)
     return result
+
+
+def process_markdown_dom(cleaned) -> str:
+    """DOM-level processMarkdown with the reference's thin-page fallback:
+    the fallback re-converts the SAME (already collapsed) tree after minimal
+    cleaning — identical semantics to the string path because whitespace
+    collapse is idempotent."""
+    markdown = html_to_markdown_dom(cleaned)
+    trimmed = markdown.strip()
+    word_count = len(trimmed.split()) if trimmed else 0
+    if len(trimmed) < 100 or word_count < 20:
+        markdown = html_to_markdown_dom(fallback_clean_dom(cleaned))
+    return markdown
 
 
 _WS_RE = re.compile(r"\s+")

@@ -51,6 +51,40 @@ MEANINGFUL_WHEN_BLANK = {
 _REMOVED_TAGS = {"script", "style", "noscript", "meta", "link"}  # html-to-markdown.ts:208-214
 
 
+_TC_CACHE: dict[int, str] = {}
+
+
+def _tc(node: Node) -> str:
+    """Memoized textContent — the tree is static during rule evaluation."""
+    if isinstance(node, Text):
+        return node.data
+    if not isinstance(node, Element):
+        return ""
+    key = id(node)
+    cached = _TC_CACHE.get(key)
+    if cached is None:
+        cached = "".join(_tc(c) for c in node.children)
+        _TC_CACHE[key] = cached
+    return cached
+
+
+def _has_block_descendant(el: Element, tags: frozenset) -> bool:
+    stack = list(el.children)
+    while stack:
+        n = stack.pop()
+        if isinstance(n, Element):
+            if n.tag in tags:
+                return True
+            stack.extend(n.children)
+    return False
+
+
+_DIV_BLOCK_TAGS = frozenset(
+    ["p", "h1", "h2", "h3", "h4", "h5", "h6", "ul", "ol", "blockquote", "pre"])
+_SECTION_BLOCK_TAGS = frozenset(
+    ["p", "h1", "h2", "h3", "h4", "h5", "h6", "ul", "ol", "blockquote", "pre", "img"])
+
+
 def _is_block(node: Node) -> bool:
     return isinstance(node, Element) and node.tag in BLOCK_ELEMENTS
 
@@ -74,7 +108,7 @@ def _is_blank(node: Node) -> bool:
         return False
     if _is_void(node) or node.tag in MEANINGFUL_WHEN_BLANK:
         return False
-    if not re.fullmatch(r"\s*", node.text_content or ""):
+    if not re.fullmatch(r"\s*", _tc(node) or ""):
         return False
     if _has_descendant(node, VOID) or _has_descendant(node, MEANINGFUL_WHEN_BLANK):
         return False
@@ -198,7 +232,13 @@ _ESCAPES: list[tuple[re.Pattern[str], str]] = [
 ]
 
 
+# fast path: text containing none of these characters matches no escape rule
+_ESCAPE_TRIGGER = re.compile(r"[\\*\-+=#`~\[\]>_]|\d\. ")
+
+
 def _escape(text: str) -> str:
+    if not _ESCAPE_TRIGGER.search(text):
+        return text
     for pattern, repl in _ESCAPES:
         text = pattern.sub(repl, text)
     return text
@@ -214,7 +254,7 @@ _EDGE_RE = re.compile(r"^(([ \t\r\n]*)(\s*))(?:(?=\S)[\s\S]*\S)?((\s*?)([ \t\r\n
 def _flanking(node: Element) -> tuple[str, str]:
     if _is_block(node) or node.tag == "code":
         return "", ""
-    m = _EDGE_RE.match(node.text_content or "")
+    m = _EDGE_RE.match(_tc(node) or "")
     if not m:
         return "", ""
     leading, leading_ascii = m.group(1), m.group(2)
@@ -238,7 +278,7 @@ def _flanked_by_ws(node: Element, *, left: bool) -> bool:
     if isinstance(sibling, Text):
         return sibling.data.endswith(" ") if left else sibling.data.startswith(" ")
     if isinstance(sibling, Element) and not _is_block(sibling):
-        tc = sibling.text_content
+        tc = _tc(sibling)
         return tc.endswith(" ") if left else tc.startswith(" ")
     return False
 
@@ -363,7 +403,7 @@ class _Converter:
             return not is_code_block
 
         def inline_code_repl(content: str, node: Element) -> str:
-            content = node.text_content  # preformattedCode: raw content
+            content = _tc(node)  # preformattedCode: raw content
             if not content:
                 return ""
             content = re.sub(r"\r?\n|\r", " ", content)
@@ -527,9 +567,7 @@ class _Converter:
             trimmed = content.strip()
             if not trimmed:
                 return ""
-            has_block = select_one(
-                node, "p, h1, h2, h3, h4, h5, h6, ul, ol, blockquote, pre"
-            ) is not None
+            has_block = _has_block_descendant(node, _DIV_BLOCK_TAGS)
             if _in_anchor(node):
                 return trimmed
             if has_block:
@@ -548,7 +586,7 @@ class _Converter:
                 if isinstance(sib, Text):
                     return bool(sib.data.strip())
                 if isinstance(sib, Element) and sib.tag == "span":
-                    return bool(sib.text_content.strip())
+                    return bool(_tc(sib).strip())
                 return False
 
             prefix = " " if _has_content(prev_sibling(node)) else ""
@@ -560,7 +598,7 @@ class _Converter:
             if isinstance(sib, Text):
                 return bool(sib.data.strip())
             if isinstance(sib, Element) and sib.tag == "span":
-                return bool(sib.text_content.strip())
+                return bool(_tc(sib).strip())
             return False
 
         self.add(tag_filter("span"), span_repl)
@@ -589,9 +627,7 @@ class _Converter:
             trimmed = content.strip()
             if not trimmed:
                 return ""
-            has_block = select_one(
-                node, "p, h1, h2, h3, h4, h5, h6, ul, ol, blockquote, pre, img"
-            ) is not None
+            has_block = _has_block_descendant(node, _SECTION_BLOCK_TAGS)
             if _in_anchor(node):
                 return trimmed
             if has_block:
@@ -732,17 +768,46 @@ def _normalize_link_text_whitespace(s: str) -> str:  # ts:413-422
     return _LINK_TEXT_RE.sub(repl, s)
 
 
-def html_to_markdown(html: str) -> str:
-    """Full pipeline: preprocess → turndown-equivalent → post-process."""
-    html = _preprocess_html(html or "")
-    if not html:
-        return ""
-    root = parse_html(html)
+_CONVERTER = _Converter()          # rules are stateless — build once
+
+
+_WS_ONLY = re.compile(r"[ \t\r\n]+\Z")
+
+
+def _strip_ws_only_text_nodes(root: Element) -> None:
+    """DOM equivalent of the reference's string preprocess ``>\s+<`` → ``><``
+    (html-to-markdown.ts:23-29): in serialized HTML every whitespace-only text
+    node sits between ``>`` and ``<``, so removing them all is the same
+    transformation without the serialize/re-parse round trip."""
+    stack = [root]
+    while stack:
+        el = stack.pop()
+        removed = [c for c in el.children if isinstance(c, Text) and _WS_ONLY.match(c.data)]
+        for c in removed:
+            el.remove_child(c)
+        for c in el.children:
+            if isinstance(c, Element):
+                stack.append(c)
+
+
+def html_to_markdown_dom(root: Element) -> str:
+    """Convert an already-parsed (and possibly transformer-mutated) DOM.
+    Mutates the tree (whitespace collapse) — callers must serialize any
+    ``html`` output before invoking this."""
+    _strip_ws_only_text_nodes(root)
     _collapse_whitespace(root)
-    converter = _Converter()
-    markdown = converter.process(root)
+    _TC_CACHE.clear()
+    markdown = _CONVERTER.process(root)
     markdown = re.sub(r"^[\t\r\n]+|[\t\r\n\s]+$", "", markdown)  # turndown postProcess trim
     markdown = _normalize_bracket_wrapped_images(markdown)
     markdown = _normalize_link_text_whitespace(markdown)
     markdown = _post_process(markdown)
     return markdown
+
+
+def html_to_markdown(html: str) -> str:
+    """Full pipeline: preprocess → turndown-equivalent → post-process."""
+    html = _preprocess_html(html or "")
+    if not html:
+        return ""
+    return html_to_markdown_dom(parse_html(html))

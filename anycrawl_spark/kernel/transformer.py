@@ -24,7 +24,16 @@ import re
 from dataclasses import dataclass, field
 
 from .canonical import resolve_url
-from .dom import Comment, Element, Text, inner_html, parse_html, select, serialize
+from .dom import (
+    Comment,
+    Element,
+    Text,
+    inner_html,
+    parse_compound_list,
+    parse_html,
+    select,
+    serialize,
+)
 
 # Verbatim constants from HTMLTransformer.ts:21-165
 ALWAYS_REMOVE_TAGS = ["script", "style", "noscript"]
@@ -56,6 +65,48 @@ FORCE_INCLUDE_MAIN_TAGS = [
 ]
 
 
+# Pre-compiled matchers (all entries are single compound selectors, so one
+# document-order walk with local checks replaces per-selector tree scans).
+_EXCLUDE_COMPOUNDS = parse_compound_list(EXCLUDE_NON_MAIN_TAGS)
+_FORCE_COMPOUNDS = parse_compound_list(FORCE_INCLUDE_MAIN_TAGS)
+
+
+def _matches_any(el: Element, compounds) -> bool:
+    return any(c.matches(el) for c in compounds)
+
+
+def _remove_non_main(root: Element) -> None:
+    """only_main_content filter (HTMLTransformer.ts:229-253) in two passes:
+    post-order contains-force computation, then top-down removal of excluded
+    elements whose subtree holds no FORCE_INCLUDE match. Equivalent to the
+    reference's per-selector loop because force-include containment is
+    monotone up the tree (removed subtrees never contained a force match)."""
+    contains_force: dict[int, bool] = {}
+
+    def visit(el: Element) -> bool:
+        found = False
+        for c in el.children:
+            if isinstance(c, Element):
+                child_found = visit(c)
+                if child_found or _matches_any(c, _FORCE_COMPOUNDS):
+                    found = True
+        contains_force[id(el)] = found
+        return found
+
+    visit(root)
+
+    def sweep(el: Element) -> None:
+        for c in list(el.children):
+            if not isinstance(c, Element):
+                continue
+            if _matches_any(c, _EXCLUDE_COMPOUNDS) and not contains_force[id(c)]:
+                el.remove_child(c)
+            else:
+                sweep(c)
+
+    sweep(root)
+
+
 @dataclass
 class TransformOptions:
     include_tags: list[str] = field(default_factory=list)
@@ -68,8 +119,8 @@ class TransformOptions:
 # URL rewriting (ts:363-532)
 # ---------------------------------------------------------------------------
 
-def _transform_srcset(root: Element, base_url: str) -> None:
-    for img in select(root, "img[srcset]"):
+def _rewrite_srcset(imgs: list[Element], base_url: str) -> None:
+    for img in imgs:
         srcset = img.attrs.get("srcset")
         if not srcset:
             continue
@@ -114,12 +165,26 @@ def _transform_srcset(root: Element, base_url: str) -> None:
 
 
 def _transform_relative_urls(root: Element, base_url: str) -> None:
-    _transform_srcset(root, base_url)
-    for img in select(root, "img[src]"):
+    imgs_srcset, imgs, anchors = [], [], []
+    stack = list(root.children)
+    while stack:
+        n = stack.pop()
+        if not isinstance(n, Element):
+            continue
+        if n.tag == "img":
+            if "srcset" in n.attrs:
+                imgs_srcset.append(n)
+            if "src" in n.attrs:
+                imgs.append(n)
+        elif n.tag == "a" and "href" in n.attrs:
+            anchors.append(n)
+        stack.extend(n.children)
+    _rewrite_srcset(imgs_srcset, base_url)
+    for img in imgs:
         src = img.attrs.get("src")
         if src:
             img.attrs["src"] = resolve_url(base_url, src) or src
-    for a in select(root, "a[href]"):
+    for a in anchors:
         href = a.attrs.get("href")
         if href:
             a.attrs["href"] = resolve_url(base_url, href) or href
@@ -142,11 +207,11 @@ def _remove_comments(root: Element) -> None:
                 el.remove_child(child)
 
 
-def _clean_dom(root: Element, options: TransformOptions) -> str:
+def _clean_dom_tree(root: Element, options: TransformOptions) -> Element:
     _remove_selected(root, ", ".join(ALWAYS_REMOVE_TAGS))
 
     if options.include_tags:
-        # Build a fresh <div> holding clones of every match, in selector order
+        # Build a fresh <div> holding every match, in selector order
         # (ts:209-224). Matches are moved (our DOM is already a private clone).
         new_root = Element("#root")
         div = Element("div")
@@ -155,44 +220,49 @@ def _clean_dom(root: Element, options: TransformOptions) -> str:
             for el in select(root, selector):
                 el.detach()
                 div.append(el)
-        return inner_html(div)
+        return div
 
     if options.only_main_content:
-        for exclude_selector in EXCLUDE_NON_MAIN_TAGS:
-            for el in select(root, exclude_selector):
-                if el.parent is None:
-                    continue  # already removed with an ancestor
-                keep = any(
-                    select(el, include_selector)
-                    for include_selector in FORCE_INCLUDE_MAIN_TAGS
-                )
-                if not keep:
-                    el.detach()
+        _remove_non_main(root)
 
     for selector in options.exclude_tags:
         _remove_selected(root, selector)
 
     _remove_comments(root)
-    return serialize(root)
+    return root
+
+
+def transform_dom(root: Element, base_url: str,
+                  options: TransformOptions | None = None) -> Element:
+    """DOM-level ``transformHtml``: mutates ``root`` in place (callers own
+    the tree — the UDF parses a private copy per row) and returns the root
+    of the cleaned tree (a fresh <div> root under include_tags)."""
+    options = options or TransformOptions()
+    if options.transform_relative_urls and base_url:
+        _transform_relative_urls(root, base_url)
+    return _clean_dom_tree(root, options)
 
 
 def transform_html(html: str, base_url: str, options: TransformOptions | None = None) -> str:
     """``HTMLTransformer.transformHtml`` equivalent (ts:176-187)."""
     options = options or TransformOptions()
     root = parse_html(html)
-    if options.transform_relative_urls and base_url:
-        _transform_relative_urls(root, base_url)
-    return _clean_dom(root, options)
+    cleaned = transform_dom(root, base_url, options)
+    return inner_html(cleaned) if cleaned.tag == "div" else serialize(cleaned)
+
+
+def fallback_clean_dom(root: Element) -> Element:
+    """DOM-level minimal cleaning for the markdown fallback path."""
+    _remove_selected(root, "script, style, noscript, iframe")
+    _remove_comments(root)
+    return root
 
 
 def fallback_html(html: str) -> str:
     """Minimal cleaning for the markdown fallback path
     (``DataExtractor.getFallbackHtml``, DataExtractor.ts:397-412): remove only
     script/style/noscript/iframe and comments."""
-    root = parse_html(html)
-    _remove_selected(root, "script, style, noscript, iframe")
-    _remove_comments(root)
-    return serialize(root)
+    return serialize(fallback_clean_dom(parse_html(html)))
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,150 @@
+"""spark-submit entrypoint (north rule: "ships via spark-submit --py-files").
+
+Subcommands mirror the reference's four job types (SURVEY.md §3):
+
+    spark-submit --py-files anycrawl_spark.zip -m anycrawl_spark.main \\
+        crawl  --corpus <pages.parquet> --seed <url> --checkpoint <dir> \\
+               [--strategy same-domain] [--limit 100] [--max-depth 10]
+               [--budget N] [--robots <robots.parquet>] [--resume]
+        scrape --corpus <pages.parquet> --urls <url> [<url> ...] --out <dir>
+        search --serp <serp.parquet> --limit 20 --out <dir>
+        map    --corpus <pages.parquet> --robots <robots.parquet>
+               --host <host> --out <dir>
+
+Packaging: ``python tools/package_pyfiles.py`` builds anycrawl_spark.zip.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def build_session(app: str):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.appName(app)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+
+
+def cmd_crawl(args) -> None:
+    from anycrawl_spark.crawl import CrawlConfig, CrawlEngine
+
+    spark = build_session("anycrawl-crawl")
+    corpus = spark.read.parquet(args.corpus)
+    robots = spark.read.parquet(args.robots) if args.robots else None
+    engine = CrawlEngine(spark, corpus, args.checkpoint, robots=robots)
+    cfg = CrawlConfig(
+        job_id=args.job_id, seed_url=args.seed, strategy=args.strategy,
+        max_depth=args.max_depth, limit=args.limit,
+        include_paths=args.include or [], exclude_paths=args.exclude or [],
+        scrape_paths=args.scrape_paths or [],
+        politeness_budget=args.budget, respect_robots=args.robots is not None,
+    )
+    summary = engine.run(cfg, resume=args.resume)
+    print(json.dumps(summary))
+
+
+def cmd_scrape(args) -> None:
+    from pyspark.sql import functions as F
+
+    from anycrawl_spark.crawl import _canonical_cols, prepare_corpus
+    from anycrawl_spark.udfs import make_extract_udf
+
+    spark = build_session("anycrawl-scrape")
+    corpus = prepare_corpus(spark.read.parquet(args.corpus))
+    seeds = spark.createDataFrame([(u,) for u in args.urls], schema="url string")
+    frontier = _canonical_cols(seeds, "url")
+    extract = make_extract_udf()
+    result = (
+        frontier.join(corpus, frontier["url_hash"] == corpus["page_url_hash"], "left")
+        .withColumn("status", F.when(F.col("html").isNotNull(), 200).otherwise(404))
+        .withColumn("doc", extract(F.col("url"), F.col("html")))
+        .select("url", "status", "doc.title", "doc.metadata", "doc.html",
+                "doc.markdown", "doc.text", "doc.links")
+    )
+    result.write.mode("overwrite").parquet(args.out)
+    print(json.dumps({"urls": len(args.urls), "out": args.out}))
+
+
+def cmd_search(args) -> None:
+    from anycrawl_spark.serp import parse_serp_pages, plan_and_limit
+
+    spark = build_session("anycrawl-search")
+    serp = spark.read.parquet(args.serp)
+    parsed = plan_and_limit(parse_serp_pages(serp, engine=args.engine), args.limit)
+    parsed.write.mode("overwrite").parquet(args.out)
+    print(json.dumps({"out": args.out}))
+
+
+def cmd_map(args) -> None:
+    from pyspark.sql import functions as F
+
+    from anycrawl_spark.mapper import domain_filter, expand_sitemaps, union_dedup
+
+    spark = build_session("anycrawl-map")
+    pages = spark.read.parquet(args.corpus)
+    robots = spark.read.parquet(args.robots)
+    sitemap_src = expand_sitemaps(robots, pages).drop("host")
+    crawl_src = pages.select(
+        "url", F.lit(None).cast("string").alias("title"),
+        F.lit(None).cast("string").alias("description"))
+    merged = union_dedup({"sitemap": sitemap_src, "crawl": crawl_src},
+                         limit=args.limit)
+    domain_filter(merged, args.host).write.mode("overwrite").parquet(args.out)
+    print(json.dumps({"out": args.out}))
+
+
+def main(argv=None) -> None:
+    parser = argparse.ArgumentParser(prog="anycrawl-spark")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("crawl")
+    p.add_argument("--corpus", required=True)
+    p.add_argument("--seed", required=True)
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--job-id", default="job")
+    p.add_argument("--strategy", default="same-domain",
+                   choices=["all", "same-domain", "same-hostname", "same-origin"])
+    p.add_argument("--limit", type=int, default=100)
+    p.add_argument("--max-depth", type=int, default=10)
+    p.add_argument("--budget", type=int, default=0)
+    p.add_argument("--include", nargs="*")
+    p.add_argument("--exclude", nargs="*")
+    p.add_argument("--scrape-paths", nargs="*")
+    p.add_argument("--robots")
+    p.add_argument("--resume", action="store_true")
+    p.set_defaults(fn=cmd_crawl)
+
+    p = sub.add_parser("scrape")
+    p.add_argument("--corpus", required=True)
+    p.add_argument("--urls", nargs="+", required=True)
+    p.add_argument("--out", required=True)
+    p.set_defaults(fn=cmd_scrape)
+
+    p = sub.add_parser("search")
+    p.add_argument("--serp", required=True)
+    p.add_argument("--engine", default="google")
+    p.add_argument("--limit", type=int, default=20)
+    p.add_argument("--out", required=True)
+    p.set_defaults(fn=cmd_search)
+
+    p = sub.add_parser("map")
+    p.add_argument("--corpus", required=True)
+    p.add_argument("--robots", required=True)
+    p.add_argument("--host", required=True)
+    p.add_argument("--limit", type=int, default=5000)
+    p.add_argument("--out", required=True)
+    p.set_defaults(fn=cmd_map)
+
+    args = parser.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

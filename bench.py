@@ -1,0 +1,237 @@
+"""Benchmark harness: URLs crawled+extracted per second (BASELINE.md metric).
+
+Default run (driver contract): one JSON line with the headline throughput at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` plus per-query seconds.
+
+    python bench.py                  # driver mode: prints the JSON line
+    python bench.py --scaling        # N vs 4N cores scaling run → BENCH.md
+    python bench.py --single 8       # internal: one throughput probe at N cores
+
+Protocol (BASELINE.md): shuffle partitions fixed at 2×cores in every probe so
+the comparison measures scaling, not partition-count artifacts; a discarded
+warm-up batch spins up the JVM + Python workers before timing; corpus
+generation is cached on disk and excluded from timing.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+CACHE = os.path.join(REPO, ".bench_cache")
+
+
+def sf_of(path: str) -> float:
+    m = re.search(r"sf([0-9.]+)", path)
+    return float(m.group(1)) if m else 0.1
+
+
+def corpus_pages(sf: float) -> int:
+    return max(2000, int(1_000_000 * sf))
+
+
+def make_spark(cores: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName("anycrawl-bench")
+        .config("spark.sql.shuffle.partitions", str(2 * cores))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2000")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def ensure_corpus(spark, sf: float) -> str:
+    """Generate (once) and cache the fixture corpus for this sf."""
+    n = corpus_pages(sf)
+    path = os.path.join(CACHE, f"pages_{n}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        from anycrawl_spark.corpus import generate_pages
+
+        os.makedirs(CACHE, exist_ok=True)
+        generate_pages(spark, n, num_hosts=max(8, n // 2500)).write.mode(
+            "overwrite").parquet(path)
+    return path
+
+
+def bulk_crawl_extract(spark, corpus_path: str, out_dir: str) -> tuple[float, int]:
+    """The headline pipeline: full-corpus scrape — canonicalize + hash every
+    URL, fetch-join frontier against the corpus, run the T1-T20 extraction
+    UDF, write results to parquet. Returns (seconds, urls)."""
+    from pyspark.sql import functions as F
+
+    from anycrawl_spark.crawl import _canonical_cols, prepare_corpus
+    from anycrawl_spark.udfs import make_extract_udf
+
+    pages = spark.read.parquet(corpus_path)
+    corpus = prepare_corpus(pages)
+    frontier = _canonical_cols(pages.select("url"), "url")
+    extract = make_extract_udf()
+
+    n_parts = spark.sparkContext.defaultParallelism * 2
+    t0 = time.time()
+    result = (
+        frontier.join(corpus, frontier["url_hash"] == corpus["page_url_hash"], "left")
+        .withColumn("status", F.when(F.col("html").isNotNull(), 200).otherwise(404))
+        .repartition(n_parts, "url_hash")
+        .withColumn("doc", extract(F.col("url"), F.col("html")))
+        .select(
+            "url", "url_hash", "host", "status",
+            F.col("doc.title").alias("title"),
+            F.col("doc.markdown").alias("markdown"),
+            F.col("doc.text").alias("text"),
+            F.size("doc.links").alias("n_links"),
+        )
+    )
+    result.write.mode("overwrite").parquet(out_dir)
+    seconds = time.time() - t0
+    n = spark.read.parquet(out_dir).count()
+    return seconds, n
+
+
+def bfs_crawl(spark, corpus_path: str, limit: int) -> tuple[float, int]:
+    """Round-loop crawl job (frontier/seen/politeness machinery) timing."""
+    from anycrawl_spark.crawl import CrawlConfig, CrawlEngine
+
+    pages = spark.read.parquet(corpus_path)
+    ckpt = tempfile.mkdtemp(prefix="anycrawl_bench_")
+    engine = CrawlEngine(spark, pages, ckpt)
+    t0 = time.time()
+    summary = engine.run(CrawlConfig(
+        job_id="bench", seed_url="https://site000.test/p/0",
+        strategy="all", max_depth=20, limit=limit, respect_robots=False))
+    return time.time() - t0, summary["done"]
+
+
+def throughput_probe(cores: int) -> dict:
+    """One complete measurement at a given core count (fresh JVM)."""
+    sf = sf_of(SF_DIR)
+    spark = make_spark(cores)
+    try:
+        corpus_path = ensure_corpus(spark, sf)
+        # warm-up: spin executors + Python workers on a small slice (discarded)
+        warm_dir = tempfile.mkdtemp(prefix="anycrawl_warm_")
+        from pyspark.sql import functions as F
+
+        from anycrawl_spark.udfs import make_extract_udf
+
+        extract = make_extract_udf()
+        (spark.read.parquet(corpus_path).limit(512)
+         .withColumn("doc", extract(F.col("url"), F.col("html")))
+         .select(F.length("doc.markdown")).write.mode("overwrite")
+         .format("noop").save())
+
+        out_dir = tempfile.mkdtemp(prefix="anycrawl_out_")
+        seconds, n = bulk_crawl_extract(spark, corpus_path, out_dir)
+        return {"cores": cores, "urls": n, "seconds": round(seconds, 2),
+                "urls_per_sec": round(n / seconds, 1)}
+    finally:
+        spark.stop()
+
+
+def run_registry_queries(spark, names: list[str]) -> dict[str, float]:
+    from anycrawl_spark.operators.queries import REGISTRY
+
+    timings = {}
+    for name in names:
+        t0 = time.time()
+        df = REGISTRY[name].fn(spark, SF_DIR)
+        df.write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.time() - t0, 3)
+    return timings
+
+
+def main() -> None:
+    if "--single" in sys.argv:
+        cores = int(sys.argv[sys.argv.index("--single") + 1])
+        print("PROBE " + json.dumps(throughput_probe(cores)))
+        return
+
+    if "--scaling" in sys.argv:
+        results = []
+        for cores in (CPUS // 4, CPUS):
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--single", str(cores)],
+                capture_output=True, text=True, check=True,
+                cwd=REPO, env=os.environ.copy(),
+            )
+            line = [ln for ln in out.stdout.splitlines() if ln.startswith("PROBE ")][-1]
+            results.append(json.loads(line[6:]))
+        t_n, t_4n = results[0]["urls_per_sec"], results[1]["urls_per_sec"]
+        efficiency = round((t_4n / t_n) / (results[1]["cores"] / results[0]["cores"]), 3)
+        scaling = {"probes": results, "efficiency": efficiency}
+        with open(os.path.join(CACHE, "scaling.json"), "w") as f:
+            json.dump(scaling, f, indent=1)
+        print(json.dumps(scaling, indent=1))
+        return
+
+    # driver mode: one JSON line
+    sf = sf_of(SF_DIR)
+    spark = make_spark(CPUS)
+    try:
+        corpus_path = ensure_corpus(spark, sf)
+        # warm-up (discarded)
+        from pyspark.sql import functions as F
+
+        from anycrawl_spark.udfs import make_extract_udf
+
+        extract = make_extract_udf()
+        (spark.read.parquet(corpus_path).limit(512)
+         .withColumn("doc", extract(F.col("url"), F.col("html")))
+         .select(F.length("doc.markdown")).write.mode("overwrite")
+         .format("noop").save())
+
+        out_dir = tempfile.mkdtemp(prefix="anycrawl_out_")
+        crawl_sec, n_urls = bulk_crawl_extract(spark, corpus_path, out_dir)
+        bfs_sec, bfs_done = bfs_crawl(spark, corpus_path,
+                                      limit=min(2000, corpus_pages(sf) // 10))
+        queries = {
+            "crawl_extract_full": round(crawl_sec, 3),
+            "crawl_bfs_rounds": round(bfs_sec, 3),
+        }
+        queries.update(run_registry_queries(spark, [
+            "tpch_q1_pricing", "tpch_q3_revenue", "perhost_topk",
+            "minhash_signature", "lsh_candidate_pairs", "ngram_jaccard_pairs",
+            "ann_bruteforce_topk", "token_count", "windowed_events",
+        ]))
+        scaling = None
+        scaling_path = os.path.join(CACHE, "scaling.json")
+        if os.path.exists(scaling_path):
+            with open(scaling_path) as f:
+                scaling = json.load(f)
+        payload = {
+            "metric": "urls_crawled_extracted_per_sec",
+            "value": round(n_urls / crawl_sec, 1),
+            "unit": "sec",
+            "queries": queries,
+            "sf": sf,
+            "urls": n_urls,
+            "cores": CPUS,
+            "bfs_urls_per_sec": round(bfs_done / bfs_sec, 1),
+        }
+        if scaling:
+            payload["scaling_efficiency"] = scaling["efficiency"]
+            payload["scaling_probes"] = scaling["probes"]
+        print(json.dumps(payload))
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,201 @@
+"""SERP parsing, map union-dedup, glob/path filters, bloom seen-filter,
+skew salting, streaming extraction (SURVEY.md §2.2/§2.4/§2.5/§2.9)."""
+
+import os
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from anycrawl_spark.politeness import compile_path_patterns, glob_to_regex
+
+
+class TestGlobs:
+    def test_star_does_not_cross_slash(self):
+        rx = re.compile(glob_to_regex("https://a.test/*"))
+        assert rx.match("https://a.test/x")
+        assert not rx.match("https://a.test/x/y")
+
+    def test_double_star_crosses_slash(self):
+        rx = re.compile(glob_to_regex("**/blog/**"))
+        assert rx.match("https://a.test/blog/x/y")
+        assert not rx.match("https://a.test/news/x")
+
+    def test_question_mark(self):
+        rx = re.compile(glob_to_regex("**/p/?"))
+        assert rx.match("https://a.test/p/1")
+        assert not rx.match("https://a.test/p/12")
+
+    def test_regex_literal_passthrough(self):
+        # Base.ts:391-417 — `/pattern/flags` strings are regexes
+        compiled = compile_path_patterns([r"/\/p\/\d+$/"])
+        assert re.search(compiled[0], "https://a.test/p/42")
+        assert not re.search(compiled[0], "https://a.test/p/x")
+
+    def test_regex_literal_case_insensitive(self):
+        compiled = compile_path_patterns(["/BLOG/i"])
+        assert re.search(compiled[0], "https://a.test/blog/1")
+
+
+class TestSerp:
+    def test_google_parser_skips_decoys(self):
+        from anycrawl_spark.corpus import build_serp_html
+        from anycrawl_spark.serp import parse_google_serp
+
+        html = build_serp_html("spark crawl", page=1, n_results=10)
+        results = parse_google_serp(html)
+        assert len(results) == 10  # decoys (no title/url/snippet) skipped
+        assert results[0]["title"] == "Result 0 for spark crawl"
+        assert results[0]["url"] == "https://result00.test/spark-crawl"
+        assert "junk()" not in results[0]["description"]
+        assert all(r["category"] == "web" for r in results)
+
+    def test_parse_and_plan(self, spark):
+        from anycrawl_spark.corpus import generate_serp_pages
+        from anycrawl_spark.serp import parse_serp_pages, plan_and_limit
+
+        serp = generate_serp_pages(spark, queries=["q one"], pages_per_query=3)
+        parsed = parse_serp_pages(serp)
+        assert parsed.count() == 30
+        limited = plan_and_limit(parsed, limit=12)
+        rows = limited.orderBy("page", "position").collect()
+        assert len(rows) == 12
+        # page-order sort then slice (SearchService.ts:282-306)
+        assert [r["page"] for r in rows] == [1] * 10 + [2] * 2
+
+    def test_scrape_merge(self, spark):
+        from anycrawl_spark.corpus import generate_serp_pages
+        from anycrawl_spark.serp import merge_scrape_results, parse_serp_pages
+
+        parsed = parse_serp_pages(generate_serp_pages(spark, queries=["x"]))
+        scraped = parsed.limit(5).select("url", F.lit("MD").alias("markdown"))
+        merged = merge_scrape_results(parsed, scraped)
+        assert merged.where(F.col("markdown").isNotNull()).count() == 5
+        assert merged.count() == parsed.count()
+
+
+class TestMapper:
+    def test_union_dedup_first_wins(self, spark):
+        from anycrawl_spark.mapper import union_dedup
+
+        sitemap = spark.createDataFrame(
+            [("https://a.test/1", "T-sitemap", None),
+             ("https://a.test/2", None, "D-sitemap")],
+            schema="url string, title string, description string")
+        crawl = spark.createDataFrame(
+            [("https://a.test/1", "T-crawl", "D-crawl"),
+             ("https://a.test/3", "T3", None)],
+            schema="url string, title string, description string")
+        out = {r["url"]: r for r in
+               union_dedup({"sitemap": sitemap, "crawl": crawl}).collect()}
+        assert out["https://a.test/1"]["title"] == "T-sitemap"      # first wins
+        assert out["https://a.test/1"]["description"] == "D-crawl"  # coalesced
+        assert out["https://a.test/2"]["description"] == "D-sitemap"
+        assert len(out) == 3
+
+    def test_domain_filter(self, spark):
+        from anycrawl_spark.mapper import domain_filter
+
+        df = spark.createDataFrame(
+            [("https://a.test/1",), ("https://sub.a.test/2",), ("https://b.test/3",)],
+            schema="url string")
+        kept = [r["url"] for r in domain_filter(df, "a.test").collect()]
+        assert sorted(kept) == ["https://a.test/1", "https://sub.a.test/2"]
+
+    def test_sitemap_expansion(self, spark, small_corpus, robots_df):
+        from anycrawl_spark.mapper import expand_sitemaps
+
+        out = expand_sitemaps(robots_df, small_corpus)
+        hosts = {r["host"] for r in out.select("host").distinct().collect()}
+        assert "site000.test" in hosts
+
+
+class TestSeenFilter:
+    def test_bloom_no_false_negatives(self, spark):
+        from anycrawl_spark.seen import build_segments, filter_new
+
+        base = spark.range(0, 400).select(
+            F.sha2(F.col("id").cast("string"), 256).alias("url_hash"))
+        seen = base.where(F.col("url_hash").isNotNull()).limit(0)  # placeholder
+        seen = spark.range(0, 200).select(
+            F.sha2(F.col("id").cast("string"), 256).alias("url_hash"))
+        segments = build_segments(seen, num_buckets=4, m_bits=1 << 12, k=3)
+        new = filter_new(base, segments, seen, num_buckets=4, m_bits=1 << 12, k=3)
+        got = {r["url_hash"] for r in new.collect()}
+        import hashlib
+        expect = {hashlib.sha256(str(i).encode()).hexdigest() for i in range(200, 400)}
+        assert got == expect
+
+    def test_segment_merge(self, spark):
+        from anycrawl_spark.seen import build_segments, filter_new, merge_segments
+
+        a = spark.range(0, 50).select(F.sha2(F.col("id").cast("string"), 256).alias("url_hash"))
+        b = spark.range(50, 100).select(F.sha2(F.col("id").cast("string"), 256).alias("url_hash"))
+        segs = merge_segments(
+            build_segments(a, num_buckets=4, m_bits=1 << 12, k=3).unionByName(
+                build_segments(b, num_buckets=4, m_bits=1 << 12, k=3)))
+        assert segs.count() <= 4
+        both = a.unionByName(b)
+        none_new = filter_new(both, segs, both, num_buckets=4, m_bits=1 << 12, k=3)
+        assert none_new.count() == 0
+
+
+class TestSalting:
+    def test_skewed_host_gets_salted(self, spark):
+        from anycrawl_spark.politeness import salt_skewed_hosts
+
+        hot = spark.range(0, 5000).select(
+            F.lit("hot.test").alias("host"),
+            F.concat(F.lit("https://hot.test/p/"), F.col("id").cast("string")).alias("url"))
+        cold = spark.range(0, 50).select(
+            F.lit("cold.test").alias("host"),
+            F.concat(F.lit("https://cold.test/p/"), F.col("id").cast("string")).alias("url"))
+        salted = salt_skewed_hosts(hot.unionByName(cold), salt_n=8, skew_threshold=1000)
+        hot_keys = {r["salted_host"] for r in
+                    salted.where(F.col("host") == "hot.test")
+                    .select("salted_host").distinct().collect()}
+        cold_keys = {r["salted_host"] for r in
+                     salted.where(F.col("host") == "cold.test")
+                     .select("salted_host").distinct().collect()}
+        assert len(hot_keys) == 8 and all("#" in k for k in hot_keys)
+        assert cold_keys == {"cold.test"}
+
+
+class TestStreaming:
+    def test_stream_extract_available_now(self, spark, small_corpus, tmp_root):
+        from anycrawl_spark.streaming.stream import stream_extract
+
+        corpus_dir = os.path.join(tmp_root, "stream_pages")
+        small_corpus.limit(40).write.mode("overwrite").parquet(corpus_dir)
+        out_dir = os.path.join(tmp_root, "stream_out")
+        ckpt = os.path.join(tmp_root, "stream_ckpt")
+        query = stream_extract(spark, corpus_dir, out_dir, ckpt)
+        query.awaitTermination(180)
+        result = spark.read.parquet(out_dir)
+        assert result.count() == 40
+        assert result.where(F.col("markdown").isNotNull()).count() == 40
+
+    def test_stream_metrics_plan(self, spark, small_corpus, tmp_root):
+        from anycrawl_spark.streaming.stream import stream_metrics
+
+        corpus_dir = os.path.join(tmp_root, "stream_pages2")
+        small_corpus.limit(20).write.mode("overwrite").parquet(corpus_dir)
+        agg = stream_metrics(spark, corpus_dir)
+        assert agg.isStreaming
+        assert set(agg.columns) == {"window_start", "window_end", "host", "pages", "bytes"}
+
+
+class TestMainCli:
+    def test_scrape_subcommand(self, spark, small_corpus, tmp_root, monkeypatch):
+        from anycrawl_spark import main as cli
+
+        corpus_dir = os.path.join(tmp_root, "cli_pages")
+        small_corpus.write.mode("overwrite").parquet(corpus_dir)
+        out = os.path.join(tmp_root, "cli_out")
+        monkeypatch.setattr(cli, "build_session", lambda app: spark)
+        cli.main(["scrape", "--corpus", corpus_dir,
+                  "--urls", "https://site000.test/p/0", "https://site000.test/p/1",
+                  "--out", out])
+        rows = spark.read.parquet(out).collect()
+        assert len(rows) == 2
+        assert all(r["status"] == 200 for r in rows)
