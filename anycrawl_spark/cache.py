@@ -1,0 +1,83 @@
+"""Result memoization: page-cache lookup + upsert semantics
+(SURVEY.md §2.1 S8, §2.5 A6, §4 "Result memoization").
+
+Re-expresses ``managers/Cache.ts:24-214`` + ``libs/src/cache/index.ts:153-211``:
+
+- cache key = (urlHash = sha256(canonical url), optionsHash = sha256 of the
+  sorted-keys JSON of the cacheable options) — unique index
+  ``PostgreSQL.ts:393``;
+- lookup = newest-first within max_age (``Cache.ts:50-60``) — a join +
+  row_number window;
+- save = MERGE-style upsert keyed by (url_hash, options_hash) — expressed as
+  "latest snapshot wins" over the union of old cache + new rows, which is
+  exactly Iceberg ``MERGE INTO`` at deployment scale.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from typing import Any
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+CACHE_COLS = ["url_hash", "options_hash", "url", "markdown", "text", "title",
+              "status", "scraped_at"]
+
+
+def options_hash(options: dict[str, Any] | None) -> str:
+    """sha256 of the recursively key-sorted options JSON
+    (``sortKeys`` + ``computeCacheKey``, cache/index.ts:153-211)."""
+
+    def sort_keys(obj):
+        if isinstance(obj, dict):
+            return {k: sort_keys(obj[k]) for k in sorted(obj)}
+        if isinstance(obj, list):
+            return [sort_keys(x) for x in obj]
+        return obj
+
+    canonical = json.dumps(sort_keys(options or {}), separators=(",", ":"))
+    return hashlib.sha256(canonical.encode("utf-8")).hexdigest()
+
+
+def cache_lookup(frontier: DataFrame, cache: DataFrame, opts_hash: str,
+                 max_age_seconds: int | None = None,
+                 now_expr: str = "current_timestamp()") -> DataFrame:
+    """Left-join the frontier against the cache on (url_hash, options_hash);
+    keep only fresh entries, newest first, limit 1 per key (Cache.ts:50-60).
+    Returns frontier columns + ``cache_hit`` flag + cached payload columns."""
+    fresh = cache.where(F.col("options_hash") == opts_hash)
+    if max_age_seconds is not None:
+        fresh = fresh.where(
+            F.col("scraped_at") >= F.expr(f"{now_expr} - INTERVAL {max_age_seconds} SECOND"))
+    w = Window.partitionBy("url_hash").orderBy(F.desc("scraped_at"))
+    newest = (
+        fresh.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(
+            F.col("url_hash").alias("__c_hash"),
+            F.col("markdown").alias("cached_markdown"),
+            F.col("text").alias("cached_text"),
+            F.col("title").alias("cached_title"),
+            F.col("scraped_at").alias("cached_at"),
+        )
+    )
+    return (
+        frontier.join(newest, frontier["url_hash"] == F.col("__c_hash"), "left")
+        .withColumn("cache_hit", F.col("__c_hash").isNotNull())
+        .drop("__c_hash")
+    )
+
+
+def cache_upsert(cache: DataFrame | None, new_rows: DataFrame) -> DataFrame:
+    """MERGE-equivalent: newest row per (url_hash, options_hash) wins across
+    old ∪ new. At deployment scale this is
+    ``MERGE INTO page_cache USING new ON (url_hash, options_hash)``."""
+    new_rows = new_rows.select(*CACHE_COLS)
+    unioned = new_rows if cache is None else cache.select(*CACHE_COLS).unionByName(new_rows)
+    w = Window.partitionBy("url_hash", "options_hash").orderBy(F.desc("scraped_at"))
+    return (
+        unioned.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )

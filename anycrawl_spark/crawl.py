@@ -205,17 +205,14 @@ class CrawlEngine:
         admitted = admitted.cache()
 
         # --- fetch = equi-join against the corpus --------------------------
-        # Explicit repartition before the extraction UDF: AQE would otherwise
-        # coalesce the small post-join shuffle into a handful of partitions
-        # and serialize the expensive Python stage. Partitioning by url_hash
-        # spreads any single hot host across all cores (extraction is
-        # host-agnostic; politeness was already enforced upstream).
-        n_parts = self.spark.sparkContext.defaultParallelism
+        # The join shuffle hash-partitions on url_hash; AQE parallelismFirst
+        # keeps >= defaultParallelism partitions, so the extraction UDF runs
+        # at full width without an extra shuffle of the html payload (an
+        # explicit repartition here measured 3.6x slower in the bulk path).
         fetched = (
             admitted.join(self.corpus, admitted["url_hash"] == self.corpus["page_url_hash"], "left")
             .drop("page_url_hash")
             .withColumn("status", F.when(F.col("html").isNotNull(), 200).otherwise(404))
-            .repartition(n_parts, "url_hash")
         )
 
         # --- extraction (vectorized UDF) -----------------------------------

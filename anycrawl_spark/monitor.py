@@ -1,0 +1,141 @@
+"""Monitor / diff operators (SURVEY.md §2.8 M1-M5).
+
+Re-expresses ``packages/scrape/src/monitor/normalize.ts:14-86`` and
+``monitor/diff.ts:24-261``: content normalization + hashing are JVM column
+expressions; the line-level LCS diff is a pure function applied per snapshot
+pair via a vectorized UDF over a ``lag()`` window join.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql.types import (
+    ArrayType, DoubleType, IntegerType, StringType, StructField, StructType,
+)
+
+VOLATILE_KEYS = ("timestamp", "screenshot", "screenshot@fullPage")
+
+
+def normalize_content_col(markdown="markdown", text="text",
+                          html="html", raw_html="raw_html"):
+    """M1 (normalize.ts:14-78): pick markdown→text→html→rawHtml, collapse
+    ≥3 newlines, trim — as a JVM column expression."""
+    picked = F.coalesce(*[
+        F.when(F.col(c).isNotNull() & (F.col(c) != ""), F.col(c))
+        for c in (markdown, text, html, raw_html)
+    ], F.lit(""))
+    return F.trim(F.regexp_replace(picked, r"\n{3,}", "\n\n"))
+
+
+def content_hash_col(content_col):
+    """M2: sha256 of normalized content (normalize.ts:84-86)."""
+    return F.sha2(content_col, 256)
+
+
+def lcs_diff(old: str, new: str) -> dict:
+    """M3 (diff.ts:24-152): line-level LCS diff → added/removed counts,
+    unified-style hunks, change ratio."""
+    old_lines = old.split("\n") if old else []
+    new_lines = new.split("\n") if new else []
+    n, m = len(old_lines), len(new_lines)
+    # LCS table (small inputs: monitor snapshots are normalized text)
+    dp = [[0] * (m + 1) for _ in range(n + 1)]
+    for i in range(n - 1, -1, -1):
+        row, nxt = dp[i], dp[i + 1]
+        for j in range(m - 1, -1, -1):
+            if old_lines[i] == new_lines[j]:
+                row[j] = nxt[j + 1] + 1
+            else:
+                row[j] = max(nxt[j], row[j + 1])
+    # walk
+    i = j = 0
+    hunks: list[str] = []
+    added = removed = 0
+    while i < n and j < m:
+        if old_lines[i] == new_lines[j]:
+            i += 1
+            j += 1
+        elif dp[i + 1][j] >= dp[i][j + 1]:
+            hunks.append(f"-{old_lines[i]}")
+            removed += 1
+            i += 1
+        else:
+            hunks.append(f"+{new_lines[j]}")
+            added += 1
+            j += 1
+    for line in old_lines[i:]:
+        hunks.append(f"-{line}")
+        removed += 1
+    for line in new_lines[j:]:
+        hunks.append(f"+{line}")
+        added += 1
+    total = max(n, m, 1)
+    return {
+        "added": added,
+        "removed": removed,
+        "change_ratio": round((added + removed) / (total * 2), 6),
+        "hunks": hunks[:200],
+    }
+
+
+_DIFF_STRUCT = StructType([
+    StructField("added", IntegerType()),
+    StructField("removed", IntegerType()),
+    StructField("change_ratio", DoubleType()),
+    StructField("hunks", ArrayType(StringType())),
+])
+
+
+@F.pandas_udf(_DIFF_STRUCT)
+def lcs_diff_udf(old: pd.Series, new: pd.Series) -> pd.DataFrame:
+    out = {"added": [], "removed": [], "change_ratio": [], "hunks": []}
+    for o, n in zip(old, new):
+        d = lcs_diff(o or "", n or "")
+        out["added"].append(d["added"])
+        out["removed"].append(d["removed"])
+        out["change_ratio"].append(d["change_ratio"])
+        out["hunks"].append(d["hunks"])
+    return pd.DataFrame(out)
+
+
+def snapshot_changes(snapshots: DataFrame,
+                     key_cols: tuple[str, ...] = ("monitor_id", "url"),
+                     content_col: str = "content",
+                     order_col: str = "captured_at") -> DataFrame:
+    """Join each snapshot with its predecessor via lag() and diff the pair
+    (SURVEY.md §2.8 M3 mapping). Rows with no change are dropped."""
+    w = Window.partitionBy(*key_cols).orderBy(order_col)
+    with_prev = snapshots.withColumn("prev_content", F.lag(content_col).over(w))
+    changed = with_prev.where(
+        F.col("prev_content").isNotNull()
+        & (F.sha2(F.col(content_col), 256) != F.sha2(F.col("prev_content"), 256))
+    )
+    return (
+        changed.withColumn("diff", lcs_diff_udf(F.col("prev_content"), F.col(content_col)))
+        .select(*key_cols, order_col,
+                F.col("diff.added").alias("lines_added"),
+                F.col("diff.removed").alias("lines_removed"),
+                F.col("diff.change_ratio").alias("change_ratio"),
+                F.col("diff.hunks").alias("hunks"))
+    )
+
+
+_PRICE_PATH_RE = re.compile(r"price|amount|cost|total", re.I)
+
+
+def classify_price_change(path: str, old_value: float | None,
+                          new_value: float | None,
+                          pct_threshold: float = 5.0) -> str:
+    """M5 (diff.ts:230-261): price-change classifier — regex on the JSON
+    path + percentage threshold."""
+    if not _PRICE_PATH_RE.search(path or ""):
+        return "not_price"
+    if old_value is None or new_value is None or old_value == 0:
+        return "price_unknown"
+    pct = abs(new_value - old_value) / abs(old_value) * 100.0
+    if pct >= pct_threshold:
+        return "price_drop" if new_value < old_value else "price_increase"
+    return "price_minor"

@@ -1,0 +1,138 @@
+"""Multimodal pipeline, page-cache memoization, monitor diff ops
+(SURVEY.md §2.1 S8 / §2.5 A6 / §2.8 M1-M5; task-brief multimodal columns)."""
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from anycrawl_spark.cache import cache_lookup, cache_upsert, options_hash
+from anycrawl_spark.monitor import (
+    classify_price_change,
+    lcs_diff,
+    normalize_content_col,
+    snapshot_changes,
+)
+
+
+class TestMultimodal:
+    def test_decode_metadata(self, spark):
+        from anycrawl_spark.operators.multimodal import decode_media
+
+        media = spark.createDataFrame(
+            [(1, b"imagebytes", "image"), (2, b"audiobytes", "audio"),
+             (3, b"videobytes", "video")],
+            schema="media_id long, payload binary, modality string")
+        meta = {r["media_id"]: r for r in decode_media(media).collect()}
+        assert meta[1]["payload_bytes"] == 10
+        assert meta[1]["width"] > 0 and meta[1]["duration_ms"] == 0
+        assert meta[2]["sample_rate"] == 16000 and meta[2]["duration_ms"] > 0
+        assert meta[3]["duration_ms"] > 0 and meta[3]["width"] > 0
+        # deterministic across runs
+        again = {r["media_id"]: r for r in decode_media(media).collect()}
+        assert meta == again
+
+    def test_feature_extract_resize_framesample(self, spark):
+        from anycrawl_spark.operators.multimodal import decode_media, extract_features
+
+        media = spark.createDataFrame(
+            [(1, b"x" * 100, "image"), (2, b"y" * 100, "video")],
+            schema="media_id long, payload binary, modality string")
+        meta = decode_media(media)
+        feats = {r["media_id"]: r for r in extract_features(media, meta).collect()}
+        assert len(feats[1]["feature"]) == 8
+        assert all(0.0 <= v <= 1.0 for v in feats[1]["feature"])
+        assert feats[1]["resized_width"] <= 224 and feats[1]["resized_height"] <= 224
+        assert feats[1]["n_frames_sampled"] == 0  # images: duration 0
+        assert 1 <= feats[2]["n_frames_sampled"] <= 4
+
+    def test_documents_adapter(self, spark):
+        from anycrawl_spark.operators.multimodal import (
+            decode_media,
+            documents_as_media,
+        )
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        media = documents_as_media(docs.limit(30))
+        meta = decode_media(media)
+        assert meta.count() == 30
+        assert meta.where(F.col("payload_sha").isNull()).count() == 0
+
+
+class TestCache:
+    def test_options_hash_key_order_invariant(self):
+        a = options_hash({"formats": ["markdown"], "only_main_content": True})
+        b = options_hash({"only_main_content": True, "formats": ["markdown"]})
+        assert a == b
+        assert a != options_hash({"formats": ["html"], "only_main_content": True})
+
+    def test_lookup_newest_within_max_age(self, spark):
+        oh = options_hash({"formats": ["markdown"]})
+        t = datetime.datetime(2025, 6, 1, 12, 0, 0)
+        cache = spark.createDataFrame(
+            [("h1", oh, "https://a.test/1", "OLD", "t", "T", 200, t - datetime.timedelta(days=3)),
+             ("h1", oh, "https://a.test/1", "NEW", "t", "T", 200, t - datetime.timedelta(hours=1)),
+             ("h2", oh, "https://a.test/2", "EXPIRED", "t", "T", 200, t - datetime.timedelta(days=30)),
+             ("h3", "other", "https://a.test/3", "WRONGOPTS", "t", "T", 200, t)],
+            schema="url_hash string, options_hash string, url string, markdown string, "
+                   "text string, title string, status int, scraped_at timestamp")
+        frontier = spark.createDataFrame(
+            [("h1",), ("h2",), ("h3",), ("h4",)], schema="url_hash string")
+        out = {r["url_hash"]: r for r in cache_lookup(
+            frontier, cache, oh, max_age_seconds=2 * 86400,
+            now_expr=f"timestamp'{t.isoformat(sep=' ')}'").collect()}
+        assert out["h1"]["cache_hit"] and out["h1"]["cached_markdown"] == "NEW"
+        assert not out["h2"]["cache_hit"]   # older than max_age (2d default TTL)
+        assert not out["h3"]["cache_hit"]   # different options hash
+        assert not out["h4"]["cache_hit"]   # miss
+
+    def test_upsert_latest_wins(self, spark):
+        t = datetime.datetime(2025, 6, 1)
+        schema = ("url_hash string, options_hash string, url string, markdown string, "
+                  "text string, title string, status int, scraped_at timestamp")
+        old = spark.createDataFrame(
+            [("h1", "o", "u1", "V1", "t", "T", 200, t)], schema=schema)
+        new = spark.createDataFrame(
+            [("h1", "o", "u1", "V2", "t", "T", 200, t + datetime.timedelta(hours=1)),
+             ("h2", "o", "u2", "V", "t", "T", 200, t)], schema=schema)
+        merged = {r["url_hash"]: r for r in cache_upsert(old, new).collect()}
+        assert merged["h1"]["markdown"] == "V2"
+        assert len(merged) == 2
+
+
+class TestMonitor:
+    def test_lcs_diff(self):
+        d = lcs_diff("a\nb\nc", "a\nx\nc\nd")
+        assert d["removed"] == 1 and d["added"] == 2
+        assert "-b" in d["hunks"] and "+x" in d["hunks"] and "+d" in d["hunks"]
+        assert 0 < d["change_ratio"] <= 1
+
+    def test_identical_no_change(self):
+        d = lcs_diff("same\ntext", "same\ntext")
+        assert d["added"] == 0 and d["removed"] == 0 and d["change_ratio"] == 0
+
+    def test_snapshot_changes(self, spark):
+        t = datetime.datetime(2025, 6, 1)
+        snaps = spark.createDataFrame(
+            [("m1", "u", "line1\nline2", t),
+             ("m1", "u", "line1\nline2", t + datetime.timedelta(hours=1)),
+             ("m1", "u", "line1\nCHANGED", t + datetime.timedelta(hours=2))],
+            schema="monitor_id string, url string, content string, captured_at timestamp")
+        changes = snapshot_changes(snaps).collect()
+        assert len(changes) == 1  # unchanged middle snapshot produces no row
+        assert changes[0]["lines_added"] == 1 and changes[0]["lines_removed"] == 1
+
+    def test_normalize_content_pick_order(self, spark):
+        df = spark.createDataFrame(
+            [("md", "tx", "ht", "raw"), (None, "tx", "ht", "raw"),
+             (None, None, None, "raw")],
+            schema="markdown string, text string, html string, raw_html string")
+        got = [r["c"] for r in df.select(normalize_content_col().alias("c")).collect()]
+        assert got == ["md", "tx", "raw"]
+
+    def test_price_classifier(self):
+        assert classify_price_change("offer.price", 100.0, 80.0) == "price_drop"
+        assert classify_price_change("offer.price", 100.0, 104.0) == "price_minor"
+        assert classify_price_change("offer.price", 100.0, 120.0) == "price_increase"
+        assert classify_price_change("title", 1.0, 2.0) == "not_price"
+        assert classify_price_change("total_cost", None, 2.0) == "price_unknown"
