@@ -112,3 +112,64 @@ def merge_scrape_results(serp: DataFrame, scraped: DataFrame) -> DataFrame:
     """Search→scrape fan-out merge (SearchController.ts:346-381): a plain
     left join on url replaces the promise bookkeeping."""
     return serp.join(scraped, "url", "left")
+
+
+# ---------------------------------------------------------------------------
+# G1: Google search-URL builder (Google.ts:72-168)
+# ---------------------------------------------------------------------------
+
+# compact locale tables (full tables live in packages/libs/src/data/Google.ts;
+# this subset covers the documented defaults and common locales)
+GOOGLE_LANGUAGES = {
+    "en": "lang_en", "zh": "lang_zh-CN", "de": "lang_de", "fr": "lang_fr",
+    "ja": "lang_ja", "es": "lang_es",
+}
+GOOGLE_REGIONS = {
+    "en-US": "US", "en-GB": "GB", "de-DE": "DE", "fr-FR": "FR",
+    "ja-JP": "JP", "zh-CN": "CN", "es-ES": "ES",
+}
+GOOGLE_DOMAINS = {"US": "www.google.com", "GB": "www.google.co.uk",
+                  "DE": "www.google.de", "FR": "www.google.fr",
+                  "JP": "www.google.co.jp"}
+TIME_RANGE_MAP = {"day": "d", "week": "w", "month": "m", "year": "y"}
+SAFE_SEARCH_MAP = {0: "off", 1: "medium", 2: "high"}
+
+
+def build_google_url(query: str, page: int = 1, *, lang: str = "en",
+                     country: str | None = None, limit: int | None = None,
+                     time_range: str | None = None,
+                     safe_search: int | None = None,
+                     arc_id: str = "srp_fixture0000000000000_100") -> str:
+    """Deterministic re-expression of Google.buildSearchUrl: same parameter
+    set and ordering; the random 23-char arc id is injectable (fixtures use a
+    fixed one — randomness only matters against the live endpoint)."""
+    from urllib.parse import urlencode
+
+    eng_lang = GOOGLE_LANGUAGES.get(lang, "en")
+    lang_code = eng_lang.split("_")[1] if "_" in eng_lang else eng_lang
+    resolved_country = None
+    if country:
+        resolved_country = GOOGLE_REGIONS.get(f"{lang}-{country}")
+    if not resolved_country:
+        resolved_country = next(
+            (v for k, v in GOOGLE_REGIONS.items() if k.startswith(f"{lang}-")), None)
+    if not resolved_country:
+        resolved_country = "US"
+    per_page = min(max(limit, 1), 100) if limit else 10
+    start = (page - 1) * per_page
+    domain = GOOGLE_DOMAINS.get(resolved_country.upper(), "www.google.com")
+    params = [
+        ("q", query), ("start", str(start)),
+        ("hl", f"{lang_code}-{resolved_country}"),
+        ("lr", eng_lang), ("cr", f"country{resolved_country}"),
+        ("ie", "utf8"), ("oe", "utf8"), ("filter", "0"),
+        ("asearch", "arc"),
+        ("async", f"arc_id:{arc_id},use_ac:true,_fmt:prog"),
+    ]
+    if limit:
+        params.append(("num", str(per_page)))
+    if time_range in TIME_RANGE_MAP:
+        params.append(("tbs", f"qdr:{TIME_RANGE_MAP[time_range]}"))
+    if safe_search is not None:
+        params.append(("safe", SAFE_SEARCH_MAP.get(safe_search, "medium")))
+    return f"https://{domain}/search?{urlencode(params)}"

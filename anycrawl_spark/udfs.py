@@ -25,6 +25,7 @@ from pyspark.sql.types import (
 
 DOC_STRUCT = StructType([
     StructField("title", StringType()),
+    StructField("user_data", StringType()),
     StructField("metadata", ArrayType(StructType([
         StructField("name", StringType()),
         StructField("content", StringType()),
@@ -40,9 +41,15 @@ DOC_STRUCT = StructType([
 def make_extract_udf(formats: tuple[str, ...] = ("markdown", "text", "links", "html"),
                      include_tags: list[str] | None = None,
                      exclude_tags: list[str] | None = None,
-                     only_main_content: bool = True):
+                     only_main_content: bool = True,
+                     user_transform=None):
     """Build the extraction pandas UDF with job options closed over
-    (options are per-job scalars — broadcast by closure, never per-row)."""
+    (options are per-job scalars — broadcast by closure, never per-row).
+
+    ``user_transform`` is the template-system hook (SURVEY.md §2.9 — the
+    reference runs sandboxed user JS per page, Base.ts:1012-1176): a
+    picklable callable ``(url, doc_dict) -> str | None`` whose return value
+    lands in the ``user_data`` struct field."""
     formats = tuple(formats)
     include_tags = list(include_tags or [])
     exclude_tags = list(exclude_tags or [])
@@ -51,8 +58,8 @@ def make_extract_udf(formats: tuple[str, ...] = ("markdown", "text", "links", "h
     def extract(url: pd.Series, html: pd.Series) -> pd.DataFrame:
         from anycrawl_spark.kernel.extract import extract_page
 
-        out = {"title": [], "metadata": [], "html": [], "markdown": [],
-               "text": [], "links": []}
+        out = {"title": [], "user_data": [], "metadata": [], "html": [],
+               "markdown": [], "text": [], "links": []}
         for u, h in zip(url, html):
             raw = h.decode("utf-8", errors="replace") if isinstance(h, (bytes, bytearray)) else (h or "")
             doc = extract_page(
@@ -63,6 +70,8 @@ def make_extract_udf(formats: tuple[str, ...] = ("markdown", "text", "links", "h
                 only_main_content=only_main_content,
             )
             out["title"].append(doc["title"])
+            out["user_data"].append(
+                user_transform(u, doc) if user_transform is not None else None)
             out["metadata"].append([
                 (m["name"], m["content"], m["property"]) for m in doc["metadata"]
             ])

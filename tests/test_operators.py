@@ -199,3 +199,38 @@ class TestMainCli:
         rows = spark.read.parquet(out).collect()
         assert len(rows) == 2
         assert all(r["status"] == 200 for r in rows)
+
+
+class TestSerpUrl:
+    def test_build_google_url_defaults(self):
+        from anycrawl_spark.serp import build_google_url
+
+        url = build_google_url("web crawling", page=2, limit=20)
+        assert url.startswith("https://www.google.com/search?")
+        assert "q=web+crawling" in url
+        assert "start=20" in url          # (page-1) * per_page
+        assert "hl=en-US" in url and "cr=countryUS" in url
+        assert "num=20" in url and "filter=0" in url and "asearch=arc" in url
+
+    def test_build_google_url_locale_and_range(self):
+        from anycrawl_spark.serp import build_google_url
+
+        url = build_google_url("suchmaschine", lang="de", country="DE",
+                               time_range="week", safe_search=2)
+        assert "www.google.de/search" in url
+        assert "hl=de-DE" in url and "lr=lang_de" in url
+        assert "tbs=qdr%3Aw" in url and "safe=high" in url
+
+
+class TestUserTransformHook:
+    def test_user_data_field(self, spark, small_corpus):
+        from anycrawl_spark.udfs import make_extract_udf
+
+        def my_template(url, doc):
+            return f"{doc['title']}|{len(doc['links'] or [])}"
+
+        extract = make_extract_udf(user_transform=my_template)
+        row = (small_corpus.limit(1)
+               .withColumn("doc", extract(F.col("url"), F.col("html")))
+               .select("doc.title", "doc.user_data").collect()[0])
+        assert row["user_data"].startswith(row["title"] + "|")
