@@ -234,3 +234,47 @@ class TestUserTransformHook:
                .withColumn("doc", extract(F.col("url"), F.col("html")))
                .select("doc.title", "doc.user_data").collect()[0])
         assert row["user_data"].startswith(row["title"] + "|")
+
+
+class TestStatefulStreaming:
+    def test_streaming_seen_dedup(self, spark, tmp_root):
+        """applyInPandasWithState: per-host first-seen dedup across
+        micro-batches (state survives between batches)."""
+        import json
+
+        from anycrawl_spark.streaming.stateful import streaming_seen_dedup
+
+        src = os.path.join(tmp_root, "state_src")
+        # two files → with maxFilesPerTrigger=1 they arrive as two batches;
+        # the duplicate url in file2 must be suppressed by batch-1 state
+        os.makedirs(src, exist_ok=True)
+        spark.createDataFrame(
+            [("a.test", "https://a.test/1"), ("a.test", "https://a.test/2"),
+             ("b.test", "https://b.test/1")],
+            schema="host string, url string").coalesce(1).write.mode(
+            "overwrite").parquet(os.path.join(src, "f1"))
+        spark.createDataFrame(
+            [("a.test", "https://a.test/2"), ("a.test", "https://a.test/3"),
+             ("b.test", "https://b.test/1")],
+            schema="host string, url string").coalesce(1).write.mode(
+            "overwrite").parquet(os.path.join(src, "f2"))
+
+        stream = (spark.readStream.schema("host string, url string")
+                  .option("maxFilesPerTrigger", "1")
+                  .parquet(os.path.join(src, "*")))
+        out_dir = os.path.join(tmp_root, "state_out")
+        ckpt = os.path.join(tmp_root, "state_ckpt")
+        query = (streaming_seen_dedup(stream)
+                 .writeStream.outputMode("append")
+                 .format("parquet").option("path", out_dir)
+                 .option("checkpointLocation", ckpt)
+                 .trigger(availableNow=True).start())
+        query.awaitTermination(180)
+        rows = {(r["host"], r["url"]): r["host_seq"]
+                for r in spark.read.parquet(out_dir).collect()}
+        assert len(rows) == 4  # 6 inputs, 2 duplicates suppressed
+        assert ("a.test", "https://a.test/1") in rows
+        assert ("a.test", "https://a.test/3") in rows
+        assert ("b.test", "https://b.test/1") in rows
+        # dense per-host sequence
+        assert sorted(v for (h, _), v in rows.items() if h == "a.test") == [0, 1, 2]
