@@ -29,6 +29,16 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+
+
+def load_wide(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load + repartition to full parallelism — the driver's parquet tables
+    are single files, which would serialize expensive per-row transforms
+    (shingling, hashing) onto one task. Content-identical to load()."""
+    return load(spark, sf_dir, name).repartition(
+        spark.sparkContext.defaultParallelism)
+
+
 @dataclass
 class QuerySpec:
     fn: Callable[[SparkSession, str], DataFrame]
@@ -555,7 +565,7 @@ def _minhash_sigs_sql(n_sigs: int = 6) -> str:
     "MinHash: 6-permutation signature over 3-word shingles",
 )
 def q_minhash_signature(spark, sf_dir):
-    documents = load(spark, sf_dir, "documents")
+    documents = load_wide(spark, sf_dir, "documents")
     words = F.regexp_extract_all("text", F.lit(r"\S+"), 0)
     return (
         documents.where(F.size(words) >= 3)
@@ -577,7 +587,7 @@ def q_minhash_signature(spark, sf_dir):
     "MinHash-LSH: band → bucket-join → candidate duplicate pairs",
 )
 def q_lsh_candidate_pairs(spark, sf_dir):
-    documents = load(spark, sf_dir, "documents")
+    documents = load_wide(spark, sf_dir, "documents")
     words = F.regexp_extract_all("text", F.lit(r"\S+"), 0)
     sigs = (
         documents.where(F.size(words) >= 3)
@@ -621,7 +631,7 @@ def _simhash_bits_sql() -> str:
     "SimHash (16-bit): per-bit ±1 vote over word hashes → fingerprint",
 )
 def q_simhash16(spark, sf_dir):
-    documents = load(spark, sf_dir, "documents")
+    documents = load_wide(spark, sf_dir, "documents")
     words = documents.select(
         "doc_id", F.explode(F.regexp_extract_all("text", F.lit(r"\S+"), 0)).alias("word"))
     bits = words.crossJoin(
@@ -647,6 +657,7 @@ def q_simhash16(spark, sf_dir):
     "ngram_jaccard_pairs",
     """WITH shingled AS (
          SELECT doc_id, lang,
+                len(regexp_extract_all(text, '\\S+')) // 16 AS len_bucket,
                 list_distinct(list_transform(
                   range(1, greatest(len(regexp_extract_all(text, '\\S+')) - 1, 1)),
                   i -> array_to_string((regexp_extract_all(text, '\\S+'))[i:i+2], ' ')))
@@ -657,13 +668,15 @@ def q_simhash16(spark, sf_dir):
                     len(list_distinct(list_concat(a.shingles, b.shingles))), 4)
                   AS jaccard
        FROM shingled a JOIN shingled b
-         ON a.lang = b.lang AND a.doc_id < b.doc_id
+         ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
        WHERE len(list_intersect(a.shingles, b.shingles)) * 1.0 /
              len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.2""",
-    "N-gram Jaccard near-dup: lang-blocked pair join over distinct shingle sets",
+    "N-gram Jaccard near-dup: (lang, length-bucket)-blocked pair join over "
+    "distinct shingle sets — blocking bounds the pair count at scale (near-"
+    "identical docs land in the same bucket; bucket width 16 words)",
 )
 def q_ngram_jaccard_pairs(spark, sf_dir):
-    documents = load(spark, sf_dir, "documents")
+    documents = load_wide(spark, sf_dir, "documents")
     words = F.regexp_extract_all("text", F.lit(r"\S+"), 0)
     shingles = F.array_distinct(F.transform(
         F.sequence(F.lit(1), F.size(words) - 2),
@@ -671,7 +684,9 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
     ))
     shingled = (
         documents.where(F.size(words) >= 3)
-        .select("doc_id", "lang", shingles.alias("shingles"))
+        .select("doc_id", "lang",
+                F.floor(F.size(words) / 16).cast("long").alias("len_bucket"),
+                shingles.alias("shingles"))
     )
     a = shingled.alias("a")
     b = shingled.alias("b")
@@ -680,6 +695,7 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
     jac = inter * F.lit(1.0) / union
     return (
         a.join(b, (F.col("a.lang") == F.col("b.lang"))
+               & (F.col("a.len_bucket") == F.col("b.len_bucket"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
         .where(jac >= 0.2)
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"),
@@ -716,7 +732,7 @@ _DBL = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
     "Embedding-cosine near-dup: label-blocked pair join, threshold 0.35",
 )
 def q_embed_cosine_pairs(spark, sf_dir):
-    embeddings = load(spark, sf_dir, "embeddings")
+    embeddings = load_wide(spark, sf_dir, "embeddings")
     e = embeddings.select(
         "vec_id", "label",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
