@@ -223,6 +223,10 @@ class CrawlEngine:
             )
             .select(
                 "job_id", "url", "url_hash", "host", "depth", "seq", "status",
+                # F11 error classification (EngineConfigurator.ts:599-708):
+                # corpus-replay failures are all http_error-class
+                F.when(F.col("status") == 200, F.lit(None).cast("string"))
+                .otherwise(F.lit("http_error")).alias("failure_reason"),
                 F.col("doc.title").alias("title"),
                 F.col("doc.metadata").alias("metadata"),
                 F.col("doc.html").alias("html_clean"),

@@ -1035,3 +1035,35 @@ def q_crawl_e2e(spark, sf_dir):
         "seq", "url", "depth", "status", "title",
         F.length("markdown").cast("long").alias("markdown_len"),
     ).orderBy("seq")
+
+
+def _simhash_df(spark, sf_dir):
+    return REGISTRY["simhash16"].fn(spark, sf_dir)
+
+
+@register(
+    "simhash_near_pairs",
+    f"""WITH s AS ({{SIMHASH_SQL}})
+       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              bit_count(xor(a.simhash, b.simhash)) AS hamming
+       FROM s a JOIN s b ON a.doc_id < b.doc_id
+       WHERE bit_count(xor(a.simhash, b.simhash)) <= 2""",
+    "SimHash near-dup pairs: hamming distance <= 2 over 16-bit fingerprints "
+    "(xor + popcount; at scale the join blocks on fingerprint bands)",
+)
+def q_simhash_near_pairs(spark, sf_dir):
+    s = _simhash_df(spark, sf_dir)
+    a, b = s.alias("a"), s.alias("b")
+    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .where(hamming <= 2)
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                hamming.cast("long").alias("hamming"))
+    )
+
+
+# inline the simhash16 oracle SQL as a CTE body for the pair query
+REGISTRY["simhash_near_pairs"].oracle = REGISTRY["simhash_near_pairs"].oracle.replace(
+    "{SIMHASH_SQL}", REGISTRY["simhash16"].oracle)
