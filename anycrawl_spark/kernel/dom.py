@@ -371,6 +371,47 @@ def select(root: Element, selector: str) -> list[Element]:
     return out
 
 
+class CompoundIndex:
+    """Index of single-compound selectors for one-pass matching: an element
+    only tests compounds whose primary key (tag / class / id) it carries,
+    so chrome-free elements match in O(#classes) dict lookups instead of
+    scanning the whole selector list."""
+
+    def __init__(self, compounds: list[Compound]) -> None:
+        self.by_tag: dict[str, list[Compound]] = {}
+        self.by_class: dict[str, list[Compound]] = {}
+        self.by_id: dict[str, list[Compound]] = {}
+        self.rest: list[Compound] = []
+        for c in compounds:
+            if c.tag and c.tag != "*":
+                self.by_tag.setdefault(c.tag, []).append(c)
+            elif c.classes:
+                self.by_class.setdefault(c.classes[0], []).append(c)
+            elif c.ids:
+                self.by_id.setdefault(c.ids[0], []).append(c)
+            else:
+                self.rest.append(c)
+
+    def matches(self, el: Element) -> bool:
+        for c in self.by_tag.get(el.tag, ()):  # noqa: B905
+            if c.matches(el):
+                return True
+        attrs = el.attrs
+        if "class" in attrs:
+            for cls in attrs["class"].split():
+                for c in self.by_class.get(cls, ()):
+                    if c.matches(el):
+                        return True
+        if "id" in attrs:
+            for c in self.by_id.get(attrs["id"], ()):
+                if c.matches(el):
+                    return True
+        for c in self.rest:
+            if c.matches(el):
+                return True
+        return False
+
+
 def parse_compound_list(selectors: list[str]) -> list[Compound]:
     """Compile a list of single-compound selectors (no combinators) for
     one-pass matching."""

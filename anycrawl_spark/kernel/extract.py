@@ -21,7 +21,7 @@ from typing import Any
 
 from .dom import parse_html, serialize
 from .markdown import html_to_markdown, html_to_markdown_dom
-from .text import html_to_text
+from .text import html_to_text, html_to_text_dom
 from .transformer import (
     TransformOptions,
     extract_links,
@@ -77,8 +77,10 @@ def extract_page(
     if "links" in formats:
         result["links"] = extract_links(root, url)
     if "text" in formats:
-        # text is computed from RAW html, not the cleaned html (DataExtractor.ts:486-488)
-        result["text"] = html_to_text(raw_html or "")
+        # text is computed from RAW html, not the cleaned html
+        # (DataExtractor.ts:486-488); reuses the raw parse read-only, before
+        # the transformer mutates the tree below
+        result["text"] = html_to_text_dom(root)
 
     needs_transform = any(f in formats for f in ("html", "markdown", "json", "summary"))
     if needs_transform:

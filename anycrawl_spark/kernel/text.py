@@ -195,11 +195,14 @@ class _Renderer:
             self.blocks.append("\n".join(rows))
 
 
-def html_to_text(html: str) -> str:
-    """Convert raw HTML to plain text with html-to-text default semantics."""
-    root = parse_html(html or "")
-    # operate on <body> if present, else whole tree
+def html_to_text_dom(root: Element) -> str:
+    """DOM-level conversion (read-only over the tree)."""
     body = next((el for el in root.iter() if el.tag == "body"), root)
     renderer = _Renderer()
     renderer.render_children(body)
     return "\n\n".join(b for b in renderer.blocks if b.strip())
+
+
+def html_to_text(html: str) -> str:
+    """Convert raw HTML to plain text with html-to-text default semantics."""
+    return html_to_text_dom(parse_html(html or ""))

@@ -26,6 +26,7 @@ from dataclasses import dataclass, field
 from .canonical import resolve_url
 from .dom import (
     Comment,
+    CompoundIndex,
     Element,
     Text,
     inner_html,
@@ -67,12 +68,8 @@ FORCE_INCLUDE_MAIN_TAGS = [
 
 # Pre-compiled matchers (all entries are single compound selectors, so one
 # document-order walk with local checks replaces per-selector tree scans).
-_EXCLUDE_COMPOUNDS = parse_compound_list(EXCLUDE_NON_MAIN_TAGS)
-_FORCE_COMPOUNDS = parse_compound_list(FORCE_INCLUDE_MAIN_TAGS)
-
-
-def _matches_any(el: Element, compounds) -> bool:
-    return any(c.matches(el) for c in compounds)
+_EXCLUDE_INDEX = CompoundIndex(parse_compound_list(EXCLUDE_NON_MAIN_TAGS))
+_FORCE_INDEX = CompoundIndex(parse_compound_list(FORCE_INCLUDE_MAIN_TAGS))
 
 
 def _remove_non_main(root: Element) -> None:
@@ -88,7 +85,7 @@ def _remove_non_main(root: Element) -> None:
         for c in el.children:
             if isinstance(c, Element):
                 child_found = visit(c)
-                if child_found or _matches_any(c, _FORCE_COMPOUNDS):
+                if child_found or _FORCE_INDEX.matches(c):
                     found = True
         contains_force[id(el)] = found
         return found
@@ -99,7 +96,7 @@ def _remove_non_main(root: Element) -> None:
         for c in list(el.children):
             if not isinstance(c, Element):
                 continue
-            if _matches_any(c, _EXCLUDE_COMPOUNDS) and not contains_force[id(c)]:
+            if _EXCLUDE_INDEX.matches(c) and not contains_force[id(c)]:
                 el.remove_child(c)
             else:
                 sweep(c)
