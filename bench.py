@@ -184,7 +184,7 @@ def main() -> None:
         t_n, t_4n = results[0]["urls_per_sec"], results[1]["urls_per_sec"]
         efficiency = round((t_4n / t_n) / (results[1]["cores"] / results[0]["cores"]), 3)
         scaling = {"probes": results, "efficiency": efficiency}
-        with open(os.path.join(CACHE, "scaling.json"), "w") as f:
+        with open(os.path.join(REPO, "SCALING.json"), "w") as f:
             json.dump(scaling, f, indent=1)
         print(json.dumps(scaling, indent=1))
         return
@@ -223,7 +223,7 @@ def main() -> None:
             "ann_bruteforce_topk", "token_count", "windowed_events",
         ]))
         scaling = None
-        scaling_path = os.path.join(CACHE, "scaling.json")
+        scaling_path = os.path.join(REPO, "SCALING.json")
         if os.path.exists(scaling_path):
             with open(scaling_path) as f:
                 scaling = json.load(f)
