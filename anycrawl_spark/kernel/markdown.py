@@ -313,6 +313,14 @@ class _Converter:
         # ordered highest-priority first
         self.rules: list[tuple] = []
         self._build_rules()
+        # tag-indexed dispatch: every rule filter is tag-constrained, so a
+        # node only evaluates the (priority-ordered) rules for its own tag
+        self._by_tag: dict[str, list[tuple]] = {}
+        for prio, (filt, repl) in enumerate(self.rules):
+            for tag in getattr(filt, "_tags", ()):
+                self._by_tag.setdefault(tag, []).append((prio, filt, repl))
+        for lst in self._by_tag.values():
+            lst.sort(key=lambda t: t[0])
 
     def add(self, filt, repl) -> None:
         self.rules.insert(0, (filt, repl))
@@ -320,7 +328,17 @@ class _Converter:
     # -- default turndown rules (lowest priority) --------------------------
     def _build_rules(self) -> None:
         def tag_filter(*tags):
-            return lambda n: n.tag in tags
+            tagset = frozenset(tags)
+
+            def filt(n):
+                return n.tag in tagset
+
+            filt._tags = tagset
+            return filt
+
+        def hint(filt, *tags):
+            filt._tags = frozenset(tags)
+            return filt
 
         # heading (atx)
         def heading_repl(content: str, node: Element) -> str:
@@ -382,8 +400,9 @@ class _Converter:
             return "\n\n```" + language + "\n" + code_text.replace("\n$", "") + "\n```\n\n"
 
         self.add(
-            lambda n: n.tag == "pre" and n.children and isinstance(n.children[0], Element)
-            and n.children[0].tag == "code",
+            hint(lambda n: n.tag == "pre" and n.children
+                 and isinstance(n.children[0], Element)
+                 and n.children[0].tag == "code", "pre"),
             fenced_repl,
         )
 
@@ -414,7 +433,7 @@ class _Converter:
                 delimiter += "`"
             return delimiter + extra + content + extra + delimiter
 
-        self.add(inline_code_filter, inline_code_repl)
+        self.add(hint(inline_code_filter, "code"), inline_code_repl)
 
         # default image/link rules are fully overridden below; skip them.
 
@@ -431,7 +450,8 @@ class _Converter:
                 and node.parent.tag == "li"
             )
 
-        self.add(task_filter, lambda c, n: ("[x] " if "checked" in n.attrs else "[ ] "))
+        self.add(hint(task_filter, "input"),
+                 lambda c, n: ("[x] " if "checked" in n.attrs else "[ ] "))
 
         # tables
         def is_heading_row(tr: Element | None) -> bool:
@@ -479,7 +499,7 @@ class _Converter:
                 cur = cur.parent
             return None
 
-        self.add(table_cell_filter, cell)
+        self.add(hint(table_cell_filter, "th", "td"), cell)
 
         def table_row_repl(content: str, node: Element) -> str:
             border = ""
@@ -493,7 +513,8 @@ class _Converter:
                 )
             return "\n" + content + border
 
-        self.add(lambda n: n.tag == "tr" and _table_of(n) is not None, table_row_repl)
+        self.add(hint(lambda n: n.tag == "tr" and _table_of(n) is not None, "tr"),
+                 table_row_repl)
 
         def table_repl(content: str, node: Element) -> str:
             if not is_heading_row(first_row(node)):
@@ -515,8 +536,9 @@ class _Converter:
             return "\n\n```" + language + "\n" + clean + "\n```\n\n"
 
         self.add(
-            lambda n: n.tag == "pre" and n.children and isinstance(n.children[0], Element)
-            and n.children[0].tag == "code",
+            hint(lambda n: n.tag == "pre" and n.children
+                 and isinstance(n.children[0], Element)
+                 and n.children[0].tag == "code", "pre"),
             pre_code_repl,
         )
 
@@ -529,7 +551,8 @@ class _Converter:
             link_text = clean or href
             return f"[{link_text}]({href}{title})"
 
-        self.add(lambda n: n.tag == "a" and n.attrs.get("href"), inline_link_repl)
+        self.add(hint(lambda n: n.tag == "a" and n.attrs.get("href"), "a"),
+                 inline_link_repl)
 
         # images (ts:181-205)
         def image_repl(content: str, node: Element) -> str:
@@ -549,7 +572,8 @@ class _Converter:
         self.add(tag_filter("img"), image_repl)
 
         # removed elements (ts:208-214)
-        self.add(lambda n: n.tag in _REMOVED_TAGS, lambda c, n: "")
+        self.add(hint(lambda n: n.tag in _REMOVED_TAGS, *_REMOVED_TAGS),
+                 lambda c, n: "")
 
         # paragraphs (ts:217-234)
         def para_repl(content: str, node: Element) -> str:
@@ -620,7 +644,7 @@ class _Converter:
             image_md = content.strip()
             return image_md if invalid else f"[{image_md}]({href})"
 
-        self.add(linked_image_filter, linked_image_repl)
+        self.add(hint(linked_image_filter, "a"), linked_image_repl)
 
         # sections (ts:320-345)
         def section_repl(content: str, node: Element) -> str:
@@ -666,15 +690,14 @@ class _Converter:
     # -- rule resolution ---------------------------------------------------
     def rule_for(self, node: Element):
         if _is_blank(node):
-            return None, lambda c, n: ("\n\n" if _is_block(n) else "")
-        for filt, repl in self.rules:
+            return None, _blank_repl
+        for _prio, filt, repl in self._by_tag.get(node.tag, ()):
             try:
                 if filt(node):
                     return filt, repl
             except Exception:
                 continue
-        # default rule
-        return None, lambda c, n: ("\n\n" + c + "\n\n" if _is_block(n) else c)
+        return None, _default_repl
 
     # -- tree processing ---------------------------------------------------
     def process(self, parent: Element) -> str:
@@ -766,6 +789,14 @@ def _normalize_link_text_whitespace(s: str) -> str:  # ts:413-422
         return f"[{cleaned}]({m.group(2)})"
 
     return _LINK_TEXT_RE.sub(repl, s)
+
+
+def _blank_repl(c, n):
+    return "\n\n" if _is_block(n) else ""
+
+
+def _default_repl(c, n):
+    return "\n\n" + c + "\n\n" if _is_block(n) else c
 
 
 _CONVERTER = _Converter()          # rules are stateless — build once
