@@ -139,3 +139,45 @@ def classify_price_change(path: str, old_value: float | None,
     if pct >= pct_threshold:
         return "price_drop" if new_value < old_value else "price_increase"
     return "price_minor"
+
+
+def json_field_diff(old: dict | list | None, new: dict | list | None,
+                    path: str = "") -> list[dict]:
+    """M4 (diff.ts:170-209): recursive JSON field diff → flat change records
+    {path, change ∈ added/removed/modified, old_value, new_value} with
+    numeric delta where both sides are numbers."""
+    changes: list[dict] = []
+
+    def rec(o, n, p):
+        if isinstance(o, dict) and isinstance(n, dict):
+            for k in sorted(set(o) | set(n)):
+                child = f"{p}.{k}" if p else k
+                if k not in o:
+                    changes.append({"path": child, "change": "added",
+                                    "old_value": None, "new_value": n[k], "delta": None})
+                elif k not in n:
+                    changes.append({"path": child, "change": "removed",
+                                    "old_value": o[k], "new_value": None, "delta": None})
+                else:
+                    rec(o[k], n[k], child)
+        elif isinstance(o, list) and isinstance(n, list):
+            for i in range(max(len(o), len(n))):
+                child = f"{p}[{i}]"
+                if i >= len(o):
+                    changes.append({"path": child, "change": "added",
+                                    "old_value": None, "new_value": n[i], "delta": None})
+                elif i >= len(n):
+                    changes.append({"path": child, "change": "removed",
+                                    "old_value": o[i], "new_value": None, "delta": None})
+                else:
+                    rec(o[i], n[i], child)
+        elif o != n:
+            delta = None
+            if isinstance(o, (int, float)) and isinstance(n, (int, float)) \
+                    and not isinstance(o, bool) and not isinstance(n, bool):
+                delta = n - o
+            changes.append({"path": p, "change": "modified",
+                            "old_value": o, "new_value": n, "delta": delta})
+
+    rec(old or {}, new or {}, path)
+    return changes

@@ -107,6 +107,33 @@ def bulk_crawl_extract(spark, corpus_path: str, out_dir: str) -> tuple[float, in
     return seconds, n
 
 
+def politeness_round(spark, corpus_path: str, budget: int = 100) -> float:
+    """One politeness pass over the full corpus as a frontier: robots-style
+    host columns, skew salting, per-host budget window — the north-rule
+    shuffle-by-host at 100k-frontier scale (timing only; semantics are
+    covered by tests)."""
+    from pyspark.sql import functions as F
+
+    from anycrawl_spark.crawl import _canonical_cols
+    from anycrawl_spark.politeness import apply_host_budget, salt_skewed_hosts
+
+    pages = spark.read.parquet(corpus_path)
+    frontier = (
+        _canonical_cols(pages.select("url"), "url")
+        .withColumn("depth", F.lit(0))
+        .withColumn("seq", F.pmod(
+            F.conv(F.substring("url_hash", 1, 12), 16, 10).cast("long"),
+            F.lit(1_000_000_000)))
+    )
+    t0 = time.time()
+    salted = salt_skewed_hosts(frontier, skew_threshold=2000)
+    admitted, deferred = apply_host_budget(salted, budget,
+                                           order_cols=("depth", "seq"))
+    admitted.write.mode("overwrite").format("noop").save()
+    deferred.write.mode("overwrite").format("noop").save()
+    return time.time() - t0
+
+
 def bfs_crawl(spark, corpus_path: str, limit: int) -> tuple[float, int]:
     """Round-loop crawl job (frontier/seen/politeness machinery) timing."""
     from anycrawl_spark.crawl import CrawlConfig, CrawlEngine
@@ -216,6 +243,7 @@ def main() -> None:
         queries = {
             "crawl_extract_full": round(crawl_sec, 3),
             "crawl_bfs_rounds": round(bfs_sec, 3),
+            "politeness_budget_round": round(politeness_round(spark, corpus_path), 3),
         }
         queries.update(run_registry_queries(spark, [
             "tpch_q1_pricing", "tpch_q3_revenue", "perhost_topk",

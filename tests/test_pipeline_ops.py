@@ -136,3 +136,28 @@ class TestMonitor:
         assert classify_price_change("offer.price", 100.0, 120.0) == "price_increase"
         assert classify_price_change("title", 1.0, 2.0) == "not_price"
         assert classify_price_change("total_cost", None, 2.0) == "price_unknown"
+
+
+class TestJsonDiff:
+    def test_recursive_field_diff(self):
+        from anycrawl_spark.monitor import json_field_diff
+
+        old = {"offer": {"price": 100.0, "currency": "USD"},
+               "tags": ["a", "b"], "stock": 5}
+        new = {"offer": {"price": 80.0, "currency": "USD"},
+               "tags": ["a", "c", "d"], "sku": "X1"}
+        changes = {c["path"]: c for c in json_field_diff(old, new)}
+        assert changes["offer.price"]["change"] == "modified"
+        assert changes["offer.price"]["delta"] == -20.0
+        assert changes["tags[1]"]["change"] == "modified"
+        assert changes["tags[2]"]["change"] == "added"
+        assert changes["stock"]["change"] == "removed"
+        assert changes["sku"]["change"] == "added"
+        assert "offer.currency" not in changes
+
+    def test_price_pipeline(self):
+        from anycrawl_spark.monitor import classify_price_change, json_field_diff
+
+        changes = json_field_diff({"offer": {"price": 100.0}}, {"offer": {"price": 80.0}})
+        c = changes[0]
+        assert classify_price_change(c["path"], c["old_value"], c["new_value"]) == "price_drop"
