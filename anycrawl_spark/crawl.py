@@ -43,7 +43,7 @@ from .seen import build_segments, filter_new, merge_segments
 from .udfs import make_extract_udf
 
 FRONTIER_COLS = ["job_id", "url", "url_hash", "host", "origin", "path",
-                 "depth", "seq", "round_added"]
+                 "depth", "seq", "round_added", "attempt"]
 
 
 @dataclass
@@ -61,6 +61,7 @@ class CrawlConfig:
     exclude_paths: list[str] = field(default_factory=list)
     scrape_paths: list[str] = field(default_factory=list)
     politeness_budget: int = 0           # per-host fetches per round; 0 = unlimited
+    max_attempts: int = 1                # fetch retries (Queue.ts:84-89 attempts=3)
     batch_size: int = 0                  # rows fetched per round; 0 = whole round
     respect_robots: bool = True          # --anycrawl-compat off ⇒ True (north rule)
     formats: tuple[str, ...] = ("markdown", "text", "links", "html")
@@ -132,8 +133,9 @@ class CrawlEngine:
 
     def _seed_frontier(self, cfg: CrawlConfig) -> DataFrame:
         seed = self.spark.createDataFrame(
-            [(cfg.job_id, cfg.seed_url, 0, 0, 0)],
-            schema="job_id string, url string, depth int, seq long, round_added int",
+            [(cfg.job_id, cfg.seed_url, 0, 0, 0, 1)],
+            schema="job_id string, url string, depth int, seq long, "
+                   "round_added int, attempt int",
         )
         return _canonical_cols(seed, "url").select(*FRONTIER_COLS)
 
@@ -222,7 +224,8 @@ class CrawlEngine:
                 F.when(F.col("status") == 200, extract_udf(F.col("url"), F.col("html"))),
             )
             .select(
-                "job_id", "url", "url_hash", "host", "depth", "seq", "status",
+                "job_id", "url", "url_hash", "host", "depth", "seq", "attempt",
+                "status",
                 # F11 error classification (EngineConfigurator.ts:599-708):
                 # corpus-replay failures are all http_error-class
                 F.when(F.col("status") == 200, F.lit(None).cast("string"))
@@ -244,10 +247,16 @@ class CrawlEngine:
             .cache()
         )
 
-        status_counts = {row["status"]: row["count"]
-                         for row in docs.groupBy("status").count().collect()}
-        n_fetched = status_counts.get(200, 0)
-        n_failed = sum(v for k, v in status_counts.items() if k != 200)
+        final_attempt = (F.col("status") == 200) | (F.col("attempt") >= cfg.max_attempts)
+        outcome_counts = {
+            (row["status"], row["final"]): row["count"]
+            for row in docs.groupBy("status", final_attempt.alias("final"))
+            .count().collect()
+        }
+        n_fetched = sum(v for (s_, fin), v in outcome_counts.items() if s_ == 200)
+        n_failed = sum(v for (s_, fin), v in outcome_counts.items()
+                       if s_ != 200 and fin)
+
 
         # results: persistence gated by scrape_paths (F5) — links still flow
         self.catalog.append_round(
@@ -256,7 +265,7 @@ class CrawlEngine:
         # visits: complete per-round visit log (crawl-order golden surface)
         self.catalog.append_round(
             docs.select("job_id", "url", "url_hash", "host", "depth", "seq",
-                        "status", "round"),
+                        "attempt", "status", "round"),
             "visits", r)
 
         # per-partition lineage/metrics (north rule)
@@ -318,6 +327,7 @@ class CrawlEngine:
                 .withColumn("depth", F.col("parent_depth") + 1)
                 .withColumn("seq", F.lit(enqueued) - 1 + F.col("__rn"))
                 .withColumn("round_added", F.lit(r))
+                .withColumn("attempt", F.lit(1))
                 .select(*FRONTIER_COLS)
                 .cache()
             )
@@ -325,6 +335,23 @@ class CrawlEngine:
 
         # --- next pending + seen/bloom appends -----------------------------
         next_pending = deferred.select(*FRONTIER_COLS)
+        if cfg.max_attempts > 1:
+            retries = (
+                docs.where(~final_attempt)
+                .select("job_id", "url", "url_hash", "host", "depth", "seq",
+                        (F.col("attempt") + 1).alias("attempt"))
+                .join(pending.select("url_hash",
+                                     F.col("origin").alias("__o"),
+                                     F.col("path").alias("__p"),
+                                     F.col("round_added").alias("__ra")),
+                      "url_hash")
+                .select("job_id", "url", "url_hash", "host",
+                        F.col("__o").alias("origin"), F.col("__p").alias("path"),
+                        "depth", "seq", F.col("__ra").alias("round_added"),
+                        "attempt")
+                .select(*FRONTIER_COLS)
+            )
+            next_pending = next_pending.unionByName(retries)
         if new_rows is not None and n_new > 0:
             next_pending = next_pending.unionByName(new_rows)
         self.catalog.append_round(next_pending, "pending", r)

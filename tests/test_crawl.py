@@ -211,3 +211,32 @@ class TestExtractionParity:
         assert n > 0
         mismatches = joined.where(F.col("r.text") != F.col("c.text")).count()
         assert mismatches == 0
+
+
+class TestRetries:
+    def test_failed_fetch_retried_max_attempts(self, spark, small_corpus, tmp_root):
+        """S5 retry semantics (Queue.ts:84-89): a URL missing from the corpus
+        is attempted max_attempts times across rounds, then counted failed
+        exactly once; successful fetches are never retried."""
+        kw = dict(seed_url=SEED, strategy="same-hostname", max_depth=2, limit=15,
+                  max_attempts=3, respect_robots=False)
+        engine = CrawlEngine(spark, small_corpus, os.path.join(tmp_root, "retry"))
+        summary = engine.run(CrawlConfig(job_id="retry", **kw))
+        visits = engine.visits().collect()
+        by_url = {}
+        for v in visits:
+            by_url.setdefault(v["url"], []).append((v["attempt"], v["status"], v["round"]))
+        # the "/" home link 404s → exactly 3 attempts, increasing rounds
+        home = by_url.get("https://site000.test/")
+        assert home is not None
+        attempts = sorted(home)
+        assert [a for a, _, _ in attempts] == [1, 2, 3]
+        assert all(s == 404 for _, s, _ in attempts)
+        rounds = [r for _, _, r in attempts]
+        assert rounds == sorted(rounds) and len(set(rounds)) == 3
+        # successes appear once
+        ok_urls = [u for u, vs in by_url.items() if vs[0][1] == 200]
+        assert all(len(by_url[u]) == 1 for u in ok_urls)
+        # failure counted once in totals despite 3 visits
+        n404_urls = len([u for u, vs in by_url.items() if all(s == 404 for _, s, _ in vs)])
+        assert summary["failed"] == n404_urls
