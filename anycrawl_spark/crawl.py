@@ -61,6 +61,7 @@ class CrawlConfig:
     exclude_paths: list[str] = field(default_factory=list)
     scrape_paths: list[str] = field(default_factory=list)
     politeness_budget: int = 0           # per-host fetches per round; 0 = unlimited
+    budget_salt_n: int = 0               # >1: two-stage salted per-host top-k (hot hosts)
     max_attempts: int = 1                # fetch retries (Queue.ts:84-89 attempts=3)
     batch_size: int = 0                  # rows fetched per round; 0 = whole round
     respect_robots: bool = True          # --anycrawl-compat off ⇒ True (north rule)
@@ -197,7 +198,8 @@ class CrawlEngine:
 
         # --- politeness: per-host budget window (the host shuffle) ---------
         admitted, deferred = apply_host_budget(
-            pending, cfg.politeness_budget, order_cols=("depth", "seq"))
+            pending, cfg.politeness_budget, order_cols=("depth", "seq"),
+            salt_n=cfg.budget_salt_n)
         if cfg.batch_size and cfg.batch_size > 0:
             # coordinator batch semantics (crawlCoordinator.ts:33-38): take
             # the first batch_size rows in FIFO (seq) order

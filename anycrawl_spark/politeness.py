@@ -128,16 +128,45 @@ def robots_allowed(candidates: DataFrame, robots: DataFrame | None,
 
 def apply_host_budget(frontier: DataFrame, budget: int | None,
                       host_col: str = "host",
-                      order_cols: tuple[str, ...] = ("depth", "seq")) -> tuple[DataFrame, DataFrame]:
-    """Split a round's frontier into (admitted, deferred) by per-host top-k.
+                      order_cols: tuple[str, ...] = ("depth", "seq"),
+                      salt_n: int = 0,
+                      url_col: str = "url") -> tuple[DataFrame, DataFrame]:
+    """Split a round's frontier into (admitted, deferred) by per-host top-k
+    — the per-host priority queue of the north rule (priority = order_cols).
 
     The window shuffles by host — that shuffle IS the politeness mechanism
     (it also co-locates each host's rows, which downstream per-host fetch
     would want). Returns deferred rows so the round loop re-enqueues them.
+
+    With ``salt_n > 0`` the top-k runs in two stages so one hot host cannot
+    serialize the window sort into a single task: stage 1 keeps the top
+    ``budget`` rows per (host, salt) bucket in parallel; stage 2 runs the
+    exact per-host top-k over the surviving ``<= budget x salt_n`` rows per
+    host. The per-host winners of stage 2 all survive stage 1 (each is in
+    its bucket's own top-budget), so the result is identical to the
+    single-stage window.
     """
     if not budget or budget <= 0:
         return frontier, frontier.limit(0)
-    w = Window.partitionBy(host_col).orderBy(*[F.col(c) for c in order_cols])
+    order = [F.col(c) for c in order_cols]
+    if salt_n and salt_n > 1:
+        salt = F.pmod(
+            F.conv(F.substring(F.sha2(F.col(url_col), 256), 1, 8), 16, 10).cast("long"),
+            F.lit(salt_n),
+        )
+        salted = frontier.withColumn("__salt", salt)
+        w1 = Window.partitionBy(host_col, "__salt").orderBy(*order)
+        stage1 = salted.withColumn("__r1", F.row_number().over(w1))
+        survivors = stage1.where(F.col("__r1") <= budget).drop("__r1")
+        w2 = Window.partitionBy(host_col).orderBy(*order)
+        ranked = survivors.withColumn("__host_rank", F.row_number().over(w2))
+        admitted = ranked.where(F.col("__host_rank") <= budget).drop("__host_rank", "__salt")
+        # deferred = everything not admitted (stage-1 losers included)
+        deferred = frontier.join(
+            admitted.select(F.col(url_col).alias("__adm_url")),
+            frontier[url_col] == F.col("__adm_url"), "left_anti")
+        return admitted, deferred
+    w = Window.partitionBy(host_col).orderBy(*order)
     ranked = frontier.withColumn("__host_rank", F.row_number().over(w))
     admitted = ranked.where(F.col("__host_rank") <= budget).drop("__host_rank")
     deferred = ranked.where(F.col("__host_rank") > budget).drop("__host_rank")

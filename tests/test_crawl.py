@@ -240,3 +240,17 @@ class TestRetries:
         # failure counted once in totals despite 3 visits
         n404_urls = len([u for u, vs in by_url.items() if all(s == 404 for _, s, _ in vs)])
         assert summary["failed"] == n404_urls
+
+
+class TestSaltedBudgetParity:
+    def test_salted_budget_crawl_matches_simulator(self, spark, small_corpus,
+                                                   corpus_dict, tmp_root):
+        """budget_salt_n changes physical execution (two-stage top-k), never
+        semantics: visit order and seen set still equal the simulator."""
+        kw = dict(seed_url=SEED, strategy="all", max_depth=4, limit=60,
+                  politeness_budget=2, budget_salt_n=4, respect_robots=False)
+        _, _, visits, seen = run_engine(spark, small_corpus, tmp_root,
+                                        "saltbudget", **kw)
+        sim = simulate_crawl(corpus_dict, SEED, strategy="all", max_depth=4,
+                             limit=60, politeness_budget=2)
+        assert_parity(spark, visits, seen, sim)

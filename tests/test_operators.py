@@ -278,3 +278,24 @@ class TestStatefulStreaming:
         assert ("b.test", "https://b.test/1") in rows
         # dense per-host sequence
         assert sorted(v for (h, _), v in rows.items() if h == "a.test") == [0, 1, 2]
+
+
+class TestSaltedBudget:
+    def test_two_stage_equals_single_stage(self, spark):
+        """Salted two-stage per-host top-k returns exactly the single-stage
+        window's admitted set (hot-host scalability without semantic drift)."""
+        from anycrawl_spark.politeness import apply_host_budget
+
+        rows = spark.range(0, 3000).select(
+            F.concat(F.lit("h"), (F.col("id") % 3).cast("string")).alias("host"),
+            F.concat(F.lit("https://h"), (F.col("id") % 3).cast("string"),
+                     F.lit(".test/p/"), F.col("id").cast("string")).alias("url"),
+            (F.col("id") % 7).cast("int").alias("depth"),
+            F.col("id").alias("seq"),
+        )
+        plain_adm, plain_def = apply_host_budget(rows, 25)
+        salted_adm, salted_def = apply_host_budget(rows, 25, salt_n=8)
+        plain = {r["url"] for r in plain_adm.collect()}
+        salted = {r["url"] for r in salted_adm.collect()}
+        assert plain == salted
+        assert plain_def.count() == salted_def.count() == 3000 - len(plain)
