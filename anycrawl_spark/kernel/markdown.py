@@ -26,7 +26,7 @@ from .dom import (
     next_sibling,
     parse_html,
     prev_sibling,
-    select_one,
+    serialize,
 )
 
 BLOCK_ELEMENTS = {
@@ -518,7 +518,9 @@ class _Converter:
 
         def table_repl(content: str, node: Element) -> str:
             if not is_heading_row(first_row(node)):
-                return content  # gfm keeps such tables as raw HTML; we emit content
+                # gfm `keep()` path: tables without a heading row are kept as
+                # raw HTML (turndown keepReplacement: block → \n\n+outerHTML+\n\n)
+                return "\n\n" + serialize(node) + "\n\n"
             content = content.replace("\n\n", "\n")
             return "\n\n" + content + "\n\n"
 

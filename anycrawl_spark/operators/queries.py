@@ -1067,3 +1067,62 @@ def q_simhash_near_pairs(spark, sf_dir):
 # inline the simhash16 oracle SQL as a CTE body for the pair query
 REGISTRY["simhash_near_pairs"].oracle = REGISTRY["simhash_near_pairs"].oracle.replace(
     "{SIMHASH_SQL}", REGISTRY["simhash16"].oracle)
+
+
+@register(
+    "strategy_filter",
+    """SELECT doc_id, host FROM (
+         SELECT doc_id,
+                CASE WHEN doc_id % 4 = 0 THEN 'sub' || (doc_id % 3)::VARCHAR || '.site0.test'
+                     ELSE 'site' || (doc_id % 5)::VARCHAR || '.test' END AS host
+         FROM documents)
+       WHERE host = 'site0.test'
+          OR (host LIKE '%.site0.test'
+              AND host = 'sub' || ((doc_id % 3))::VARCHAR || '.site0.test')""",
+    "F3: same-domain strategy = last-2-label base-domain equality "
+    "(seed host site0.test; subdomains pass, other domains do not)",
+)
+def q_strategy_filter(spark, sf_dir):
+    from anycrawl_spark.politeness import strategy_cond
+
+    documents = load(spark, sf_dir, "documents")
+    host = F.when(
+        F.col("doc_id") % 4 == 0,
+        F.concat(F.lit("sub"), (F.col("doc_id") % 3).cast("string"), F.lit(".site0.test")),
+    ).otherwise(
+        F.concat(F.lit("site"), (F.col("doc_id") % 5).cast("string"), F.lit(".test"))
+    )
+    df = documents.select("doc_id", host.alias("host"))
+    origin = F.concat(F.lit("https://"), F.col("host"))
+    return df.where(
+        strategy_cond(F.col("host"), origin, "https://site0.test/p/0", "same-domain"))
+
+
+@register(
+    "glob_path_filter",
+    """SELECT doc_id, url FROM (
+         SELECT doc_id,
+                'https://docs.test' ||
+                CASE WHEN doc_id % 3 = 0 THEN '/blog/p/' || doc_id::VARCHAR
+                     WHEN doc_id % 3 = 1 THEN '/p/' || doc_id::VARCHAR
+                     ELSE '/p/' || doc_id::VARCHAR || '/extra' END AS url
+         FROM documents)
+       WHERE regexp_matches(url, '^.*/p/[^/]*$')
+         AND NOT regexp_matches(url, '^.*/blog/.*$')""",
+    "F4: include/exclude path filters — minimatch globs **/p/* (include) and "
+    "**/blog/** (exclude) compiled to the same regexes in both engines",
+)
+def q_glob_path_filter(spark, sf_dir):
+    from anycrawl_spark.politeness import path_filter_cond
+
+    documents = load(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://docs.test"),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.lit("/blog/p/"), F.col("doc_id").cast("string")))
+        .when(F.col("doc_id") % 3 == 1,
+              F.concat(F.lit("/p/"), F.col("doc_id").cast("string")))
+        .otherwise(F.concat(F.lit("/p/"), F.col("doc_id").cast("string"), F.lit("/extra"))),
+    )
+    df = documents.select("doc_id", url.alias("url"))
+    return df.where(path_filter_cond(F.col("url"), ["**/p/*"], ["**/blog/**"]))

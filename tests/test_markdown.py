@@ -265,3 +265,18 @@ class TestRegression:
     def test_linked_images(self):
         result = html_to_markdown('<a href="https://example.com"><img src="image.jpg" alt="Image"></a>')
         assert "![Image](image.jpg)" in result
+
+
+class TestGfmKeep:
+    def test_table_without_heading_row_kept_raw(self):
+        # turndown-plugin-gfm keep(): no-thead tables survive as raw HTML
+        html = "<table><tbody><tr><td>a</td><td>b</td></tr></tbody></table>"
+        result = html_to_markdown(html)
+        assert "<table>" in result and "<td>a</td>" in result
+
+    def test_table_with_heading_row_converted(self):
+        html = ("<table><thead><tr><th>H</th></tr></thead>"
+                "<tbody><tr><td>x</td></tr></tbody></table>")
+        result = html_to_markdown(html)
+        assert "<table>" not in result
+        assert "| H |" in result and "| x |" in result
