@@ -254,3 +254,24 @@ class TestSaltedBudgetParity:
         sim = simulate_crawl(corpus_dict, SEED, strategy="all", max_depth=4,
                              limit=60, politeness_budget=2)
         assert_parity(spark, visits, seen, sim)
+
+
+class TestCombinedSemantics:
+    def test_all_features_together(self, spark, small_corpus, corpus_dict,
+                                   robots_df, robots_dict, tmp_root):
+        """The north-rule scenario in one job: robots + politeness budget +
+        globs + depth + limit simultaneously, exact order/membership parity."""
+        inc, exc = [], ["**/blog/**"]
+        kw = dict(seed_url=SEED, strategy="same-domain", max_depth=5, limit=45,
+                  include_paths=inc, exclude_paths=exc, politeness_budget=3,
+                  respect_robots=True)
+        _, summary, visits, seen = run_engine(
+            spark, small_corpus, tmp_root, "combo", robots=robots_df, **kw)
+        sim = simulate_crawl(corpus_dict, SEED, strategy="same-domain",
+                             max_depth=5, limit=45, include_paths=inc,
+                             exclude_paths=exc, politeness_budget=3,
+                             robots=robots_dict)
+        assert_parity(spark, visits, seen, sim)
+        assert all("/private/" not in v[1] and "/blog/" not in v[1]
+                   for v in visits[1:])
+        assert summary["done"] == sim.done and summary["enqueued"] == sim.enqueued
