@@ -27,6 +27,7 @@ reproduces exactly (SURVEY.md §7.4 hard-part 2/3).
 from __future__ import annotations
 
 import time
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
@@ -260,15 +261,23 @@ class CrawlEngine:
                        if s_ != 200 and fin)
 
 
-        # results: persistence gated by scrape_paths (F5) — links still flow
-        self.catalog.append_round(
-            docs.where(F.col("should_scrape")).drop("links", "should_scrape"),
-            "results", r)
-        # visits: complete per-round visit log (crawl-order golden surface)
-        self.catalog.append_round(
-            docs.select("job_id", "url", "url_hash", "host", "depth", "seq",
-                        "attempt", "status", "round"),
-            "visits", r)
+        # results: persistence gated by scrape_paths (F5) — links still flow;
+        # visits: complete per-round visit log (crawl-order golden surface).
+        # The docs-derived writes are independent reads of the cached docs →
+        # submitted concurrently (Spark schedules concurrent jobs fine; each
+        # write targets its own round directory).
+        writes = ThreadPoolExecutor(max_workers=3)
+        pending_writes = [
+            writes.submit(
+                self.catalog.append_round,
+                docs.where(F.col("should_scrape")).drop("links", "should_scrape"),
+                "results", r),
+            writes.submit(
+                self.catalog.append_round,
+                docs.select("job_id", "url", "url_hash", "host", "depth", "seq",
+                            "attempt", "status", "round"),
+                "visits", r),
+        ]
 
         # per-partition lineage/metrics (north rule)
         metrics = (
@@ -279,7 +288,8 @@ class CrawlEngine:
             .withColumn("round", F.lit(r))
             .withColumn("job_id", F.lit(cfg.job_id))
         )
-        self.catalog.append_round(metrics, "metrics", r)
+        pending_writes.append(
+            writes.submit(self.catalog.append_round, metrics, "metrics", r))
 
         # --- discover → filter → dedup → enqueue ---------------------------
         new_rows = None
@@ -336,6 +346,8 @@ class CrawlEngine:
             n_new = new_rows.count()
 
         # --- next pending + seen/bloom appends -----------------------------
+        for fut in pending_writes:
+            fut.result()
         next_pending = deferred.select(*FRONTIER_COLS)
         if cfg.max_attempts > 1:
             retries = (
@@ -356,15 +368,20 @@ class CrawlEngine:
             next_pending = next_pending.unionByName(retries)
         if new_rows is not None and n_new > 0:
             next_pending = next_pending.unionByName(new_rows)
-        self.catalog.append_round(next_pending, "pending", r)
-        # pending count from the written files' footers (metadata-only scan)
-        n_pending_next = self.catalog.read_round_uncommitted(spark, "pending", r).count()
+        state_writes = [writes.submit(self.catalog.append_round, next_pending, "pending", r)]
         if n_new > 0:
-            self.catalog.append_round(new_rows.select("url_hash"), "seen", r)
-            self.catalog.append_round(
+            state_writes.append(writes.submit(
+                self.catalog.append_round, new_rows.select("url_hash"), "seen", r))
+            state_writes.append(writes.submit(
+                self.catalog.append_round,
                 build_segments(new_rows, num_buckets=cfg.bloom_num_buckets,
                                m_bits=cfg.bloom_m_bits, k=cfg.bloom_k),
-                "bloom", r)
+                "bloom", r))
+        for fut in state_writes:
+            fut.result()
+        writes.shutdown(wait=True)
+        # pending count from the written files' footers (metadata-only scan)
+        n_pending_next = self.catalog.read_round_uncommitted(spark, "pending", r).count()
 
         done = progress["done"] + n_fetched + n_failed
         failed = progress["failed"] + n_failed

@@ -239,7 +239,7 @@ def main() -> None:
             sec, n_urls = bulk_crawl_extract(spark, corpus_path, out_dir)
             crawl_sec = sec if crawl_sec is None else min(crawl_sec, sec)
         bfs_sec, bfs_done = bfs_crawl(spark, corpus_path,
-                                      limit=min(2000, corpus_pages(sf) // 10))
+                                      limit=min(10000, corpus_pages(sf) // 10))
         queries = {
             "crawl_extract_full": round(crawl_sec, 3),
             "crawl_bfs_rounds": round(bfs_sec, 3),
