@@ -87,7 +87,7 @@ def q_perhost_topk(spark, sf_dir):
     customer = load(spark, sf_dir, "customer")
     w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
     return (
-        customer.withColumn("host_rank", F.row_number().over(w))
+        customer.withColumn("host_rank", F.row_number().over(w).cast("long"))
         .where(F.col("host_rank") <= 3)
         .select("c_nationkey", "c_custkey", "c_acctbal", "host_rank")
     )
@@ -359,7 +359,7 @@ def q_frontier_order(spark, sf_dir):
     events = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return (
-        events.withColumn("seq", F.row_number().over(w))
+        events.withColumn("seq", F.row_number().over(w).cast("long"))
         .where(F.col("seq") <= 5)
         .select("user_id", "event_id", "seq")
     )
@@ -772,7 +772,7 @@ def q_ann_bruteforce_topk(spark, sf_dir):
         e.where(F.col("vec_id") != 0)
         .crossJoin(F.broadcast(q))
         .withColumn("cos_raw", cos)
-        .withColumn("rnk", F.row_number().over(w))
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
         .where(F.col("rnk") <= 10)
         .select("vec_id", F.round(F.col("cos_raw"), 6).alias("cosine"), "rnk")
     )
@@ -804,7 +804,7 @@ def q_ann_ivf_topk(spark, sf_dir):
         e.join(F.broadcast(q), e["label"] == F.col("qlabel"))
         .where(F.col("vec_id") != 0)
         .withColumn("cos_raw", cos)
-        .withColumn("rnk", F.row_number().over(w))
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
         .where(F.col("rnk") <= 5)
         .select("vec_id", F.round(F.col("cos_raw"), 6).alias("cosine"), "rnk")
     )
