@@ -133,6 +133,18 @@ class CrawlEngine:
             return {"round": -1, "done": 0, "failed": 0, "enqueued": 0, "finalized": False}
         return self.catalog.round_meta(last) or {}
 
+    def _latest_bloom(self, spark: SparkSession,
+                      up_to_round: int) -> DataFrame | None:
+        """Newest committed bloom round ≤ ``up_to_round``. Bloom checkpoints
+        are cumulative (each round's write is the OR-merge of its delta with
+        the prior checkpoint), so the newest round alone IS the seen filter —
+        no per-round history re-merge."""
+        rounds = [rr for rr in self.catalog.committed_rounds("bloom")
+                  if rr <= up_to_round]
+        if not rounds:
+            return None
+        return self.catalog.read_round(spark, "bloom", max(rounds))
+
     def _seed_frontier(self, cfg: CrawlConfig) -> DataFrame:
         seed = self.spark.createDataFrame(
             [(cfg.job_id, cfg.seed_url, 0, 0, 0, 1)],
@@ -293,6 +305,7 @@ class CrawlEngine:
 
         # --- discover → filter → dedup → enqueue ---------------------------
         new_rows = None
+        ranged = None
         n_new = 0
         enqueued = progress["enqueued"]
         if enqueued < cfg.limit:
@@ -321,20 +334,45 @@ class CrawlEngine:
                 .where(F.col("__rn") == 1).drop("__rn")
             )
 
-            # seen filter: Bloom pre-filter + exact anti-join
-            segments = self.catalog.read(spark, "bloom", up_to_round=r - 1)
-            if segments is not None:
-                segments = merge_segments(segments)
+            # seen filter: Bloom pre-filter + exact anti-join. Each bloom
+            # round checkpoint is CUMULATIVE (delta OR-merged into the prior
+            # round's segments at write time), so reading the seen-filter is
+            # one round directory — O(1) per round, not O(rounds) re-merges.
+            segments = self._latest_bloom(spark, up_to_round=r - 1)
             seen = self.catalog.read(spark, "seen", up_to_round=r - 1)
             links = filter_new(links, segments, seen,
                                num_buckets=cfg.bloom_num_buckets,
                                m_bits=cfg.bloom_m_bits, k=cfg.bloom_k)
 
-            # enqueue cap + dense seq (FIFO append order)
-            w_seq = Window.partitionBy("job_id").orderBy("parent_seq", "link_pos")
+            # enqueue cap + dense seq (FIFO append order), scale-safe:
+            # a Window.partitionBy(job_id) would sort the whole round's
+            # discovery set in ONE task. Instead range-partition by the FIFO
+            # sort key — (parent_seq, link_pos) is unique per discovered link
+            # — cumsum the per-partition counts on the driver (#partitions
+            # rows, tiny), and add offset + per-partition row_number. Yields
+            # the identical dense numbering with every task bounded by one
+            # range slice. Partitions whose offset already exceeds the
+            # enqueue capacity are pruned before the rank is even computed.
             capacity = cfg.limit - enqueued
+            ranged = (
+                links.repartitionByRange(F.col("parent_seq"), F.col("link_pos"))
+                .withColumn("__pid", F.spark_partition_id())
+                .persist()
+            )
+            counts = {row["__pid"]: row["cnt"] for row in
+                      ranged.groupBy("__pid").agg(F.count("*").alias("cnt")).collect()}
+            total = sum(counts.values())
+            offsets, acc = [], 0
+            for pid in sorted(counts):
+                offsets.append((pid, acc))
+                acc += counts[pid]
+            off_df = spark.createDataFrame(
+                [(p, o) for p, o in offsets if o < capacity],
+                "__pid int, __off long")
+            w_local = Window.partitionBy("__pid").orderBy("parent_seq", "link_pos")
             new_rows = (
-                links.withColumn("__rn", F.row_number().over(w_seq))
+                ranged.join(F.broadcast(off_df), "__pid")
+                .withColumn("__rn", F.col("__off") + F.row_number().over(w_local))
                 .where(F.col("__rn") <= capacity)
                 .withColumn("depth", F.col("parent_depth") + 1)
                 .withColumn("seq", F.lit(enqueued) - 1 + F.col("__rn"))
@@ -343,7 +381,7 @@ class CrawlEngine:
                 .select(*FRONTIER_COLS)
                 .cache()
             )
-            n_new = new_rows.count()
+            n_new = min(total, capacity)
 
         # --- next pending + seen/bloom appends -----------------------------
         for fut in pending_writes:
@@ -372,11 +410,14 @@ class CrawlEngine:
         if n_new > 0:
             state_writes.append(writes.submit(
                 self.catalog.append_round, new_rows.select("url_hash"), "seen", r))
+            delta = build_segments(new_rows, num_buckets=cfg.bloom_num_buckets,
+                                   m_bits=cfg.bloom_m_bits, k=cfg.bloom_k)
+            # incremental checkpoint: merge this round's delta into the
+            # previous cumulative segment set ONCE, write it as round r
+            cumulative = (merge_segments(delta.unionByName(segments))
+                          if segments is not None else delta)
             state_writes.append(writes.submit(
-                self.catalog.append_round,
-                build_segments(new_rows, num_buckets=cfg.bloom_num_buckets,
-                               m_bits=cfg.bloom_m_bits, k=cfg.bloom_k),
-                "bloom", r))
+                self.catalog.append_round, cumulative, "bloom", r))
         for fut in state_writes:
             fut.result()
         writes.shutdown(wait=True)
@@ -398,6 +439,10 @@ class CrawlEngine:
             tables += ["seen", "bloom"]
         self.catalog.commit_round(r, tables, meta)
         admitted.unpersist()
+        if ranged is not None:
+            ranged.unpersist()
+        if new_rows is not None:
+            new_rows.unpersist()
         docs.unpersist()
         if new_rows is not None:
             new_rows.unpersist()

@@ -808,7 +808,7 @@ _WS_ONLY = re.compile(r"[ \t\r\n]+\Z")
 
 
 def _strip_ws_only_text_nodes(root: Element) -> None:
-    """DOM equivalent of the reference's string preprocess ``>\s+<`` → ``><``
+    r"""DOM equivalent of the reference's string preprocess ``>\s+<`` → ``><``
     (html-to-markdown.ts:23-29): in serialized HTML every whitespace-only text
     node sits between ``>`` and ``<``, so removing them all is the same
     transformation without the serialize/re-parse round trip."""

@@ -625,8 +625,9 @@ def _simhash_bits_sql() -> str:
 @register(
     "simhash16",
     f"""SELECT doc_id,
-              SUM(CASE WHEN weight > 0 THEN CAST(pow(2, bit_idx) AS BIGINT) ELSE 0 END)
-                  AS simhash
+              CAST(SUM(CASE WHEN weight > 0
+                            THEN CAST(pow(2, bit_idx) AS BIGINT) ELSE 0 END)
+                   AS BIGINT) AS simhash
        FROM ({_simhash_bits_sql()}) GROUP BY doc_id""",
     "SimHash (16-bit): per-bit ±1 vote over word hashes → fingerprint",
 )
@@ -762,18 +763,26 @@ def q_embed_cosine_pairs(spark, sf_dir):
     "(broadcast query, full scan — the exact-recall reference path)",
 )
 def q_ann_bruteforce_topk(spark, sf_dir):
+    # Global top-k without a global window: orderBy().limit(k) plans as
+    # TakeOrderedAndProject (per-partition top-k + driver merge of k*parts
+    # rows), so no single task ever sees the full table. Ranking then runs
+    # over only the k survivors (partitionBy(lit(1)) keeps the window spec
+    # non-empty — k rows to one task, not n).
     embeddings = load(spark, sf_dir, "embeddings")
     e = embeddings.select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v"))
     q = e.where(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
     cos = _cos_spark(F.col("v"), F.col("qv"))
-    w = Window.orderBy(F.desc("cos_raw"), F.asc("vec_id"))
-    return (
+    topk = (
         e.where(F.col("vec_id") != 0)
         .crossJoin(F.broadcast(q))
         .withColumn("cos_raw", cos)
-        .withColumn("rnk", F.row_number().over(w).cast("long"))
-        .where(F.col("rnk") <= 10)
+        .orderBy(F.desc("cos_raw"), F.asc("vec_id"))
+        .limit(10)
+    )
+    w = Window.partitionBy(F.lit(1)).orderBy(F.desc("cos_raw"), F.asc("vec_id"))
+    return (
+        topk.withColumn("rnk", F.row_number().over(w).cast("long"))
         .select("vec_id", F.round(F.col("cos_raw"), 6).alias("cosine"), "rnk")
     )
 
@@ -792,6 +801,9 @@ def q_ann_bruteforce_topk(spark, sf_dir):
     "(labels stand in for coarse-quantizer cells); top-k within the cell",
 )
 def q_ann_ivf_topk(spark, sf_dir):
+    # Same TakeOrderedAndProject pattern as ann_bruteforce_topk: cell probe
+    # (broadcast semi-join on label) prunes the scan, limit(k) replaces the
+    # global window, ranking runs over only the k survivors.
     embeddings = load(spark, sf_dir, "embeddings")
     e = embeddings.select(
         "vec_id", "label",
@@ -799,13 +811,16 @@ def q_ann_ivf_topk(spark, sf_dir):
     q = e.where(F.col("vec_id") == 0).select(
         F.col("label").alias("qlabel"), F.col("v").alias("qv"))
     cos = _cos_spark(F.col("v"), F.col("qv"))
-    w = Window.orderBy(F.desc("cos_raw"), F.asc("vec_id"))
-    return (
+    topk = (
         e.join(F.broadcast(q), e["label"] == F.col("qlabel"))
         .where(F.col("vec_id") != 0)
         .withColumn("cos_raw", cos)
-        .withColumn("rnk", F.row_number().over(w).cast("long"))
-        .where(F.col("rnk") <= 5)
+        .orderBy(F.desc("cos_raw"), F.asc("vec_id"))
+        .limit(5)
+    )
+    w = Window.partitionBy(F.lit(1)).orderBy(F.desc("cos_raw"), F.asc("vec_id"))
+    return (
+        topk.withColumn("rnk", F.row_number().over(w).cast("long"))
         .select("vec_id", F.round(F.col("cos_raw"), 6).alias("cosine"), "rnk")
     )
 
@@ -1048,19 +1063,39 @@ def _simhash_df(spark, sf_dir):
               bit_count(xor(a.simhash, b.simhash)) AS hamming
        FROM s a JOIN s b ON a.doc_id < b.doc_id
        WHERE bit_count(xor(a.simhash, b.simhash)) <= 2""",
-    "SimHash near-dup pairs: hamming distance <= 2 over 16-bit fingerprints "
-    "(xor + popcount; at scale the join blocks on fingerprint bands)",
+    "SimHash near-dup pairs: hamming distance <= 2 over 16-bit fingerprints. "
+    "Scale path: pigeonhole band-blocking — split the 16 bits into d+1=3 bands "
+    "(6/5/5); any pair within hamming 2 differs in at most 2 bands, so it "
+    "agrees exactly on at least one band. Equi-join on (band_idx, band_value) "
+    "yields a shuffle hash join (candidate set ~ bucket collisions, not n^2), "
+    "then verify true hamming on candidates and dedup pairs found via "
+    "multiple bands.",
 )
 def q_simhash_near_pairs(spark, sf_dir):
     s = _simhash_df(spark, sf_dir)
-    a, b = s.alias("a"), s.alias("b")
+    # 3 bands over the 16-bit fingerprint: bits [0,6), [6,11), [11,16).
+    band_specs = [(0, 0x3F), (6, 0x1F), (11, 0x1F)]
+    bands = s.select(
+        "doc_id", "simhash",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(i).alias("band_idx"),
+                F.shiftright("simhash", lo).bitwiseAND(F.lit(mask)).alias("band_val"),
+            )
+            for i, (lo, mask) in enumerate(band_specs)
+        ])).alias("band"),
+    ).select("doc_id", "simhash", "band.band_idx", "band.band_val")
+    a, b = bands.alias("a"), bands.alias("b")
     hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (
-        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
+               & (F.col("a.band_val") == F.col("b.band_val"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
         .where(hamming <= 2)
         .select(F.col("a.doc_id").alias("doc_a"),
                 F.col("b.doc_id").alias("doc_b"),
                 hamming.cast("long").alias("hamming"))
+        .distinct()
     )
 
 
