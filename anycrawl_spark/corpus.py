@@ -310,6 +310,100 @@ def generate_serp_pages(spark, queries: list[str] | None = None, pages_per_query
 
 
 # ---------------------------------------------------------------------------
+# SERP JSON fixtures (G3 SearXNG / G4 AC-engine) — deterministic responses
+# derived from the documents table, so the parse queries are oracle-able:
+# the oracle recomputes the expected flat rows directly from doc_id, while
+# the Spark path must round-trip build-JSON → from_json → flatten.
+# ---------------------------------------------------------------------------
+
+def searxng_responses_from_documents(docs_df):
+    """(query, page, body) rows: body is a SearXNG-style JSON response whose
+    results array is built per-document (Searxng.ts:97-180 field set), with
+    decoys the parser must handle — missing url (skipped), missing
+    title/content/engine (defaults), malformed resolution (no dims)."""
+    from pyspark.sql import functions as F
+
+    d = F.col("doc_id")
+    is_img = d % 4 == 1
+    is_news = d % 4 == 2
+    item = F.struct(
+        d.alias("doc_id"),  # sort key; ignored by the parser's JSON schema
+        F.when(d % 11 != 0, F.concat(F.lit("https://sx.test/"), d)).alias("url"),
+        F.when(d % 13 != 0, F.concat(F.lit("Doc "), d)).alias("title"),
+        F.when(d % 5 != 0, F.concat(F.lit("content-"), d)).alias("content"),
+        F.concat(F.lit("snippet-"), d).alias("snippet"),
+        F.when(d % 7 != 0, F.concat(F.lit("engine"), d % 3)).alias("engine"),
+        F.when(d % 4 == 0, "web").when(is_img, "images")
+         .when(is_news, "news").alias("category"),
+        F.when(is_img & (d % 9 == 0), F.lit("N/A"))
+         .when(is_img & (d % 2 == 0),
+               F.concat((d + 100), F.lit("×"), (d + 200)))
+         .when(is_img, F.concat((d + 100), F.lit(" x "), (d + 200)))
+         .alias("resolution"),
+        F.when(is_img, F.concat(F.lit("https://img.test/"), d)).alias("img_src"),
+        F.when(is_img, F.array((d % 10).cast("int"), F.lit(99))).alias("positions"),
+        F.when(is_img, F.concat(F.lit("https://ts.test/"), d)).alias("thumbnail_src"),
+        F.when(is_img, "jpeg").alias("img_format"),
+        F.when(is_img, "123 kB").alias("filesize"),
+        F.when(is_news & (d % 2 == 1),
+               F.concat(F.lit("2026-01-"), F.lpad((d % 28 + 1), 2, "0")))
+         .alias("publishedDate"),
+        F.when(is_news, "2026-02-01").alias("pubdate"),
+        F.when(is_news & (d % 3 != 0),
+               F.concat(F.lit("https://t.test/"), d)).alias("thumbnail"),
+    )
+    return (
+        docs_df.select(
+            F.concat(F.lit("q"), d % 7).alias("query"),
+            (F.floor(d / 7) % 3 + 1).alias("page"),
+            item.alias("item"))
+        .groupBy("query", "page")
+        .agg(F.sort_array(F.collect_list("item")).alias("results"))
+        .select("query", "page",
+                F.to_json(F.struct(F.col("results"))).alias("body"))
+    )
+
+
+def ac_responses_from_documents(docs_df):
+    """(query, page, body) rows with AC-engine-style JSON results
+    (ACEngine.ts:61-115 field set): typed image dims, defaulted source,
+    description||snippet fallback chain, skip-no-url decoys."""
+    from pyspark.sql import functions as F
+
+    d = F.col("doc_id")
+    is_img = d % 3 == 0
+    is_news = d % 3 == 1
+    item = F.struct(
+        d.alias("doc_id"),
+        F.when(d % 10 != 0, F.concat(F.lit("https://ac.test/"), d)).alias("url"),
+        F.when(d % 12 != 0, F.concat(F.lit("AC Doc "), d)).alias("title"),
+        F.when(d % 4 != 0, F.concat(F.lit("desc-"), d)).alias("description"),
+        F.when(d % 8 != 0, F.concat(F.lit("snip-"), d)).alias("snippet"),
+        F.when(d % 6 != 0, F.concat(F.lit("src"), d % 2)).alias("source"),
+        F.when(is_img, "images").when(is_news, "news").alias("category"),
+        F.when(is_img | is_news,
+               F.concat(F.lit("https://aci.test/"), d)).alias("imageUrl"),
+        F.when(is_img & (d % 5 != 0), (d * 2)).alias("imageWidth"),
+        F.when(is_img & (d % 5 != 0), (d * 3)).alias("imageHeight"),
+        F.when(is_img, (d % 10)).alias("position"),
+        F.when(is_img, "png").alias("img_format"),
+        F.when(is_news & (d % 2 == 1),
+               F.concat(F.lit("2026-03-"), F.lpad((d % 28 + 1), 2, "0")))
+         .alias("date"),
+    )
+    return (
+        docs_df.select(
+            F.concat(F.lit("acq"), d % 5).alias("query"),
+            (F.floor(d / 5) % 2 + 1).alias("page"),
+            item.alias("item"))
+        .groupBy("query", "page")
+        .agg(F.sort_array(F.collect_list("item")).alias("results"))
+        .select("query", "page",
+                F.to_json(F.struct(F.col("results"))).alias("body"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # Pages derived from the driver's documents table (sf-scaled harness input)
 # ---------------------------------------------------------------------------
 

@@ -1026,6 +1026,87 @@ def q_serp_parse(spark, sf_dir):
 
 
 @register(
+    "searxng_parse",
+    """WITH items AS (
+         SELECT doc_id AS d,
+                'q' || (doc_id % 7) AS query,
+                ((doc_id // 7) % 3 + 1) AS page
+         FROM documents WHERE doc_id % 11 != 0)
+       SELECT query, page,
+              ROW_NUMBER() OVER (PARTITION BY query, page ORDER BY d) - 1
+                  AS position,
+              CASE WHEN d % 4 = 1 THEN 'images'
+                   WHEN d % 4 = 2 THEN 'news' ELSE 'web' END AS category,
+              CASE WHEN d % 13 = 0 THEN '' ELSE 'Doc ' || d END AS title,
+              'https://sx.test/' || d AS url,
+              CASE WHEN d % 5 = 0 THEN 'snippet-' || d
+                   ELSE 'content-' || d END AS description,
+              'SearXNG (' || CASE WHEN d % 7 = 0 THEN 'unknown'
+                                  ELSE 'engine' || (d % 3) END || ')' AS source,
+              CASE WHEN d % 4 = 1 THEN 'https://img.test/' || d
+                   WHEN d % 4 = 2 AND d % 3 != 0 THEN 'https://t.test/' || d
+                   END AS image_url,
+              CASE WHEN d % 4 = 1 AND d % 9 != 0 THEN d + 100 END AS image_width,
+              CASE WHEN d % 4 = 1 AND d % 9 != 0 THEN d + 200 END AS image_height,
+              CASE WHEN d % 4 = 1 THEN d % 10 END AS image_position,
+              CASE WHEN d % 4 = 2 THEN
+                   CASE WHEN d % 2 = 1
+                        THEN '2026-01-' || lpad((d % 28 + 1)::VARCHAR, 2, '0')
+                        ELSE '2026-02-01' END END AS news_date
+       FROM items""",
+    "G3: SearXNG JSON parse — build deterministic response bodies from "
+    "documents, round-trip from_json → flat result rows (category mapping, "
+    "coalesce chains, resolution regex, skip-no-url); oracle recomputes the "
+    "expected rows directly from doc_id",
+)
+def q_searxng_parse(spark, sf_dir):
+    from anycrawl_spark.corpus import searxng_responses_from_documents
+    from anycrawl_spark.serp import parse_searxng_response
+
+    docs = load(spark, sf_dir, "documents")
+    return parse_searxng_response(searxng_responses_from_documents(docs))
+
+
+@register(
+    "ac_engine_parse",
+    """WITH items AS (
+         SELECT doc_id AS d,
+                'acq' || (doc_id % 5) AS query,
+                ((doc_id // 5) % 2 + 1) AS page
+         FROM documents WHERE doc_id % 10 != 0)
+       SELECT query, page,
+              ROW_NUMBER() OVER (PARTITION BY query, page ORDER BY d) - 1
+                  AS position,
+              CASE WHEN d % 3 = 0 THEN 'images'
+                   WHEN d % 3 = 1 THEN 'news' ELSE 'web' END AS category,
+              CASE WHEN d % 12 = 0 THEN '' ELSE 'AC Doc ' || d END AS title,
+              'https://ac.test/' || d AS url,
+              CASE WHEN d % 4 != 0 THEN 'desc-' || d
+                   WHEN d % 8 != 0 THEN 'snip-' || d ELSE '' END AS description,
+              CASE WHEN d % 6 = 0 THEN 'AC-Engine'
+                   ELSE 'src' || (d % 2) END AS source,
+              CASE WHEN d % 3 IN (0, 1) THEN 'https://aci.test/' || d
+                   END AS image_url,
+              CASE WHEN d % 3 = 0 AND d % 5 != 0 THEN d * 2 END AS image_width,
+              CASE WHEN d % 3 = 0 AND d % 5 != 0 THEN d * 3 END AS image_height,
+              CASE WHEN d % 3 = 0 THEN d % 10 END AS image_position,
+              CASE WHEN d % 3 = 1 AND d % 2 = 1
+                   THEN '2026-03-' || lpad((d % 28 + 1)::VARCHAR, 2, '0')
+                   END AS news_date
+       FROM items""",
+    "G4: AC-engine JSON parse — passthrough from_json → flat result rows "
+    "(typed image dims, defaulted source, description||snippet chain); "
+    "oracle recomputes expected rows directly from doc_id",
+)
+def q_ac_engine_parse(spark, sf_dir):
+    from anycrawl_spark.corpus import ac_responses_from_documents
+    from anycrawl_spark.serp import parse_ac_response
+
+    docs = load(spark, sf_dir, "documents")
+    return parse_ac_response(ac_responses_from_documents(docs))
+
+
+@register(
     "crawl_e2e",
     None,
     "§3.2 flagship: full crawl rounds over the documents-derived corpus "

@@ -75,6 +75,142 @@ def google_parse_udf(html: pd.Series) -> pd.Series:
 PARSERS = {"google": google_parse_udf}
 
 
+# ---------------------------------------------------------------------------
+# G3: SearXNG JSON response parser (Searxng.ts:97-180)
+# ---------------------------------------------------------------------------
+
+# JSON schema of one SearXNG result item (extra fields in the payload are
+# ignored by from_json, mirroring the reference's untyped JSON access)
+SEARXNG_ITEM_DDL = (
+    "url string, title string, content string, snippet string, "
+    "engine string, category string, resolution string, img_src string, "
+    "positions array<int>, thumbnail_src string, img_format string, "
+    "filesize string, publishedDate string, pubdate string, thumbnail string"
+)
+SEARXNG_RESPONSE_DDL = f"struct<results: array<struct<{SEARXNG_ITEM_DDL}>>>"
+
+
+def parse_searxng_response(responses: DataFrame, body_col: str = "body") -> DataFrame:
+    """SearXNG JSON → flat result rows (Searxng.ts:97-180), pure JVM plan:
+    ``from_json`` + ``posexplode`` + per-category column expressions.
+
+    Reference semantics reproduced exactly:
+    - items without ``url`` are skipped (suggestions etc., Searxng.ts:113);
+    - ``category`` defaults to ``web``; anything not images/news maps to web;
+    - description = ``content || snippet || ""`` (falsy-chain → coalesce of
+      non-null, non-empty);
+    - source = ``SearXNG (<engine|unknown>)``;
+    - images: resolution ``(\\d+)\\s*[×x]\\s*(\\d+)`` → width/height,
+      imageUrl = img_src, position = positions[0];
+    - news: snippet = description chain, date = publishedDate || pubdate,
+      imageUrl = thumbnail.
+
+    ``position`` is the index within the parsed results list (skips excluded),
+    assigned per (query, page) — a keyed window, shuffle-safe at scale.
+    """
+    parsed = responses.withColumn(
+        "__resp", F.from_json(F.col(body_col), SEARXNG_RESPONSE_DDL))
+    items = (
+        parsed.select(
+            "query", "page",
+            F.posexplode_outer("__resp.results").alias("__pos", "r"))
+        .where(F.col("r.url").isNotNull() & (F.col("r.url") != ""))
+    )
+    nonempty = lambda c: F.when(F.col(c) != "", F.col(c))  # noqa: E731
+    category = F.coalesce(nonempty("r.category"), F.lit("web"))
+    category = (
+        F.when(category == "images", "images")
+        .when(category == "news", "news")
+        .otherwise("web")
+    )
+    description = F.coalesce(nonempty("r.content"), nonempty("r.snippet"), F.lit(""))
+    source = F.concat(
+        F.lit("SearXNG ("), F.coalesce(nonempty("r.engine"), F.lit("unknown")),
+        F.lit(")"))
+    res_w = F.regexp_extract(F.col("r.resolution"), r"(\d+)\s*[×x]\s*(\d+)", 1)
+    res_h = F.regexp_extract(F.col("r.resolution"), r"(\d+)\s*[×x]\s*(\d+)", 2)
+    is_img = category == "images"
+    is_news = category == "news"
+    w = Window.partitionBy("query", "page").orderBy("__pos")
+    return items.select(
+        "query", "page",
+        (F.row_number().over(w) - 1).cast("long").alias("position"),
+        category.alias("category"),
+        F.coalesce(F.col("r.title"), F.lit("")).alias("title"),
+        F.col("r.url").alias("url"),
+        description.alias("description"),
+        source.alias("source"),
+        F.when(is_img, F.col("r.img_src"))
+         .when(is_news, F.col("r.thumbnail")).alias("image_url"),
+        F.when(is_img & (res_w != ""), res_w.cast("long")).alias("image_width"),
+        F.when(is_img & (res_h != ""), res_h.cast("long")).alias("image_height"),
+        F.when(is_img, F.col("r.positions").getItem(0).cast("long"))
+         .alias("image_position"),
+        F.when(is_news,
+               F.coalesce(nonempty("r.publishedDate"), nonempty("r.pubdate")))
+         .alias("news_date"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# G4: AC-engine JSON response parser (ACEngine.ts:61-115)
+# ---------------------------------------------------------------------------
+
+AC_ITEM_DDL = (
+    "url string, title string, description string, snippet string, "
+    "source string, category string, imageUrl string, imageWidth bigint, "
+    "imageHeight bigint, position bigint, thumbnail_src string, "
+    "img_format string, filesize string, date string"
+)
+AC_RESPONSE_DDL = f"struct<results: array<struct<{AC_ITEM_DDL}>>>"
+
+
+def parse_ac_response(responses: DataFrame, body_col: str = "body") -> DataFrame:
+    """AC-engine JSON → flat result rows (ACEngine.ts:61-115): pure
+    passthrough — description = ``description || snippet || ""``, source
+    defaults to ``AC-Engine``, images keep their typed width/height/position,
+    news keep snippet/date/imageUrl. Same skip-no-url rule as SearXNG."""
+    parsed = responses.withColumn(
+        "__resp", F.from_json(F.col(body_col), AC_RESPONSE_DDL))
+    items = (
+        parsed.select(
+            "query", "page",
+            F.posexplode_outer("__resp.results").alias("__pos", "r"))
+        .where(F.col("r.url").isNotNull() & (F.col("r.url") != ""))
+    )
+    nonempty = lambda c: F.when(F.col(c) != "", F.col(c))  # noqa: E731
+    category = F.coalesce(nonempty("r.category"), F.lit("web"))
+    category = (
+        F.when(category == "images", "images")
+        .when(category == "news", "news")
+        .otherwise("web")
+    )
+    description = F.coalesce(
+        nonempty("r.description"), nonempty("r.snippet"), F.lit(""))
+    source = F.coalesce(nonempty("r.source"), F.lit("AC-Engine"))
+    is_img = category == "images"
+    is_news = category == "news"
+    w = Window.partitionBy("query", "page").orderBy("__pos")
+    return items.select(
+        "query", "page",
+        (F.row_number().over(w) - 1).cast("long").alias("position"),
+        category.alias("category"),
+        F.coalesce(F.col("r.title"), F.lit("")).alias("title"),
+        F.col("r.url").alias("url"),
+        description.alias("description"),
+        source.alias("source"),
+        F.when(is_img | is_news, F.col("r.imageUrl")).alias("image_url"),
+        F.when(is_img, F.col("r.imageWidth")).alias("image_width"),
+        F.when(is_img, F.col("r.imageHeight")).alias("image_height"),
+        F.when(is_img, F.col("r.position")).alias("image_position"),
+        F.when(is_news, nonempty("r.date")).alias("news_date"),
+    )
+
+
+RESPONSE_PARSERS = {"searxng": parse_searxng_response,
+                    "ac-engine": parse_ac_response}
+
+
 def parse_serp_pages(serp_pages: DataFrame, engine: str = "google") -> DataFrame:
     """serp_pages(engine, query, page, html) → exploded result rows with
     (page, position) ordering preserved."""

@@ -299,3 +299,110 @@ class TestSaltedBudget:
         salted = {r["url"] for r in salted_adm.collect()}
         assert plain == salted
         assert plain_def.count() == salted_def.count() == 3000 - len(plain)
+
+
+class TestJsonEngines:
+    """G3/G4: SearXNG + AC-engine JSON response parsers (Searxng.ts:97-180,
+    ACEngine.ts:61-115) — hand-written fixtures mirroring each engine's
+    per-category output shape."""
+
+    SEARXNG_BODY = (
+        '{"results": ['
+        '{"url": "https://a.test/1", "title": "Web A", "content": "ca",'
+        ' "engine": "duckduckgo", "category": "web"},'
+        '{"title": "no url suggestion", "content": "skipped"},'
+        '{"url": "https://i.test/1", "title": "Img", "content": "ci",'
+        ' "engine": "bing images", "category": "images",'
+        ' "resolution": "1000×1500", "img_src": "https://i.test/full.jpg",'
+        ' "positions": [3, 9], "thumbnail_src": "https://i.test/t.jpg",'
+        ' "img_format": "jpeg"},'
+        '{"url": "https://i2.test/1", "category": "images",'
+        ' "resolution": "800 x 600", "img_src": "https://i2.test/f.png"},'
+        '{"url": "https://n.test/1", "title": "News", "snippet": "sn",'
+        ' "category": "news", "publishedDate": "2026-01-05",'
+        ' "thumbnail": "https://n.test/t.png"},'
+        '{"url": "https://n2.test/1", "title": "News2", "content": "c2",'
+        ' "category": "news", "pubdate": "2026-02-02"},'
+        '{"url": "https://o.test/1", "title": "Other", "content": "co",'
+        ' "category": "science"}'
+        ']}'
+    )
+
+    def test_searxng_categories(self, spark):
+        from anycrawl_spark.serp import parse_searxng_response
+
+        df = spark.createDataFrame(
+            [("q", 1, self.SEARXNG_BODY)], "query string, page int, body string")
+        rows = {r["url"]: r for r in parse_searxng_response(df).collect()}
+        assert len(rows) == 6  # no-url suggestion skipped
+        web = rows["https://a.test/1"]
+        assert (web["category"], web["description"], web["source"]) == (
+            "web", "ca", "SearXNG (duckduckgo)")
+        img = rows["https://i.test/1"]
+        assert (img["image_width"], img["image_height"]) == (1000, 1500)
+        assert img["image_url"] == "https://i.test/full.jpg"
+        assert img["image_position"] == 3
+        img2 = rows["https://i2.test/1"]  # "800 x 600" spacing variant
+        assert (img2["image_width"], img2["image_height"]) == (800, 600)
+        assert img2["title"] == "" and img2["source"] == "SearXNG (unknown)"
+        news = rows["https://n.test/1"]
+        assert news["news_date"] == "2026-01-05"
+        assert news["image_url"] == "https://n.test/t.png"
+        assert news["description"] == "sn"  # content absent -> snippet
+        news2 = rows["https://n2.test/1"]
+        assert news2["news_date"] == "2026-02-02"  # pubdate fallback
+        other = rows["https://o.test/1"]
+        assert other["category"] == "web"  # non-images/news -> web
+
+    def test_searxng_empty_and_malformed(self, spark):
+        from anycrawl_spark.serp import parse_searxng_response
+
+        df = spark.createDataFrame(
+            [("q", 1, '{"results": []}'),
+             ("q", 2, '{"no_results_key": true}'),
+             ("q", 3, "not json at all")],
+            "query string, page int, body string")
+        assert parse_searxng_response(df).count() == 0
+
+    def test_searxng_position_is_post_skip_index(self, spark):
+        from anycrawl_spark.serp import parse_searxng_response
+
+        body = ('{"results": [{"title": "skip me"},'
+                ' {"url": "https://x.test/a", "title": "A"},'
+                ' {"url": "https://x.test/b", "title": "B"}]}')
+        df = spark.createDataFrame(
+            [("q", 1, body)], "query string, page int, body string")
+        rows = parse_searxng_response(df).orderBy("position").collect()
+        assert [(r["position"], r["url"]) for r in rows] == [
+            (0, "https://x.test/a"), (1, "https://x.test/b")]
+
+    AC_BODY = (
+        '{"results": ['
+        '{"url": "https://w.test/1", "title": "W", "description": "dw"},'
+        '{"title": "no url", "description": "skipped"},'
+        '{"url": "https://i.test/2", "title": "I", "snippet": "si",'
+        ' "category": "images", "imageUrl": "https://i.test/f.webp",'
+        ' "imageWidth": 640, "imageHeight": 480, "position": 2,'
+        ' "img_format": "webp"},'
+        '{"url": "https://n.test/2", "title": "N", "description": "dn",'
+        ' "category": "news", "date": "2026-03-01",'
+        ' "imageUrl": "https://n.test/i.png", "source": "custom"}'
+        ']}'
+    )
+
+    def test_ac_engine_categories(self, spark):
+        from anycrawl_spark.serp import parse_ac_response
+
+        df = spark.createDataFrame(
+            [("q", 1, self.AC_BODY)], "query string, page int, body string")
+        rows = {r["url"]: r for r in parse_ac_response(df).collect()}
+        assert len(rows) == 3
+        web = rows["https://w.test/1"]
+        assert (web["category"], web["source"]) == ("web", "AC-Engine")
+        img = rows["https://i.test/2"]
+        assert (img["image_width"], img["image_height"], img["image_position"]) == (
+            640, 480, 2)
+        assert img["description"] == "si"  # description absent -> snippet
+        news = rows["https://n.test/2"]
+        assert (news["news_date"], news["source"]) == ("2026-03-01", "custom")
+        assert news["image_url"] == "https://n.test/i.png"
