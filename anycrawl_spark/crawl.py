@@ -20,8 +20,20 @@ enqueue time, ``Base.ts:464-493``): the seen set is "everything ever
 enqueued", and ``limit`` caps total enqueued URLs (coordinator admission
 ``completed+failed+pending >= limit``, ``crawlCoordinator.ts:106-113``).
 Visit order is the coordinator's FIFO-BFS: children are appended in
-(parent seq, link position) order, which our dense ``seq`` assignment
-reproduces exactly (SURVEY.md §7.4 hard-part 2/3).
+(parent seq, link position) order, reproduced by the dense ``seq``
+assignment (SURVEY.md §7.4 hard-part 2/3).
+
+INTENTIONAL DIVERGENCE from ``crawlCoordinator.ts``: the coordinator dedups
+on RAW link strings in a fetch-time ``visited`` set (lines 42/109) and counts
+still-pending duplicates against the limit (line 110), so two spellings that
+normalize to one canonical key (sorted query, stripped utm params, fragment)
+or a URL discovered by two parents before being fetched consume extra limit
+capacity there. This engine instead dedups at enqueue time on normalized
+uniqueKeys — crawlee's production behavior and the right call at frontier
+scale (a fetch-time raw-string set cannot be a distributed Bloom filter key).
+Visit sets can therefore differ from the coordinator's whenever duplicate
+spellings occur near the limit boundary; the in-repo simulator and golden
+files encode THESE semantics, which is what parity tests check.
 """
 
 from __future__ import annotations

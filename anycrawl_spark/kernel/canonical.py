@@ -128,10 +128,51 @@ def origin_of(url: str) -> str:
         return ""
 
 
+# Multi-label public suffixes (compact subset of the public-suffix list that
+# crawlee's tldts consults for EnqueueStrategy.SameDomain). A host whose last
+# two labels are one of these keeps three labels as its registrable domain.
+PUBLIC_SUFFIX_2LABEL = frozenset({
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "net.uk", "me.uk", "ltd.uk",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp", "gr.jp",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au", "id.au",
+    "co.nz", "net.nz", "org.nz", "govt.nz",
+    "com.br", "net.br", "org.br", "gov.br",
+    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn",
+    "com.tw", "org.tw", "com.hk", "org.hk",
+    "co.kr", "or.kr", "go.kr", "ac.kr",
+    "com.mx", "com.ar", "com.sg", "com.my", "com.tr", "com.sa",
+    "co.in", "net.in", "org.in", "gov.in", "ac.in",
+    "co.za", "org.za", "gov.za", "co.th", "co.id", "co.il", "org.il",
+    "com.vn", "com.ph", "com.eg", "com.ng", "com.pk", "com.bd", "com.ua",
+})
+
+
 def base_domain_of(host: str) -> str:
-    """Last two DNS labels (MapService.ts:325-329)."""
+    """Registrable domain: crawlee ``EnqueueStrategy.SameDomain`` semantics
+    (the reference's production path, ``Base.ts:437`` → crawlee enqueueLinks
+    → tldts). Last two labels, except a multi-label public suffix keeps
+    three; single-label hosts (``localhost``) pass through unchanged.
+
+    Note the reference's ``crawlCoordinator.ts:146`` test utility uses exact
+    hostname equality for same-domain instead — that is the coordinator's
+    simplification, not what the production crawl (crawlee) enforces; we
+    follow the production semantics, and ``same-hostname`` covers the exact
+    match."""
     labels = host.split(".")
-    return ".".join(labels[-2:]) if len(labels) >= 2 else host
+    if len(labels) <= 1:
+        return host
+    if len(labels) >= 3 and ".".join(labels[-2:]) in PUBLIC_SUFFIX_2LABEL:
+        return ".".join(labels[-3:])
+    return ".".join(labels[-2:])
+
+
+def map_base_domain_of(host: str) -> str:
+    """MapService.getBaseDomain parity (MapService.ts:322-328): plain
+    last-2-label rule with hosts of ≤2 labels passed through unchanged.
+    The map/domain filter keeps the reference's own (simpler) rule; the
+    crawl strategy uses :func:`base_domain_of` (crawlee semantics)."""
+    labels = host.split(".")
+    return host if len(labels) <= 2 else ".".join(labels[-2:])
 
 
 # ---------------------------------------------------------------------------
@@ -149,7 +190,34 @@ def canonical_url_col(col_name: str):
 
     c = F.col(col_name)
     scheme = F.lower(F.regexp_extract(c, r"^([A-Za-z][A-Za-z0-9+.-]*):", 1))
-    host = F.lower(F.parse_url(c, F.lit("HOST")))
+    # netloc from AUTHORITY (not HOST): keeps userinfo and non-default ports,
+    # matching normalize_url. userinfo splits at the LAST '@' (rpartition
+    # semantics), credentials rebuild as username[:password] with empty
+    # username dropping the credential and empty password dropping the ':'
+    # (urlsplit property semantics), default ports (http:80/https:443) strip,
+    # leading zeros in ports collapse via int round-trip.
+    auth = F.coalesce(F.parse_url(c, F.lit("AUTHORITY")), F.lit(""))
+    userinfo = F.regexp_extract(auth, r"^(.*)@", 1)
+    hostport = F.regexp_replace(auth, r"^.*@", "")
+    username = F.regexp_extract(userinfo, r"^([^:]*)", 1)
+    password = F.regexp_extract(userinfo, r"^[^:]*:(.*)$", 1)
+    cred = (
+        F.when(username == "", "")
+        .when(password == "", username)
+        .otherwise(F.concat(username, F.lit(":"), password))
+    )
+    bare_host = F.lower(F.regexp_replace(hostport, r":\d+$", ""))
+    port = F.when(hostport.rlike(r":\d+$"),
+                  F.regexp_extract(hostport, r":(\d+)$", 1).cast("int"))
+    keep_port = port.isNotNull() & ~(
+        ((scheme == "http") & (port == 80)) | ((scheme == "https") & (port == 443))
+    )
+    host = F.concat(
+        F.when(cred != "", F.concat(cred, F.lit("@"))).otherwise(F.lit("")),
+        bare_host,
+        F.when(keep_port, F.concat(F.lit(":"), port.cast("string")))
+         .otherwise(F.lit("")),
+    )
     path = F.parse_url(c, F.lit("PATH"))
     path = F.when(
         (F.length(path) > 1) & path.endswith("/"), F.expr(f"substring(parse_url({col_name}, 'PATH'), 1, length(parse_url({col_name}, 'PATH')) - 1)")
@@ -174,6 +242,34 @@ def url_hash_col(col_name: str):
     from pyspark.sql import functions as F
 
     return F.sha2(canonical_url_col(col_name), 256)
+
+
+def base_domain_col(host_col):
+    """JVM registrable-domain of a host Column — same semantics as
+    :func:`base_domain_of` (crawlee SameDomain): single-label hosts pass
+    through (the old ``slice(-2)`` expression returned ``''`` for
+    ``localhost``), multi-label public suffixes keep three labels."""
+    from pyspark.sql import functions as F
+
+    labels = F.split(host_col, r"\.")
+    n = F.size(labels)
+    last2 = F.array_join(F.slice(labels, -2, 2), ".")
+    last3 = F.array_join(F.slice(labels, -3, 3), ".")
+    return (
+        F.when(n <= 1, host_col)
+        .when((n >= 3) & last2.isin(*sorted(PUBLIC_SUFFIX_2LABEL)), last3)
+        .otherwise(last2)
+    )
+
+
+def map_base_domain_col(host_col):
+    """JVM MapService.getBaseDomain (MapService.ts:322-328): hosts of ≤2
+    labels pass through, else last two labels."""
+    from pyspark.sql import functions as F
+
+    labels = F.split(host_col, r"\.")
+    return F.when(F.size(labels) <= 2, host_col).otherwise(
+        F.array_join(F.slice(labels, -2, 2), "."))
 
 
 def host_col(col_name: str):

@@ -54,11 +54,10 @@ def union_dedup(sources: dict[str, DataFrame], limit: int = 5000) -> DataFrame:
 def domain_filter(df: DataFrame, seed_host: str, include_subdomains: bool = True) -> DataFrame:
     """Keep exact-hostname or same base-domain urls (MapService.ts:301-329)."""
     host = F.lower(F.parse_url(F.col("url"), F.lit("HOST")))
-    base = F.array_join(F.slice(F.split(host, r"\."), -2, 2), ".")
-    from anycrawl_spark.kernel.canonical import base_domain_of
+    from anycrawl_spark.kernel.canonical import map_base_domain_col, map_base_domain_of
 
     if include_subdomains:
-        return df.where(base == base_domain_of(seed_host))
+        return df.where(map_base_domain_col(host) == map_base_domain_of(seed_host))
     return df.where(host == seed_host.lower())
 
 

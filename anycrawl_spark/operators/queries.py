@@ -318,10 +318,10 @@ def q_base_domain(spark, sf_dir):
         F.lit("sub"), (F.col("doc_id") % 3).cast("string"),
         F.lit(".site"), (F.col("doc_id") % 7).cast("string"), F.lit(".test"),
     )
+    from anycrawl_spark.kernel.canonical import map_base_domain_col
+
     return documents.select(
-        "doc_id",
-        F.array_join(F.slice(F.split(host, r"\."), -2, 2), ".").alias("base_domain"),
-    )
+        "doc_id", map_base_domain_col(host).alias("base_domain"))
 
 
 @register(

@@ -22,20 +22,10 @@ from pyspark.sql import DataFrame, Window, functions as F
 _REGEX_LITERAL = re.compile(r"^/(.*)/([gimsuy]*)$")
 
 
-def glob_to_regex(glob: str) -> str:
-    """minimatch-compatible translation for the subset used in crawl options:
-    ``**`` crosses ``/``, ``*`` and ``?`` do not; dot:true semantics."""
+def _glob_segment_to_regex(seg: str) -> str:
     out = []
-    i = 0
-    while i < len(glob):
-        c = glob[i]
+    for c in seg:
         if c == "*":
-            if glob[i:i + 2] == "**":
-                out.append(".*")
-                i += 2
-                if i < len(glob) and glob[i] == "/":
-                    i += 1  # '**/' already covered by '.*'
-                continue
             out.append("[^/]*")
         elif c == "?":
             out.append("[^/]")
@@ -43,7 +33,40 @@ def glob_to_regex(glob: str) -> str:
             out.append("\\" + c)
         else:
             out.append(c)
-        i += 1
+    return "".join(out)
+
+
+def glob_to_regex(glob: str) -> str:
+    """minimatch-compatible translation (dot:true), per-segment like
+    minimatch itself: the pattern splits on ``/`` and a ``**`` segment
+    (globstar) matches ZERO or more whole segments — so a trailing ``/**``
+    matches a URL that ends at the previous segment (``**/blog/**`` matches
+    ``.../blog``), a leading ``**/`` matches zero leading segments, and
+    ``a/**/b`` matches ``a/b``. ``*``/``?`` never cross a ``/``; ``**``
+    inside a segment (``a**b``) degrades to ``*``, as in minimatch."""
+    segments = glob.split("/")
+    tokens: list[str | None] = []  # None = globstar
+    for seg in segments:
+        tok = None if seg == "**" else _glob_segment_to_regex(seg)
+        if tok is None and tokens and tokens[-1] is None:
+            continue  # collapse consecutive globstars
+        tokens.append(tok)
+    out = []
+    n = len(tokens)
+    for j, tok in enumerate(tokens):
+        if tok is None:
+            if n == 1:
+                out.append(".*")            # bare '**'
+            elif j == 0:
+                out.append("(?:.*/)?")       # leading '**/' (zero+ segments)
+            elif j == n - 1:
+                out.append("(?:/.*)?")       # trailing '/**' (zero+ segments)
+            else:
+                out.append("/(?:.*/)?")      # interior '/**/' (zero+ segments)
+        else:
+            if j > 0 and tokens[j - 1] is not None:
+                out.append("/")
+            out.append(tok)
     return "^" + "".join(out) + "$"
 
 
@@ -82,18 +105,24 @@ def path_filter_cond(url_col, include: list[str], exclude: list[str]):
 # ---------------------------------------------------------------------------
 
 def strategy_cond(host_col, origin_col, seed_url: str, strategy: str):
-    from anycrawl_spark.kernel.canonical import base_domain_of, host_of, origin_of
+    from anycrawl_spark.kernel.canonical import (
+        base_domain_col,
+        base_domain_of,
+        host_of,
+        origin_of,
+    )
 
     seed_host = host_of(seed_url)
     if strategy == "same-hostname":
         return host_col == seed_host
     if strategy == "same-domain":
-        # crawlee SameDomain = same registrable domain; approximated as the
-        # last-2-label base domain (MapService.ts:325-329 uses the same rule)
-        seed_base = base_domain_of(seed_host)
-        return F.array_join(
-            F.slice(F.split(host_col, r"\."), -2, 2), "."
-        ) == seed_base
+        # crawlee EnqueueStrategy.SameDomain = same registrable domain — the
+        # production path (Base.ts:437 → crawlee enqueueLinks/tldts). The
+        # reference's crawlCoordinator.ts:146 test utility simplifies this
+        # to exact-host equality; we follow production semantics
+        # (same-hostname covers the exact match). base_domain_col falls back
+        # to the whole host for single-label hosts (localhost seeds work).
+        return base_domain_col(host_col) == base_domain_of(seed_host)
     if strategy == "same-origin":
         return origin_col == origin_of(seed_url)
     return F.lit(True)  # 'all'

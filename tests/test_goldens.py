@@ -77,3 +77,31 @@ class TestCanonicalGoldens:
                 url, norm, digest = line.rstrip("\n").split("\t")
                 assert normalize_url(url) == norm
                 assert hashlib.sha256(norm.encode()).hexdigest() == digest
+
+    # port/userinfo/default-port edge cases where the JVM expression used to
+    # diverge from the Python path (AUTHORITY vs HOST, ADVICE r1)
+    EDGE_URLS = [
+        "http://example.com:8080/a/?b=2&a=1",
+        "https://user:pw@example.com/x",
+        "https://user@example.com:444/x",
+        "https://user:@example.com/x",
+        "https://:pw@example.com/x",
+        "https://u:p:q@h.test:9/x",
+        "https://site000.test:443/p/1",
+        "http://site000.test:80/p/1",
+        "http://site000.test:0080/p/1",
+        "http://a.b:8080/p?z=1&a=2",
+    ]
+
+    def test_jvm_column_matches_python(self, spark):
+        """Engine (canonical_url_col) vs Python (normalize_url) cross-check
+        over the golden URL set plus port/userinfo edge cases."""
+        from anycrawl_spark.kernel.canonical import canonical_url_col, normalize_url
+
+        with open(os.path.join(GOLDEN, "canonical", "urls.tsv")) as f:
+            urls = [line.split("\t")[0] for line in f if line.strip()]
+        urls += self.EDGE_URLS
+        df = spark.createDataFrame([(u,) for u in urls], "u string")
+        got = df.select("u", canonical_url_col("u").alias("jvm")).collect()
+        for row in got:
+            assert row["jvm"] == normalize_url(row["u"]), row["u"]

@@ -82,6 +82,19 @@ class TestCanonical:
         assert origin_of("https://sub.example.com:8443/x") == "https://sub.example.com:8443"
         assert base_domain_of("a.b.example.com") == "example.com"
         assert base_domain_of("localhost") == "localhost"
+        # crawlee registrable-domain semantics: multi-label public suffixes
+        assert base_domain_of("www.example.co.uk") == "example.co.uk"
+        assert base_domain_of("example.co.uk") == "example.co.uk"
+        assert base_domain_of("a.b.shop.com.au") == "shop.com.au"
+
+    def test_map_base_domain(self):
+        from anycrawl_spark.kernel.canonical import map_base_domain_of
+
+        # MapService.getBaseDomain: plain last-2, <=2 labels pass through
+        assert map_base_domain_of("www.example.com") == "example.com"
+        assert map_base_domain_of("example.co.uk") == "co.uk"  # ref's own rule
+        assert map_base_domain_of("www.example.co.uk") == "co.uk"
+        assert map_base_domain_of("localhost") == "localhost"
 
 
 class TestTransformer:

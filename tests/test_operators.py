@@ -36,6 +36,28 @@ class TestGlobs:
         compiled = compile_path_patterns(["/BLOG/i"])
         assert re.search(compiled[0], "https://a.test/blog/1")
 
+    def test_globstar_boundaries_minimatch(self):
+        # minimatch: trailing '/**' matches ZERO or more segments
+        rx = re.compile(glob_to_regex("**/blog/**"))
+        assert rx.match("https://a.test/blog")          # ends at 'blog'
+        assert rx.match("https://a.test/blog/x")
+        assert not rx.match("https://a.test/weblog/x")  # 'blog' is a segment
+        # leading '**/' matches zero leading segments
+        rx2 = re.compile(glob_to_regex("**/p/*"))
+        assert rx2.match("p/1")
+        assert rx2.match("https://a.test/p/1")
+        assert not rx2.match("https://a.test/xp/1")     # segment-exact 'p'
+        # interior '/**/'' matches zero segments
+        rx3 = re.compile(glob_to_regex("https://a.test/**/end"))
+        assert rx3.match("https://a.test/end")
+        assert rx3.match("https://a.test/x/y/end")
+        # '**' inside a segment degrades to '*'
+        rx4 = re.compile(glob_to_regex("https://a.test/a**b"))
+        assert rx4.match("https://a.test/aXYb")
+        assert not rx4.match("https://a.test/aX/Yb")
+        # bare '**' matches everything
+        assert re.compile(glob_to_regex("**")).match("anything/at/all")
+
 
 class TestSerp:
     def test_google_parser_skips_decoys(self):
