@@ -45,6 +45,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from .catalog import Catalog
+from .errors import failure_reason_col, should_retry_col
 from .kernel.canonical import host_of
 from .politeness import (
     apply_host_budget,
@@ -84,6 +85,8 @@ class CrawlConfig:
     bloom_m_bits: int = 1 << 17
     bloom_k: int = 4
     max_rounds: int = 1000
+    simulate_fetch_errors: bool = False  # F11: draw all five failure classes
+                                         # from corpus misses (tests/fixtures)
 
 
 def _strip_fragment(col):
@@ -157,6 +160,25 @@ class CrawlEngine:
             return None
         return self.catalog.read_round(spark, "bloom", max(rounds))
 
+    # -- cancellation (Progress.ts:434-448) ---------------------------------
+    # A marker file in the checkpoint root, so any process holding the
+    # checkpoint path (an operator CLI, another driver) can cancel a running
+    # job; the loop checks it between rounds — the batch analogue of the
+    # reference's Redis `cancelled` flag checked in the per-request limit
+    # hook. Survives resume: a cancelled checkpoint stays cancelled until
+    # uncancel() clears it.
+
+    def cancel(self) -> None:
+        (self.catalog.root / "_cancelled").touch()
+
+    def uncancel(self) -> None:
+        marker = self.catalog.root / "_cancelled"
+        if marker.exists():
+            marker.unlink()
+
+    def is_cancelled(self) -> bool:
+        return (self.catalog.root / "_cancelled").exists()
+
     def _seed_frontier(self, cfg: CrawlConfig) -> DataFrame:
         seed = self.spark.createDataFrame(
             [(cfg.job_id, cfg.seed_url, 0, 0, 0, 1)],
@@ -199,6 +221,15 @@ class CrawlEngine:
             formats=cfg.formats, only_main_content=cfg.only_main_content)
 
         while round_no <= cfg.max_rounds and not progress.get("finalized"):
+            if self.is_cancelled():
+                # Progress.cancel (Progress.ts:434-448): mark finalized
+                # immediately; the limit hook skips admission when cancelled
+                # (EngineConfigurator.ts:84-99). Between-rounds is the batch
+                # equivalent of between-requests.
+                progress = {**progress, "round": round_no, "finalized": True,
+                            "cancelled": True, "phase": "cancelled"}
+                self.catalog.commit_round(round_no, [], progress)
+                break
             progress = self._run_round(cfg, round_no, progress, extract_udf)
             round_no += 1
 
@@ -243,6 +274,25 @@ class CrawlEngine:
             .drop("page_url_hash")
             .withColumn("status", F.when(F.col("html").isNotNull(), 200).otherwise(404))
         )
+        # F11: a corpus miss carries an error message like a fetch error
+        # would. Plain replay mode: a crawlee-style 404 status text. With
+        # simulate_fetch_errors, the message is drawn deterministically from
+        # the url hash so every failure class (and its retry path) occurs.
+        if cfg.simulate_fetch_errors:
+            sim = F.pmod(F.conv(F.substring("url_hash", 1, 4), 16, 10).cast("long"),
+                         F.lit(5))
+            miss_msg = (
+                F.when(sim == 0, "cloudflare challenge detected CF_CHALLENGE")
+                .when(sim == 1, "Received blocked status code: 403")
+                .when(sim == 2, "ERR_PROXY_CONNECTION_FAILED while fetching")
+                .when(sim == 3, "Navigation timeout of 30000 ms exceeded")
+                .otherwise("Received 404 status code")
+            )
+        else:
+            miss_msg = F.lit("Received 404 status code")
+        error_msg = F.when(F.col("status") == 200,
+                           F.lit(None).cast("string")).otherwise(miss_msg)
+        fetched = fetched.withColumn("error_message", error_msg)
 
         # --- extraction (vectorized UDF) -----------------------------------
         docs = (
@@ -253,10 +303,12 @@ class CrawlEngine:
             .select(
                 "job_id", "url", "url_hash", "host", "depth", "seq", "attempt",
                 "status",
-                # F11 error classification (EngineConfigurator.ts:599-708):
-                # corpus-replay failures are all http_error-class
+                # F11 error classification (EngineConfigurator.ts:599-613):
+                # five-class mapToFailureReason over the fetch error message
                 F.when(F.col("status") == 200, F.lit(None).cast("string"))
-                .otherwise(F.lit("http_error")).alias("failure_reason"),
+                .otherwise(failure_reason_col(F.col("error_message")))
+                .alias("failure_reason"),
+                "error_message",
                 F.col("doc.title").alias("title"),
                 F.col("doc.metadata").alias("metadata"),
                 F.col("doc.html").alias("html_clean"),
@@ -275,6 +327,10 @@ class CrawlEngine:
         )
 
         final_attempt = (F.col("status") == 200) | (F.col("attempt") >= cfg.max_attempts)
+        if cfg.simulate_fetch_errors:
+            # per-class retry decision (errorHandler): non-retryable classes
+            # fail on their first attempt regardless of max_attempts
+            final_attempt = final_attempt | ~should_retry_col(F.col("error_message"))
         outcome_counts = {
             (row["status"], row["final"]): row["count"]
             for row in docs.groupBy("status", final_attempt.alias("final"))

@@ -100,6 +100,23 @@ def cmd_map(args) -> None:
     print(json.dumps({"out": args.out}))
 
 
+def cmd_cancel(args) -> None:
+    """Cancel (or un-cancel) a running/resumable crawl by its checkpoint —
+    the batch analogue of ProgressManager.cancel (Progress.ts:434-448).
+    Pure filesystem marker; no Spark session needed."""
+    from pathlib import Path
+
+    marker = Path(args.checkpoint) / "_cancelled"
+    if args.clear:
+        if marker.exists():
+            marker.unlink()
+    else:
+        marker.parent.mkdir(parents=True, exist_ok=True)
+        marker.touch()
+    print(json.dumps({"checkpoint": args.checkpoint,
+                      "cancelled": marker.exists()}))
+
+
 def main(argv=None) -> None:
     parser = argparse.ArgumentParser(prog="anycrawl-spark")
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -120,6 +137,12 @@ def main(argv=None) -> None:
     p.add_argument("--robots")
     p.add_argument("--resume", action="store_true")
     p.set_defaults(fn=cmd_crawl)
+
+    p = sub.add_parser("cancel")
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--clear", action="store_true",
+                   help="clear a previous cancellation instead of setting one")
+    p.set_defaults(fn=cmd_cancel)
 
     p = sub.add_parser("scrape")
     p.add_argument("--corpus", required=True)

@@ -1185,6 +1185,72 @@ REGISTRY["simhash_near_pairs"].oracle = REGISTRY["simhash_near_pairs"].oracle.re
     "{SIMHASH_SQL}", REGISTRY["simhash16"].oracle)
 
 
+_ERR_MSGS = [
+    "cloudflare challenge page served",          # 0 → cloudflare_challenge
+    "error CF_RAY mismatch",                     # 1 → cloudflare_challenge
+    "Received blocked status code: 403",         # 2 → blocked (retryable)
+    "request blocked by origin",                 # 3 → blocked (no retry)
+    "ERR_TUNNEL_CONNECTION_FAILED",              # 4 → proxy_error (retryable)
+    "upstream proxy unreachable",                # 5 → proxy_error (no retry)
+    "Navigation Timeout Exceeded",               # 6 → timeout
+    "HTTP 500 internal error",                   # 7 → http_error
+    "proxy timeout after 403 response",          # 8 → blocked (precedence)
+]
+
+
+def _err_msgs_sql() -> str:
+    whens = "\n".join(
+        f"WHEN doc_id % 9 = {i} THEN '{m}'" for i, m in enumerate(_ERR_MSGS))
+    return f"CASE {whens} END"
+
+
+@register(
+    "failure_classify",
+    f"""WITH msgs AS (SELECT doc_id, {_err_msgs_sql()} AS msg FROM documents)
+       SELECT doc_id, msg,
+              CASE WHEN contains(msg, 'cloudflare') OR contains(msg, 'CF_')
+                        OR contains(msg, 'ANYCRAWL_PROXY_ACTION_UPGRADE_TO_STEALTH')
+                        THEN 'cloudflare_challenge'
+                   WHEN contains(msg, '403') OR contains(msg, 'blocked')
+                        THEN 'blocked'
+                   WHEN contains(msg, 'ERR_PROXY_CONNECTION_FAILED')
+                        OR contains(msg, 'ERR_TUNNEL_CONNECTION_FAILED')
+                        OR contains(msg, 'ERR_PROXY_AUTH_FAILED')
+                        OR contains(msg, 'ERR_NEED_TO_RETRY')
+                        OR contains(msg, 'ERR_SOCKS_CONNECTION_FAILED')
+                        OR contains(msg, 'proxy') THEN 'proxy_error'
+                   WHEN contains(lower(msg), 'timeout') THEN 'timeout'
+                   ELSE 'http_error' END AS failure_reason,
+              (contains(msg, 'ANYCRAWL_PROXY_ACTION_UPGRADE_TO_STEALTH')
+               OR contains(msg, 'ANYCRAWL_PROXY_UPGRADE_TO_STEALTH')
+               OR contains(msg, 'ANYCRAWL_PROXY_ACTION_ROTATE_PROXY')
+               OR contains(msg, 'ANYCRAWL_STEALTH_RETRY_WITH_NEW_PROXY')
+               OR contains(msg, 'Received blocked status code: 403')
+               OR contains(msg, 'ERR_PROXY_CONNECTION_FAILED')
+               OR contains(msg, 'ERR_TUNNEL_CONNECTION_FAILED')
+               OR contains(msg, 'ERR_PROXY_AUTH_FAILED')
+               OR contains(msg, 'ERR_NEED_TO_RETRY')
+               OR contains(msg, 'ERR_SOCKS_CONNECTION_FAILED'))
+                  AS retry
+       FROM msgs""",
+    "F11: five-class failure classification + per-class retry decision "
+    "(EngineConfigurator.ts:584-708 mapToFailureReason/errorHandler) over a "
+    "deterministic message set incl. precedence collisions",
+)
+def q_failure_classify(spark, sf_dir):
+    from anycrawl_spark.errors import failure_reason_col, should_retry_col
+
+    documents = load(spark, sf_dir, "documents")
+    msg = F.element_at(
+        F.array(*[F.lit(m) for m in _ERR_MSGS]),
+        (F.col("doc_id") % 9 + 1).cast("int"))
+    return documents.select(
+        "doc_id", msg.alias("msg"),
+        failure_reason_col(msg).alias("failure_reason"),
+        should_retry_col(msg).alias("retry"),
+    )
+
+
 @register(
     "strategy_filter",
     """SELECT doc_id, host FROM (

@@ -275,3 +275,84 @@ class TestCombinedSemantics:
         assert all("/private/" not in v[1] and "/blog/" not in v[1]
                    for v in visits[1:])
         assert summary["done"] == sim.done and summary["enqueued"] == sim.enqueued
+
+
+class TestFailureClasses:
+    def test_per_class_retry_paths(self, spark, small_corpus, tmp_root):
+        """F11 (EngineConfigurator.ts:584-708): with simulate_fetch_errors,
+        corpus misses draw one of the five failure classes; retryable classes
+        (blocked-with-status-text, proxy_error) get max_attempts tries while
+        timeout/cloudflare/http_error fail fast on attempt 1."""
+        from pyspark.sql import functions as F
+
+        kw = dict(seed_url=SEED, strategy="same-hostname", max_depth=3, limit=40,
+                  max_attempts=3, respect_robots=False, simulate_fetch_errors=True)
+        engine = CrawlEngine(spark, small_corpus, os.path.join(tmp_root, "fclass"))
+        engine.run(CrawlConfig(job_id="fclass", **kw))
+        results = engine.results()
+        failures = results.where(F.col("status") != 200).select(
+            "url", "attempt", "failure_reason", "error_message").collect()
+        assert failures, "fixture must contain corpus misses"
+        classes = {f["failure_reason"] for f in failures}
+        assert classes <= {"cloudflare_challenge", "blocked", "proxy_error",
+                           "timeout", "http_error"}
+        visits = engine.visits().collect()
+        attempts_by_url = {}
+        for v in visits:
+            attempts_by_url.setdefault(v["url"], []).append(v["attempt"])
+        for f in failures:
+            tries = sorted(attempts_by_url[f["url"]])
+            if f["failure_reason"] in ("blocked", "proxy_error"):
+                # retryable: exactly max_attempts tries
+                assert tries == [1, 2, 3], (f["url"], f["failure_reason"], tries)
+            else:
+                # fail-fast classes: single attempt
+                assert tries == [1], (f["url"], f["failure_reason"], tries)
+
+    def test_classifier_precedence(self):
+        from anycrawl_spark.errors import failure_reason, should_retry
+
+        assert failure_reason("cloudflare says no") == "cloudflare_challenge"
+        assert failure_reason("saw CF_RAY header") == "cloudflare_challenge"
+        # 403 inside a proxy/timeout message: blocked wins (precedence)
+        assert failure_reason("proxy timeout after 403") == "blocked"
+        assert failure_reason("ERR_NEED_TO_RETRY") == "proxy_error"
+        assert failure_reason("lowercase proxy issue") == "proxy_error"
+        assert failure_reason("Navigation TIMEOUT") == "timeout"
+        assert failure_reason("boom", error_name="TimeoutError") == "timeout"
+        assert failure_reason("HTTP 500") == "http_error"
+        # retry table
+        assert should_retry("ANYCRAWL_PROXY_ACTION_ROTATE_PROXY")
+        assert should_retry("Received blocked status code: 403")
+        assert not should_retry("request blocked by origin")  # plain blocked
+        assert should_retry("ERR_SOCKS_CONNECTION_FAILED")
+        assert not should_retry("timeout of 30s", error_name="TimeoutError")
+        assert not should_retry("HTTP 500")
+
+
+class TestCancellation:
+    def test_cancel_between_rounds_then_resume(self, spark, small_corpus,
+                                               corpus_dict, tmp_root):
+        """Progress.cancel parity: a cancelled job finalizes immediately
+        without admitting more rounds; clearing the flag and resuming
+        completes the crawl identically to an uninterrupted run."""
+        kw = dict(seed_url=SEED, strategy="all", max_depth=4, limit=60,
+                  respect_robots=False)
+
+        ref = CrawlEngine(spark, small_corpus, os.path.join(tmp_root, "cx_ref"))
+        ref.run(CrawlConfig(job_id="cx", **kw))
+        ref_visits = sorted((v["seq"], v["url"]) for v in ref.visits().collect())
+
+        eng = CrawlEngine(spark, small_corpus, os.path.join(tmp_root, "cx"))
+        # stop after two rounds mid-crawl, then cancel
+        eng.run(CrawlConfig(job_id="cx", max_rounds=2, **kw))
+        eng.cancel()
+        summary = eng.run(CrawlConfig(job_id="cx", **kw), resume=True)
+        assert summary["done"] < 60  # finalized early, nothing more admitted
+        meta = eng.catalog.round_meta(summary["rounds"])
+        assert meta.get("cancelled") and meta.get("finalized")
+        # uncancel + resume completes and matches the uninterrupted run
+        eng.uncancel()
+        eng.run(CrawlConfig(job_id="cx", **kw), resume=True)
+        got = sorted((v["seq"], v["url"]) for v in eng.visits().collect())
+        assert got == ref_visits
