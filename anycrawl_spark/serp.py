@@ -254,19 +254,16 @@ def merge_scrape_results(serp: DataFrame, scraped: DataFrame) -> DataFrame:
 # G1: Google search-URL builder (Google.ts:72-168)
 # ---------------------------------------------------------------------------
 
-# compact locale tables (full tables live in packages/libs/src/data/Google.ts;
-# this subset covers the documented defaults and common locales)
-GOOGLE_LANGUAGES = {
-    "en": "lang_en", "zh": "lang_zh-CN", "de": "lang_de", "fr": "lang_fr",
-    "ja": "lang_ja", "es": "lang_es",
-}
-GOOGLE_REGIONS = {
-    "en-US": "US", "en-GB": "GB", "de-DE": "DE", "fr-FR": "FR",
-    "ja-JP": "JP", "zh-CN": "CN", "es-ES": "ES",
-}
-GOOGLE_DOMAINS = {"US": "www.google.com", "GB": "www.google.co.uk",
-                  "DE": "www.google.de", "FR": "www.google.fr",
-                  "JP": "www.google.co.jp"}
+# full locale tables copied verbatim from packages/libs/src/data/Google.ts
+# (186 domains / 132 languages / 260 regions) + the engine's 21-country skip
+# list — see anycrawl_spark/data/google_locales.py
+from anycrawl_spark.data.google_locales import (  # noqa: E402
+    LANGUAGES as GOOGLE_LANGUAGES,
+    REGIONS as GOOGLE_REGIONS,
+    SKIP_COUNTRIES as GOOGLE_SKIP_COUNTRIES,
+    SUPPORTED_DOMAINS as GOOGLE_DOMAINS,
+)
+
 TIME_RANGE_MAP = {"day": "d", "week": "w", "month": "m", "year": "y"}
 SAFE_SEARCH_MAP = {0: "off", 1: "medium", 2: "high"}
 
@@ -276,19 +273,26 @@ def build_google_url(query: str, page: int = 1, *, lang: str = "en",
                      time_range: str | None = None,
                      safe_search: int | None = None,
                      arc_id: str = "srp_fixture0000000000000_100") -> str:
-    """Deterministic re-expression of Google.buildSearchUrl: same parameter
+    """Deterministic re-expression of Google.buildSearchUrl
+    (Google.ts:71-146): same locale resolution (skip-list-aware lang-country
+    lookup, first-non-skipped-region fallback, US default), same parameter
     set and ordering; the random 23-char arc id is injectable (fixtures use a
     fixed one — randomness only matters against the live endpoint)."""
     from urllib.parse import urlencode
 
-    eng_lang = GOOGLE_LANGUAGES.get(lang, "en")
+    eng_lang = GOOGLE_LANGUAGES.get(lang) or "en"
     lang_code = eng_lang.split("_")[1] if "_" in eng_lang else eng_lang
     resolved_country = None
-    if country:
-        resolved_country = GOOGLE_REGIONS.get(f"{lang}-{country}")
-    if not resolved_country:
+    if lang and country:
+        # skip-listed countries never resolve via the locale key
+        if country not in GOOGLE_SKIP_COUNTRIES:
+            resolved_country = GOOGLE_REGIONS.get(f"{lang}-{country}")
+    if not resolved_country and lang:
+        # first region for this lang whose country is not skip-listed
         resolved_country = next(
-            (v for k, v in GOOGLE_REGIONS.items() if k.startswith(f"{lang}-")), None)
+            (v for k, v in GOOGLE_REGIONS.items()
+             if k.startswith(f"{lang}-") and v.upper() not in GOOGLE_SKIP_COUNTRIES),
+            None)
     if not resolved_country:
         resolved_country = "US"
     per_page = min(max(limit, 1), 100) if limit else 10

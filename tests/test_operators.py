@@ -227,11 +227,13 @@ class TestSerpUrl:
     def test_build_google_url_defaults(self):
         from anycrawl_spark.serp import build_google_url
 
+        # lang='en' + no country resolves via the FIRST en-* entry in the
+        # reference's regions table: "en-AG" (Google.ts buildSearchUrl find())
         url = build_google_url("web crawling", page=2, limit=20)
-        assert url.startswith("https://www.google.com/search?")
+        assert url.startswith("https://www.google.com.ag/search?")
         assert "q=web+crawling" in url
         assert "start=20" in url          # (page-1) * per_page
-        assert "hl=en-US" in url and "cr=countryUS" in url
+        assert "hl=en-AG" in url and "cr=countryAG" in url
         assert "num=20" in url and "filter=0" in url and "asearch=arc" in url
 
     def test_build_google_url_locale_and_range(self):
@@ -242,6 +244,52 @@ class TestSerpUrl:
         assert "www.google.de/search" in url
         assert "hl=de-DE" in url and "lr=lang_de" in url
         assert "tbs=qdr%3Aw" in url and "safe=high" in url
+
+    def test_locale_matrix_vs_reference_tables(self):
+        """Every (lang, country) locale key in the reference's regions table
+        resolves through the full tables: hl/cr carry the mapped country and
+        the host is that country's supported domain (www.google.com when the
+        table has no entry — e.g. US)."""
+        from urllib.parse import parse_qs, urlsplit
+
+        from anycrawl_spark.data.google_locales import (
+            LANGUAGES, REGIONS, SKIP_COUNTRIES, SUPPORTED_DOMAINS)
+        from anycrawl_spark.serp import build_google_url
+
+        assert (len(SUPPORTED_DOMAINS), len(LANGUAGES), len(REGIONS)) == (
+            186, 132, 260)
+        for locale_key, mapped in REGIONS.items():
+            lang, _, country = locale_key.partition("-")
+            if country in SKIP_COUNTRIES:
+                continue  # covered by the skip test below
+            url = build_google_url("q", lang=lang, country=country)
+            parts = urlsplit(url)
+            qs = parse_qs(parts.query)
+            assert qs["hl"] == [f"{LANGUAGES.get(lang, 'en').split('_')[-1]}-{mapped}"]
+            assert qs["cr"] == [f"country{mapped}"]
+            expected_host = SUPPORTED_DOMAINS.get(mapped.upper(), "www.google.com")
+            assert parts.hostname == expected_host, locale_key
+
+    def test_skip_countries_never_resolve(self):
+        """A skip-listed country falls through to the first non-skipped
+        region of the language (Google.ts:87-103)."""
+        from anycrawl_spark.data.google_locales import REGIONS, SKIP_COUNTRIES
+        from anycrawl_spark.serp import build_google_url
+        from urllib.parse import parse_qs, urlsplit
+
+        # The reference's regions table never maps TO a skip-listed country
+        # (the skip list guards user-supplied countries + the fallback scan)
+        assert not set(REGIONS.values()) & set(SKIP_COUNTRIES)
+        # a skip-listed user country is never looked up: bn-BD falls through
+        # to the first bn-* region (bn-IN)
+        assert "BD" in SKIP_COUNTRIES
+        url = build_google_url("q", lang="bn", country="BD")
+        qs = parse_qs(urlsplit(url).query)
+        assert qs["cr"] == ["countryIN"]
+        assert qs["hl"] == ["bn-IN"]
+        # unknown language + skip-listed country → US default
+        url2 = build_google_url("q", lang="xx", country="AL")
+        assert parse_qs(urlsplit(url2).query)["cr"] == ["countryUS"]
 
 
 class TestUserTransformHook:
