@@ -825,6 +825,29 @@ def q_ann_ivf_topk(spark, sf_dir):
     )
 
 
+@register(
+    "ann_ivf_real",
+    None,
+    "ANN real IVF: Lloyd's k-means centroids (driver, deterministic init) → "
+    "cell assignment (one Arrow matmul per batch) → cell-partitioned index "
+    "→ multi-probe nearest cells (partition-pruned scan) → exact cosine "
+    "top-k within probed cells. Approximate by construction → rows-only "
+    "driver check; recall ≥ 0.9 vs brute force asserted in pytest.",
+)
+def q_ann_ivf_real(spark, sf_dir):
+    import tempfile
+
+    from anycrawl_spark.operators.ann import (
+        build_ivf_index, ivf_topk, train_centroids)
+
+    embeddings = load(spark, sf_dir, "embeddings")
+    centroids = train_centroids(embeddings, k=16, iters=8)
+    index_path = tempfile.mkdtemp(prefix="anycrawl_ivf_")
+    build_ivf_index(embeddings.where(F.col("vec_id") != 0), index_path, centroids)
+    qv = embeddings.where(F.col("vec_id") == 0).select("embedding").head()[0]
+    return ivf_topk(spark, index_path, centroids, qv, k=10, nprobe=4)
+
+
 # ===========================================================================
 # Multimodal columns: opaque binary payloads + typed metadata (stub decode)
 # ===========================================================================
