@@ -1036,9 +1036,23 @@ def q_extraction_text_parity(spark, sf_dir):
 
 @register(
     "serp_parse",
-    None,
-    "G2/G5: Google SERP fixture parse + page-planner limit (HTML parse UDF "
-    "→ rows-only check)",
+    """WITH q(query) AS (VALUES ('spark crawl'), ('web extraction'),
+                               ('frontier dedup')),
+          r AS (SELECT unnest(range(0, 25)) AS rank)
+       SELECT 'google' AS engine, query,
+              CAST(rank // 10 + 1 AS INT) AS page,
+              CAST(rank % 10 AS INT) AS position,
+              'Result ' || rank || ' for ' || query AS title,
+              'https://result' || lpad(rank::VARCHAR, 2, '0') || '.test/'
+                  || replace(query, ' ', '-') AS url,
+              'Snippet ' || rank || ' about ' || query || '.' AS description,
+              'Google Search Result' AS source,
+              'web' AS category
+       FROM q, r""",
+    "G2/G5: Google SERP fixture parse + page-planner limit. The fixture "
+    "pages are deterministic, so the oracle reconstructs the expected "
+    "(page, position) grid directly — the Spark path must parse the HTML "
+    "(UDF), skip decoys, and page-plan to the same 25 rows per query.",
 )
 def q_serp_parse(spark, sf_dir):
     from anycrawl_spark.corpus import generate_serp_pages
@@ -1131,9 +1145,26 @@ def q_ac_engine_parse(spark, sf_dir):
 
 @register(
     "crawl_e2e",
-    None,
+    """WITH RECURSIVE bfs(doc_id, depth) AS (
+         SELECT 0, 0
+         UNION ALL
+         SELECT child, depth + 1 FROM (
+           SELECT unnest([doc_id * 3 + 1, doc_id * 3 + 2, doc_id * 3 + 3])
+                      AS child,
+                  depth
+           FROM bfs)
+         WHERE child < (SELECT count(*) FROM documents) AND depth < 6)
+       SELECT CAST(doc_id AS BIGINT) AS seq,
+              'https://docs.test/d/' || doc_id AS url,
+              CAST(depth AS INT) AS depth,
+              CAST(200 AS INT) AS status,
+              'Doc ' || doc_id AS title
+       FROM bfs WHERE doc_id < 40 ORDER BY seq""",
     "§3.2 flagship: full crawl rounds over the documents-derived corpus "
-    "(BFS order, seen-filter, extraction; stateful loop → rows-only check)",
+    "(BFS order, seen-filter, extraction). The corpus link graph is a 3-ary "
+    "tree over doc_id, so BFS visit order is doc_id order and the oracle "
+    "recomputes (seq, depth) with a recursive CTE; title comes from the "
+    "extraction kernel but is deterministic per page.",
 )
 def q_crawl_e2e(spark, sf_dir):
     import tempfile
@@ -1152,7 +1183,6 @@ def q_crawl_e2e(spark, sf_dir):
     results = engine.results()
     return results.select(
         "seq", "url", "depth", "status", "title",
-        F.length("markdown").cast("long").alias("markdown_len"),
     ).orderBy("seq")
 
 
