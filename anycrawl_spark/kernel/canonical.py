@@ -23,6 +23,7 @@ http(s) URLs:
 from __future__ import annotations
 
 import hashlib
+from functools import lru_cache as _lru_cache
 from urllib.parse import quote, urljoin, urlsplit, urlunsplit
 
 TRACKING_PARAMS = (
@@ -83,6 +84,12 @@ def url_hash(url: str) -> str:
     return hashlib.sha256(normalize_url(url).encode("utf-8")).hexdigest()
 
 
+@_lru_cache(maxsize=512)
+def _base_origin(base_url: str) -> tuple[str, str]:
+    parts = urlsplit(base_url)
+    return parts.scheme.lower(), parts.netloc.lower()
+
+
 def resolve_url(base_url: str, href: str) -> str | None:
     """Resolve a (possibly relative / malformed) href against a base URL.
 
@@ -91,6 +98,16 @@ def resolve_url(base_url: str, href: str) -> str | None:
     the original href.
     """
     fixed = href.strip()
+    if fixed.startswith("/") and not fixed.startswith("//"):
+        # fast path for the dominant case (root-relative hrefs): equivalent
+        # to urljoin + lowercase-netloc reassembly, with the base split
+        # cached per page
+        try:
+            scheme, netloc = _base_origin(base_url)
+        except ValueError:
+            scheme = ""
+        if scheme:
+            return f"{scheme}://{netloc}{fixed}"
     if fixed.startswith("http:/") and not fixed.startswith("http://"):
         fixed = "http://" + fixed[6:]
     elif fixed.startswith("https:/") and not fixed.startswith("https://"):

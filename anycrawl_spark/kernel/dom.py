@@ -211,11 +211,132 @@ class _TreeBuilder(HTMLParser):
             del self.stack[-1:]
 
 
-def parse_html(html: str) -> Element:
-    """Parse an HTML string into a DOM rooted at a synthetic ``#root``."""
+# ---------------------------------------------------------------------------
+# Fast tokenizer backend
+#
+# html.parser's goahead() is a char-by-char state machine with several
+# function calls per token (updatepos, parse_starttag, check_for_whole_...)
+# — ~25% of extraction kernel time. This tokenizer drives the SAME
+# _TreeBuilder handlers with a flat scan, reusing html.parser's own
+# module-level tagfind_tolerant/attrfind_tolerant regexes so attribute and
+# tag-name semantics are identical by construction. Text/attr charrefs
+# decode via html.unescape exactly as convert_charrefs=True does; script/
+# style content is raw until the case-insensitive closing tag (html.parser
+# set_cdata_mode parity). Byte-parity with the stdlib backend is asserted
+# over every fixture page + golden in tests (test_kernel.py::TestDomBackends)
+# — select the stdlib path with ANYCRAWL_DOM_BACKEND=stdlib.
+# ---------------------------------------------------------------------------
+
+from html import unescape as _unescape  # noqa: E402
+from html.parser import attrfind_tolerant as _attrfind  # noqa: E402
+from html.parser import tagfind_tolerant as _tagfind  # noqa: E402
+
+_ENDTAG_RX = re.compile(r"</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>")
+_RAW_END = {t: re.compile(r"</\s*%s\s*>" % t, re.I) for t in _RAWTEXT}
+
+
+def _fast_feed(core: "_TreeBuilder", rawdata: str) -> None:
+    i, n = 0, len(rawdata)
+    find = rawdata.find
+    handle_data = core.handle_data
+    while i < n:
+        lt = find("<", i)
+        if lt < 0:
+            text = rawdata[i:]
+            handle_data(_unescape(text) if "&" in text else text)
+            break
+        if lt > i:
+            text = rawdata[i:lt]
+            handle_data(_unescape(text) if "&" in text else text)
+        c = rawdata[lt + 1:lt + 2]
+        if "a" <= c <= "z" or "A" <= c <= "Z":
+            m = _tagfind.match(rawdata, lt + 1)
+            tag = m.group(1).lower()
+            k = m.end()
+            attrs: list[tuple[str, str | None]] = []
+            while k < n:
+                am = _attrfind.match(rawdata, k)
+                if not am:
+                    break
+                attrname, rest, attrvalue = am.group(1, 2, 3)
+                if not rest:
+                    attrvalue = None
+                elif (attrvalue[:1] == "'" == attrvalue[-1:]
+                      or attrvalue[:1] == '"' == attrvalue[-1:]):
+                    attrvalue = attrvalue[1:-1]
+                if attrvalue:
+                    attrvalue = _unescape(attrvalue)
+                attrs.append((attrname.lower(), attrvalue))
+                k = am.end()
+            gt = find(">", k)
+            if gt < 0:  # truncated start tag at EOF → literal data
+                handle_data(rawdata[lt:])
+                break
+            end = rawdata[k:gt + 1].strip()
+            if end not in (">", "/>"):  # junk before '>': literal data
+                handle_data(rawdata[lt:gt + 1])
+                i = gt + 1
+                continue
+            if end == "/>":
+                core.handle_startendtag(tag, attrs)
+                i = gt + 1
+                continue
+            core.handle_starttag(tag, attrs)
+            i = gt + 1
+            if tag in _RAWTEXT:
+                em = _RAW_END[tag].search(rawdata, i)
+                if em:
+                    if em.start() > i:
+                        handle_data(rawdata[i:em.start()])  # raw, no unescape
+                    core.handle_endtag(tag)
+                    i = em.end()
+                else:
+                    if i < n:
+                        handle_data(rawdata[i:])
+                    break
+        elif c == "/":
+            m = _ENDTAG_RX.match(rawdata, lt)
+            if m:
+                core.handle_endtag(m.group(1).lower())
+                i = m.end()
+            else:  # bogus end tag: skip through '>'
+                gt = find(">", lt)
+                i = gt + 1 if gt >= 0 else n
+        elif c == "!":
+            if rawdata.startswith("<!--", lt):
+                end_c = find("-->", lt + 4)
+                if end_c < 0:  # unterminated at EOF: literal text (stdlib)
+                    text = rawdata[lt:]
+                    handle_data(_unescape(text) if "&" in text else text)
+                    break
+                core.handle_comment(rawdata[lt + 4:end_c])
+                i = end_c + 3
+            else:  # declaration (DOCTYPE) — dropped, like handle_decl
+                gt = find(">", lt)
+                i = gt + 1 if gt >= 0 else n
+        elif c == "?":  # processing instruction — ignored (handle_pi no-op)
+            gt = find(">", lt)
+            i = gt + 1 if gt >= 0 else n
+        else:  # lone '<' (or at EOF): literal text
+            handle_data("<")
+            i = lt + 1
+
+
+def parse_html(html: str, backend: str | None = None) -> Element:
+    """Parse an HTML string into a DOM rooted at a synthetic ``#root``.
+
+    ``backend``: ``fast`` (default; flat regex tokenizer) or ``stdlib``
+    (html.parser) — overridable via ``ANYCRAWL_DOM_BACKEND``. Both produce
+    identical trees (asserted by the backend-parity tests)."""
+    import os
+
+    backend = backend or os.environ.get("ANYCRAWL_DOM_BACKEND", "fast")
     builder = _TreeBuilder()
-    builder.feed(html or "")
-    builder.close()
+    if backend == "stdlib":
+        builder.feed(html or "")
+        builder.close()
+    else:
+        _fast_feed(builder, html or "")
     return builder.root
 
 

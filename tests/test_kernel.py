@@ -258,3 +258,40 @@ class TestExtractPage:
         a = extract_page("https://site.test/page", self.HTML)
         b = extract_page("https://site.test/page", self.HTML)
         assert a == b
+
+
+class TestDomBackends:
+    """The fast regex tokenizer must build byte-identical trees to the
+    stdlib html.parser backend — asserted over every fixture page plus
+    malformed-HTML edge cases."""
+
+    EDGES = [
+        "a < b & c &amp; d <p>x &lt;ok&gt;",
+        "<p>unterminated <!-- comment",
+        '<script>if (a<b && c>d) { x("</div>"); }</script><p>after</p>',
+        '<style>a>b{color:red}</style><P CLASS="X Y" data-Foo=bar baz>t</P>',
+        '<div/><span attr="v>w">q</span><img src=x.png alt="a&quot;b">',
+        "<ul><li>one<li>two<table><tr><td>a<td>b</table>",
+        "<?php echo 1 ?><!DOCTYPE html><p>pi</p></p></notopen>",
+        "<p>truncated <a href=",
+        "",
+    ]
+
+    def test_extract_parity_fixtures_and_edges(self):
+        import os
+
+        from anycrawl_spark.corpus import build_page_html
+        from anycrawl_spark.kernel.extract import extract_page
+
+        cases = [(f"https://site00{h}.test/p/{i}",
+                  build_page_html(h, 6, i, 30, "en"))
+                 for h in range(4) for i in range(30)]
+        cases += [(f"https://e.test/{j}", h) for j, h in enumerate(self.EDGES)]
+        for url, html in cases:
+            fast = extract_page(url, html)
+            os.environ["ANYCRAWL_DOM_BACKEND"] = "stdlib"
+            try:
+                std = extract_page(url, html)
+            finally:
+                del os.environ["ANYCRAWL_DOM_BACKEND"]
+            assert fast == std, url
