@@ -112,18 +112,24 @@ class Element(Node):
         return [c for c in self.children if isinstance(c, Element)]
 
     def iter(self):
-        """Pre-order traversal over descendant elements (excluding self)."""
-        for child in self.children:
-            if isinstance(child, Element):
-                yield child
-                yield from child.iter()
+        """Pre-order traversal over descendant elements (excluding self).
+        Explicit stack — recursive generators pay O(depth) per yield."""
+        stack = [c for c in reversed(self.children) if c.__class__ is Element]
+        while stack:
+            el = stack.pop()
+            yield el
+            for c in reversed(el.children):
+                if c.__class__ is Element:
+                    stack.append(c)
 
     def iter_nodes(self):
         """Pre-order traversal over all descendant nodes (excluding self)."""
-        for child in self.children:
-            yield child
-            if isinstance(child, Element):
-                yield from child.iter_nodes()
+        stack = list(reversed(self.children))
+        while stack:
+            node = stack.pop()
+            yield node
+            if node.__class__ is Element:
+                stack.extend(reversed(node.children))
 
     def __repr__(self) -> str:  # pragma: no cover
         return f"<{self.tag} {self.attrs}>"

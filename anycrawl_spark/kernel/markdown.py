@@ -48,6 +48,8 @@ MEANINGFUL_WHEN_BLANK = {
     "audio", "video",
 }
 
+_WS_RUN = re.compile(r"[ \r\n\t]+")
+
 _REMOVED_TAGS = {"script", "style", "noscript", "meta", "link"}  # html-to-markdown.ts:208-214
 
 
@@ -108,7 +110,7 @@ def _is_blank(node: Node) -> bool:
         return False
     if _is_void(node) or node.tag in MEANINGFUL_WHEN_BLANK:
         return False
-    if not re.fullmatch(r"\s*", _tc(node) or ""):
+    if (_tc(node) or "").strip():
         return False
     if _has_descendant(node, VOID) or _has_descendant(node, MEANINGFUL_WHEN_BLANK):
         return False
@@ -168,7 +170,7 @@ def _collapse_whitespace(root: Element) -> None:
     node = _next(prev, root)
     while node is not root and node is not None:
         if isinstance(node, Text):
-            text = re.sub(r"[ \r\n\t]+", " ", node.data)
+            text = _WS_RUN.sub(" ", node.data)
             if (
                 (prev_text is None or prev_text.data.endswith(" "))
                 and not keep_leading_ws
@@ -188,7 +190,8 @@ def _collapse_whitespace(root: Element) -> None:
         elif isinstance(node, Element):
             if _is_block(node) or node.tag == "br":
                 if prev_text is not None:
-                    prev_text.data = re.sub(r" $", "", prev_text.data)
+                    if prev_text.data.endswith(" "):
+                        prev_text.data = prev_text.data[:-1]
                 prev_text = None
                 keep_leading_ws = False
             elif _is_void(node) or _is_pre_or_code(node):
@@ -206,7 +209,8 @@ def _collapse_whitespace(root: Element) -> None:
         prev = node
         node = next_node if next_node is not None else root
     if prev_text is not None:
-        prev_text.data = re.sub(r" $", "", prev_text.data)
+        if prev_text.data.endswith(" "):
+            prev_text.data = prev_text.data[:-1]
         if not prev_text.data:
             prev_text.parent.remove_child(prev_text)
 
@@ -288,8 +292,8 @@ _LEAD_NL = re.compile(r"^\n+")
 
 
 def _join(left: str, right: str) -> str:
-    s1 = _TRAIL_NL.sub("", left)
-    s2 = _LEAD_NL.sub("", right)
+    s1 = left.rstrip("\n")
+    s2 = right.lstrip("\n")
     nls = max(len(left) - len(s1), len(right) - len(s2))
     return s1 + "\n\n"[:min(nls, 2)] + s2
 
@@ -731,24 +735,38 @@ def _preprocess_html(html: str) -> str:
 
 
 def _fix_multiline_links(markdown: str) -> str:  # ts:61-86
+    # Event-driven rewrite of the reference's per-char loop: only
+    # '[' / ']' / '\n' occurrences change state, so jump between them.
+    # Same state machine: in_link turns on at an unescaped '[', off when an
+    # unescaped ']' returns the bracket count to exactly 0; newlines inside
+    # a link become literal '\\n'.
     result: list[str] = []
+    last = 0
     in_link = False
     bracket_count = 0
-    prev_char = ""
-    for char in markdown:
-        if char == "[" and prev_char != "\\":
+    for m in _LINK_EVENT.finditer(markdown):
+        c = m.group()
+        i = m.start()
+        if c == "\n":
+            if in_link:
+                result.append(markdown[last:i])
+                result.append("\\n")
+                last = i + 1
+            continue
+        if i > 0 and markdown[i - 1] == "\\":
+            continue
+        if c == "[":
             bracket_count += 1
             in_link = True
-        elif char == "]" and prev_char != "\\":
+        else:
             bracket_count -= 1
             if bracket_count == 0:
                 in_link = False
-        if in_link and char == "\n":
-            result.append("\\n")
-        else:
-            result.append(char)
-        prev_char = char
+    result.append(markdown[last:])
     return "".join(result)
+
+
+_LINK_EVENT = re.compile(r"[\[\]\n]")
 
 
 _SKIP_LINK_RE = re.compile(r"\[skip\s+to\s+(content|main)\]\(#[^\)]*\)", re.I)  # ts:91-96

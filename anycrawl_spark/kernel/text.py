@@ -24,6 +24,9 @@ from __future__ import annotations
 
 import re
 
+_WS_ANY = re.compile(r"\s+")
+_SPACES = re.compile(r"[ \t]+")
+
 from .dom import Comment, Element, Node, Text, parse_html
 
 _SKIP = {"script", "style", "noscript", "head", "title", "meta", "link"}
@@ -61,7 +64,7 @@ class _Renderer:
     # -- inline rendering ---------------------------------------------------
     def _inline(self, node: Node) -> str:
         if isinstance(node, Text):
-            return re.sub(r"\s+", " ", node.data)
+            return _WS_ANY.sub(" ", node.data)
         if isinstance(node, Comment):
             return ""
         assert isinstance(node, Element)
@@ -99,7 +102,7 @@ class _Renderer:
     def _inline_block_text(self, node: Element) -> str:
         text = "".join(self._inline(c) for c in node.children)
         # collapse spaces but keep explicit newlines from <br>
-        text = re.sub(r"[ \t]+", " ", text)
+        text = _SPACES.sub(" ", text)
         text = "\n".join(part.strip() for part in text.split("\n"))
         return text.strip("\n").strip() if "\n" not in text else text.strip()
 
@@ -110,7 +113,7 @@ class _Renderer:
         def flush() -> None:
             raw = "".join(inline_buf)
             inline_buf.clear()
-            raw = re.sub(r"[ \t]+", " ", raw)
+            raw = _SPACES.sub(" ", raw)
             pieces = [p.strip() for p in raw.split("\n")]
             text = "\n".join(pieces).strip("\n")
             if text.strip():
