@@ -128,6 +128,66 @@ def main() -> None:
         },
     ))
 
+    # 6. simhash near-pairs: banded equi-join, not a cartesian pair join
+    snp = REGISTRY["simhash_near_pairs"].fn(spark, "/root/testdata/sf0.01")
+    p = plan_of(snp)
+    sections.append((
+        "simhash_near_pairs: pigeonhole band blocking",
+        p,
+        {
+            "pair join is a hash join on (band_idx, band_val)":
+                r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)[^\n]*\n[^\n]*band",
+            "band keys present in join": r"band_idx",
+            "only NestedLoop is the 16-row bit-dimension broadcast":
+                r"BroadcastNestedLoopJoin",
+        },
+    ))
+    # the pair join itself must be a hash join keyed on the bands; the only
+    # nested loops allowed are the 16-row bit-dimension cross joins feeding
+    # the simhash computation (one per side of the self-join)
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"
+                     r"[^\n]*\n[^\n]*band", p), "band join must be hash-keyed"
+    for line in p.splitlines():
+        if "NestedLoopJoin" in line and "doc_id" in line:
+            raise AssertionError("pair join fell back to a nested loop")
+
+    # 7. ANN top-k: TakeOrderedAndProject, no unpartitioned global window
+    ann = REGISTRY["ann_bruteforce_topk"].fn(spark, "/root/testdata/sf0.01")
+    p = plan_of(ann)
+    sections.append((
+        "ann_bruteforce_topk: global top-k without a global window",
+        p,
+        {
+            "TakeOrderedAndProject (per-partition top-k + driver merge)":
+                r"TakeOrderedAndProject",
+            "window runs over only the k survivors (non-empty partition spec)":
+                r"Window",
+        },
+    ))
+
+    # 8. IVF probe: partition-pruned inverted-list scan
+    import tempfile
+
+    import numpy as np
+
+    from anycrawl_spark.operators.ann import (
+        build_ivf_index, ivf_topk, train_centroids)
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    cent = train_centroids(emb, k=16, iters=8)
+    ivf_dir = tempfile.mkdtemp(prefix="plans_ivf_")
+    build_ivf_index(emb.where(F.col("vec_id") != 0), ivf_dir, cent)
+    qv = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
+    p = plan_of(ivf_topk(spark, ivf_dir, cent, qv, k=10, nprobe=4))
+    sections.append((
+        "ann_ivf_real: multi-probe reads only probed cells",
+        p,
+        {
+            "partition filter on probed cells": r"PartitionFilters: \[cell",
+            "top-k via TakeOrderedAndProject": r"TakeOrderedAndProject",
+        },
+    ))
+
     with open(os.path.join(REPO, "PLANS.md"), "w") as f:
         f.write("# PLANS — physical-plan evidence (auto-generated by "
                 "tools/explain_plans.py)\n\n"
