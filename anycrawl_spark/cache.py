@@ -25,6 +25,18 @@ CACHE_COLS = ["url_hash", "options_hash", "url", "markdown", "text", "title",
               "status", "scraped_at"]
 
 
+def kv_key_col(job_id: str, url_col) -> "F.Column":
+    """crawlee key-value-store key for crawl results:
+    ``crawl-data-{jobId}-{base64(url)}`` (Base.ts:561). Our result sink is
+    parquet/Iceberg-keyed, but the scalar is part of the reference's
+    observable key scheme, so it is provided (and oracle-checked) for
+    consumers that address results the reference's way."""
+    return F.concat(
+        F.lit(f"crawl-data-{job_id}-"),
+        F.base64(F.encode(url_col, "utf-8")),
+    )
+
+
 def options_hash(options: dict[str, Any] | None) -> str:
     """sha256 of the recursively key-sorted options JSON
     (``sortKeys`` + ``computeCacheKey``, cache/index.ts:153-211)."""

@@ -117,15 +117,10 @@ def ivf_topk(spark: SparkSession, index_path: str, centroids: np.ndarray,
                             F.lit(0.0), lambda acc, x: acc + x))
     nq = float(np.linalg.norm(np.asarray(query_vec, dtype=np.float64)))
     cos = dot / (nv * F.lit(nq))
-    topk = (
+    return (
         idx.withColumn("cos_raw", cos)
         .orderBy(F.desc("cos_raw"), F.asc("vec_id"))
         .limit(k)
-    )
-    from pyspark.sql import Window
-    w = Window.partitionBy(F.lit(1)).orderBy(F.desc("cos_raw"), F.asc("vec_id"))
-    return (
-        topk.withColumn("rnk", F.row_number().over(w).cast("long"))
-        .select("vec_id", F.round(F.col("cos_raw"), 6).alias("cosine"), "rnk",
+        .select("vec_id", F.round(F.col("cos_raw"), 6).alias("cosine"),
                 F.col("cell").cast("long").alias("cell"))
     )

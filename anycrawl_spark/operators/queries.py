@@ -753,37 +753,33 @@ def q_embed_cosine_pairs(spark, sf_dir):
     "ann_bruteforce_topk",
     f"""WITH e AS (SELECT vec_id, {_DBL} AS v FROM embeddings),
          q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
-       SELECT vec_id, ROUND(list_cosine_similarity(v, qv), 6) AS cosine, rnk FROM (
-         SELECT e.vec_id, e.v, q.qv,
-                ROW_NUMBER() OVER (ORDER BY list_cosine_similarity(e.v, q.qv) DESC,
-                                   e.vec_id) AS rnk
-         FROM e, q WHERE e.vec_id != 0)
-       WHERE rnk <= 10""",
+       SELECT e.vec_id, ROUND(list_cosine_similarity(e.v, q.qv), 6) AS cosine
+       FROM e, q WHERE e.vec_id != 0
+       ORDER BY list_cosine_similarity(e.v, q.qv) DESC, e.vec_id
+       LIMIT 10""",
     "ANN baseline: brute-force cosine top-k against a query vector "
     "(broadcast query, full scan — the exact-recall reference path)",
 )
 def q_ann_bruteforce_topk(spark, sf_dir):
     # Global top-k without a global window: orderBy().limit(k) plans as
     # TakeOrderedAndProject (per-partition top-k + driver merge of k*parts
-    # rows), so no single task ever sees the full table. Ranking then runs
-    # over only the k survivors (partitionBy(lit(1)) keeps the window spec
-    # non-empty — k rows to one task, not n).
+    # rows), so no single task ever sees the full table. Rank is implicit in
+    # the (cosine DESC, vec_id) order — a rank column would need a global
+    # window (the optimizer folds literal partition keys away, leaving an
+    # empty partition spec); keyed window-rank parity is covered by
+    # perhost_topk / cache_newest / frontier_order.
     embeddings = load(spark, sf_dir, "embeddings")
     e = embeddings.select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v"))
     q = e.where(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
     cos = _cos_spark(F.col("v"), F.col("qv"))
-    topk = (
+    return (
         e.where(F.col("vec_id") != 0)
         .crossJoin(F.broadcast(q))
         .withColumn("cos_raw", cos)
         .orderBy(F.desc("cos_raw"), F.asc("vec_id"))
         .limit(10)
-    )
-    w = Window.partitionBy(F.lit(1)).orderBy(F.desc("cos_raw"), F.asc("vec_id"))
-    return (
-        topk.withColumn("rnk", F.row_number().over(w).cast("long"))
-        .select("vec_id", F.round(F.col("cos_raw"), 6).alias("cosine"), "rnk")
+        .select("vec_id", F.round(F.col("cos_raw"), 6).alias("cosine"))
     )
 
 
@@ -791,12 +787,10 @@ def q_ann_bruteforce_topk(spark, sf_dir):
     "ann_ivf_topk",
     f"""WITH e AS (SELECT vec_id, label, {_DBL} AS v FROM embeddings),
          q AS (SELECT label AS qlabel, v AS qv FROM e WHERE vec_id = 0)
-       SELECT vec_id, ROUND(list_cosine_similarity(v, qv), 6) AS cosine, rnk FROM (
-         SELECT e.vec_id, e.v, q.qv,
-                ROW_NUMBER() OVER (ORDER BY list_cosine_similarity(e.v, q.qv) DESC,
-                                   e.vec_id) AS rnk
-         FROM e JOIN q ON e.label = q.qlabel WHERE e.vec_id != 0)
-       WHERE rnk <= 5""",
+       SELECT e.vec_id, ROUND(list_cosine_similarity(e.v, q.qv), 6) AS cosine
+       FROM e JOIN q ON e.label = q.qlabel WHERE e.vec_id != 0
+       ORDER BY list_cosine_similarity(e.v, q.qv) DESC, e.vec_id
+       LIMIT 5""",
     "ANN scale path (IVF-style): probe only the query's cluster partition "
     "(labels stand in for coarse-quantizer cells); top-k within the cell",
 )
@@ -811,17 +805,13 @@ def q_ann_ivf_topk(spark, sf_dir):
     q = e.where(F.col("vec_id") == 0).select(
         F.col("label").alias("qlabel"), F.col("v").alias("qv"))
     cos = _cos_spark(F.col("v"), F.col("qv"))
-    topk = (
+    return (
         e.join(F.broadcast(q), e["label"] == F.col("qlabel"))
         .where(F.col("vec_id") != 0)
         .withColumn("cos_raw", cos)
         .orderBy(F.desc("cos_raw"), F.asc("vec_id"))
         .limit(5)
-    )
-    w = Window.partitionBy(F.lit(1)).orderBy(F.desc("cos_raw"), F.asc("vec_id"))
-    return (
-        topk.withColumn("rnk", F.row_number().over(w).cast("long"))
-        .select("vec_id", F.round(F.col("cos_raw"), 6).alias("cosine"), "rnk")
+        .select("vec_id", F.round(F.col("cos_raw"), 6).alias("cosine"))
     )
 
 
@@ -1302,6 +1292,23 @@ def q_failure_classify(spark, sf_dir):
         failure_reason_col(msg).alias("failure_reason"),
         should_retry_col(msg).alias("retry"),
     )
+
+
+@register(
+    "kv_key_base64",
+    """SELECT doc_id,
+              'crawl-data-job-' ||
+                  to_base64(encode('https://docs.test/d/' || doc_id)) AS kv_key
+       FROM documents""",
+    "§2.7 scalar: crawlee KV-store result key crawl-data-{job}-{base64(url)} "
+    "(Base.ts:561)",
+)
+def q_kv_key_base64(spark, sf_dir):
+    from anycrawl_spark.cache import kv_key_col
+
+    documents = load(spark, sf_dir, "documents")
+    url = F.concat(F.lit("https://docs.test/d/"), F.col("doc_id"))
+    return documents.select("doc_id", kv_key_col("job", url).alias("kv_key"))
 
 
 @register(

@@ -160,9 +160,13 @@ def main() -> None:
         {
             "TakeOrderedAndProject (per-partition top-k + driver merge)":
                 r"TakeOrderedAndProject",
-            "window runs over only the k survivors (non-empty partition spec)":
-                r"Window",
         },
+    ))
+    assert "Window" not in p, "ANN top-k must not plan any window"
+    sections.append((
+        "ann_bruteforce_topk: no window operator at all",
+        "(see previous section's plan)",
+        {},
     ))
 
     # 8. IVF probe: partition-pruned inverted-list scan
