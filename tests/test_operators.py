@@ -476,3 +476,55 @@ class TestJsonEngines:
         news = rows["https://n.test/2"]
         assert (news["news_date"], news["source"]) == ("2026-03-01", "custom")
         assert news["image_url"] == "https://n.test/i.png"
+
+
+class TestPyFilesSubmit:
+    def test_spark_submit_pyfiles_crawl(self, small_corpus, tmp_root):
+        """North rule: 'ships via spark-submit --py-files'. Package the zip,
+        run a crawl in a FRESH spark-submit process that imports the engine
+        only from the shipped archive, and check the summary."""
+        import json
+        import shutil
+        import subprocess
+        import sys
+
+        spark_submit = shutil.which("spark-submit")
+        if spark_submit is None:
+            import pytest
+            pytest.skip("spark-submit not on PATH")
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        work = os.path.join(tmp_root, "pyfiles")
+        os.makedirs(work, exist_ok=True)
+        zip_path = os.path.join(work, "anycrawl_spark.zip")
+        subprocess.run([sys.executable, os.path.join(repo, "tools", "package_pyfiles.py"),
+                        zip_path], check=True, capture_output=True)
+
+        corpus_dir = os.path.join(work, "corpus")
+        small_corpus.write.mode("overwrite").parquet(corpus_dir)
+
+        driver = os.path.join(work, "job.py")
+        with open(driver, "w") as f:
+            f.write(
+                "import json, sys\n"
+                "from pyspark.sql import SparkSession\n"
+                "spark = (SparkSession.builder"
+                ".config('spark.sql.shuffle.partitions', '8')"
+                ".config('spark.ui.enabled', 'false').getOrCreate())\n"
+                "from anycrawl_spark.crawl import CrawlConfig, CrawlEngine\n"
+                "corpus = spark.read.parquet(sys.argv[1])\n"
+                "engine = CrawlEngine(spark, corpus, sys.argv[2])\n"
+                "s = engine.run(CrawlConfig(job_id='pyf',"
+                " seed_url='https://site000.test/p/0', strategy='all',"
+                " max_depth=10, limit=40, respect_robots=False))\n"
+                "print('PYFILES_RESULT ' + json.dumps(s))\n"
+                "spark.stop()\n")
+        proc = subprocess.run(
+            [spark_submit, "--master", "local[4]", "--py-files", zip_path,
+             driver, corpus_dir, os.path.join(work, "ckpt")],
+            capture_output=True, text=True, timeout=360, cwd=work)
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        line = next(l for l in proc.stdout.splitlines()
+                    if l.startswith("PYFILES_RESULT "))
+        summary = json.loads(line.removeprefix("PYFILES_RESULT "))
+        assert summary["done"] == 40 and summary["enqueued"] == 40
