@@ -84,3 +84,26 @@ def expand_sitemaps(robots: DataFrame, pages: DataFrame) -> DataFrame:
         "host", "url", F.lit(None).cast("string").alias("title"),
         F.lit(None).cast("string").alias("description"),
     )
+
+
+def rank_by_search(df: DataFrame, search: str) -> DataFrame:
+    """Search-relevance ranking of map links (the reference's observable
+    contract in ``MapService.test.ts:164-235`` "Search Filtering"): for each
+    lowercase whitespace-split term, +3 if the url contains it, +2 if the
+    title does, +1 if the description does; order by (score DESC, url ASC).
+
+    Pure JVM expressions — one ``contains`` chain per term, no shuffle
+    beyond the final sort (which at scale is a range sort; callers that only
+    need the top-N follow with ``.limit(n)`` → TakeOrderedAndProject)."""
+    terms = [t for t in search.lower().split() if t]
+    score = F.lit(0)
+    url_l = F.lower(F.col("url"))
+    title_l = F.lower(F.coalesce(F.col("title"), F.lit("")))
+    desc_l = F.lower(F.coalesce(F.col("description"), F.lit("")))
+    for term in terms:
+        score = (score
+                 + F.when(url_l.contains(term), 3).otherwise(0)
+                 + F.when(title_l.contains(term), 2).otherwise(0)
+                 + F.when(desc_l.contains(term), 1).otherwise(0))
+    return (df.withColumn("score", score.cast("long"))
+            .orderBy(F.desc("score"), F.asc("url")))

@@ -1295,6 +1295,54 @@ def q_failure_classify(spark, sf_dir):
 
 
 @register(
+    "map_search_rank",
+    """WITH links AS (
+         SELECT doc_id,
+                'https://m.test/' || CASE doc_id % 4
+                    WHEN 0 THEN 'docs/api/' || doc_id
+                    WHEN 1 THEN 'about/' || doc_id
+                    WHEN 2 THEN 'docs/' || doc_id
+                    ELSE 'page' || doc_id END AS url,
+                CASE doc_id % 4 WHEN 0 THEN 'API Docs' WHEN 1 THEN 'About Us'
+                     WHEN 2 THEN 'Documentation' END AS title,
+                CASE WHEN doc_id % 2 = 0
+                     THEN 'api documentation ' || doc_id END AS description
+         FROM documents)
+       SELECT doc_id, url, title, description,
+              (CASE WHEN contains(lower(url), 'docs') THEN 3 ELSE 0 END
+               + CASE WHEN contains(lower(url), 'api') THEN 3 ELSE 0 END
+               + CASE WHEN contains(lower(coalesce(title, '')), 'docs')
+                      THEN 2 ELSE 0 END
+               + CASE WHEN contains(lower(coalesce(title, '')), 'api')
+                      THEN 2 ELSE 0 END
+               + CASE WHEN contains(lower(coalesce(description, '')), 'docs')
+                      THEN 1 ELSE 0 END
+               + CASE WHEN contains(lower(coalesce(description, '')), 'api')
+                      THEN 1 ELSE 0 END) AS score
+       FROM links""",
+    "Map search-relevance ranking (MapService.test.ts:164-235): per-term "
+    "3/2/1 scoring over url/title/description, ordered by score",
+)
+def q_map_search_rank(spark, sf_dir):
+    from anycrawl_spark.mapper import rank_by_search
+
+    documents = load(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://m.test/"),
+        F.when(d % 4 == 0, F.concat(F.lit("docs/api/"), d))
+        .when(d % 4 == 1, F.concat(F.lit("about/"), d))
+        .when(d % 4 == 2, F.concat(F.lit("docs/"), d))
+        .otherwise(F.concat(F.lit("page"), d)))
+    title = (F.when(d % 4 == 0, "API Docs").when(d % 4 == 1, "About Us")
+             .when(d % 4 == 2, "Documentation"))
+    desc = F.when(d % 2 == 0, F.concat(F.lit("api documentation "), d))
+    links = documents.select("doc_id", url.alias("url"), title.alias("title"),
+                             desc.alias("description"))
+    return rank_by_search(links, "docs api")
+
+
+@register(
     "kv_key_base64",
     """SELECT doc_id,
               'crawl-data-job-' ||

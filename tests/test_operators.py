@@ -528,3 +528,42 @@ class TestPyFilesSubmit:
                     if l.startswith("PYFILES_RESULT "))
         summary = json.loads(line.removeprefix("PYFILES_RESULT "))
         assert summary["done"] == 40 and summary["enqueued"] == 40
+
+
+class TestMapSearchRank:
+    """Search-relevance ranking ported from MapService.test.ts 'Search
+    Filtering' (the reference's observable scoring contract)."""
+
+    def _rank(self, spark, rows, search):
+        from anycrawl_spark.mapper import rank_by_search
+
+        df = spark.createDataFrame(
+            rows, "url string, title string, description string")
+        return [r["url"] for r in rank_by_search(df, search).collect()]
+
+    def test_scores_by_term_relevance(self, spark):
+        urls = self._rank(spark, [
+            ("https://example.com/docs/api", "API Docs", None),
+            ("https://example.com/about", "About Us", None),
+            ("https://example.com/docs", "Documentation", None),
+        ], "docs api")
+        assert urls[0] == "https://example.com/docs/api"
+        assert urls[-1] == "https://example.com/about"
+
+    def test_description_in_scoring(self, spark):
+        urls = self._rank(spark, [
+            ("https://example.com/page1", None, "API documentation"),
+            ("https://example.com/api", "API", None),
+            ("https://example.com/page2", None, None),
+        ], "api")
+        assert urls == ["https://example.com/api",
+                        "https://example.com/page1",
+                        "https://example.com/page2"]
+
+    def test_multiple_terms(self, spark):
+        urls = self._rank(spark, [
+            ("https://example.com/getting-started", "Getting Started Guide", None),
+            ("https://example.com/guide", "User Guide", None),
+            ("https://example.com/faq", "FAQ", None),
+        ], "getting started")
+        assert urls[0] == "https://example.com/getting-started"
