@@ -1295,6 +1295,62 @@ def q_failure_classify(spark, sf_dir):
 
 
 @register(
+    "robots_spec_filter",
+    r"""WITH cand AS (
+         SELECT doc_id, CASE doc_id % 8
+             WHEN 0 THEN '/p/' || doc_id
+             WHEN 1 THEN '/private/p/' || doc_id
+             WHEN 2 THEN '/private/ok/' || doc_id
+             WHEN 3 THEN '/doc/' || doc_id || '.pdf'
+             WHEN 4 THEN '/blog/p/' || doc_id
+             WHEN 5 THEN '/blog/archive/' || doc_id
+             WHEN 6 THEN '/doc/' || doc_id || '.pdfx'
+             ELSE '/private' END AS path
+         FROM documents),
+       rules(spec, allow, rx) AS (VALUES
+         (8, 0, '^/private'), (11, 1, '^/private/ok'),
+         (7, 0, '^/.*\.pdf$'), (5, 1, '^/blog'),
+         (14, 0, '^/blog/archive.*')),
+       m AS (SELECT c.doc_id, r.spec, r.allow
+             FROM cand c JOIN rules r ON regexp_matches(c.path, r.rx)),
+       best AS (SELECT doc_id, allow,
+                       ROW_NUMBER() OVER (PARTITION BY doc_id
+                                          ORDER BY spec DESC, allow DESC) AS rn
+                FROM m)
+       SELECT c.doc_id, c.path FROM cand c
+       LEFT JOIN (SELECT doc_id, allow FROM best WHERE rn = 1) b
+              ON c.doc_id = b.doc_id
+       WHERE b.allow IS NULL OR b.allow = 1""",
+    "Spec-compliant robots matching (RFC 9309 / robots-parser semantics): "
+    "'*' wildcards, trailing '$' anchor, Allow overrides, longest-pattern "
+    "wins with allow beating disallow on ties — the matcher crawlee's "
+    "RobotsTxtFile provides the reference",
+)
+def q_robots_spec_filter(spark, sf_dir):
+    from anycrawl_spark.politeness import compile_robots_rules, robots_allowed_spec
+
+    documents = load(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    path = (
+        F.when(d % 8 == 0, F.concat(F.lit("/p/"), d))
+        .when(d % 8 == 1, F.concat(F.lit("/private/p/"), d))
+        .when(d % 8 == 2, F.concat(F.lit("/private/ok/"), d))
+        .when(d % 8 == 3, F.concat(F.lit("/doc/"), d, F.lit(".pdf")))
+        .when(d % 8 == 4, F.concat(F.lit("/blog/p/"), d))
+        .when(d % 8 == 5, F.concat(F.lit("/blog/archive/"), d))
+        .when(d % 8 == 6, F.concat(F.lit("/doc/"), d, F.lit(".pdfx")))
+        .otherwise("/private")
+    )
+    cand = documents.select(
+        "doc_id", F.lit("site.test").alias("host"), path.alias("path"))
+    rules = compile_robots_rules(spark, {"site.test": [
+        (False, "/private"), (True, "/private/ok"), (False, "/*.pdf$"),
+        (True, "/blog"), (False, "/blog/archive*"),
+    ]})
+    return robots_allowed_spec(cand, rules).select("doc_id", "path")
+
+
+@register(
     "map_search_rank",
     """WITH links AS (
          SELECT doc_id,

@@ -221,3 +221,107 @@ def salt_skewed_hosts(df: DataFrame, host_col: str = "host",
         ),
     ).otherwise(F.col(host_col))
     return with_n.withColumn("salted_host", salted_key).drop("__host_n")
+
+
+# ---------------------------------------------------------------------------
+# Spec-compliant robots.txt (RFC 9309 / Google semantics), the matcher the
+# reference gets from crawlee's RobotsTxtFile (robots-parser): '*' wildcards,
+# trailing '$' end anchor, Allow overrides, longest-pattern-wins with
+# allow-beats-disallow on ties. The crawl loop's fixture path keeps the
+# prefix-only fast matcher (robots_allowed) — identical results on prefix
+# rules — while this full matcher serves real-world robots.txt rule sets.
+# ---------------------------------------------------------------------------
+
+ROBOTS_RULES_SCHEMA = "host string, rules array<struct<spec:int, allow:int, rx:string>>"
+
+
+def robots_pattern_to_regex(pattern: str) -> str:
+    """RFC 9309 path pattern → Java/RE2 regex: anchored at path start, '*'
+    crosses anything, a trailing '$' anchors the end (elsewhere literal)."""
+    anchor_end = pattern.endswith("$")
+    body = pattern[:-1] if anchor_end else pattern
+    out = []
+    for c in body:
+        if c == "*":
+            out.append(".*")
+        elif c in ".+^$()[]{}|\\?":
+            out.append("\\" + c)
+        else:
+            out.append(c)
+    return "^" + "".join(out) + ("$" if anchor_end else "")
+
+
+def parse_robots_txt(text: str, user_agent: str = "anycrawl") -> dict:
+    """Parse robots.txt into {'rules': [(allow: bool, pattern: str)],
+    'sitemaps': [...]} for the most specific matching user-agent group
+    (longest agent token contained in ``user_agent``, '*' as fallback) —
+    robots-parser group selection. Empty Disallow lines are no-ops (allow
+    all); rules keep file order (order is irrelevant under longest-match)."""
+    groups: dict[str, list[tuple[bool, str]]] = {}
+    sitemaps: list[str] = []
+    current_agents: list[str] = []
+    last_was_agent = False
+    for raw in (text or "").splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        field, _, value = line.partition(":")
+        field = field.strip().lower()
+        value = value.strip()
+        if field == "user-agent":
+            agent = value.lower()
+            if last_was_agent:
+                current_agents.append(agent)
+            else:
+                current_agents = [agent]
+            for a in current_agents:
+                groups.setdefault(a, [])
+            last_was_agent = True
+            continue
+        last_was_agent = False
+        if field == "sitemap":
+            sitemaps.append(value)
+        elif field in ("allow", "disallow") and current_agents:
+            if not value:
+                continue  # empty pattern matches nothing
+            for a in current_agents:
+                groups.setdefault(a, []).append((field == "allow", value))
+    ua = user_agent.lower()
+    chosen, chosen_len = None, -1
+    for agent in groups:
+        if agent != "*" and agent in ua and len(agent) > chosen_len:
+            chosen, chosen_len = agent, len(agent)
+    if chosen is None and "*" in groups:
+        chosen = "*"
+    return {"rules": groups.get(chosen, []), "sitemaps": sitemaps}
+
+
+def compile_robots_rules(spark, per_host: dict[str, list[tuple[bool, str]]]) -> DataFrame:
+    """Driver-side compile: host → array<struct(spec, allow, rx)> where
+    spec = raw pattern length (the RFC's specificity measure)."""
+    rows = [
+        (host, [(len(p), int(allow), robots_pattern_to_regex(p))
+                for allow, p in rules])
+        for host, rules in per_host.items()
+    ]
+    return spark.createDataFrame(rows, ROBOTS_RULES_SCHEMA)
+
+
+def robots_allowed_spec(candidates: DataFrame, rules: DataFrame,
+                        host_col: str = "host",
+                        path_col: str = "path") -> DataFrame:
+    """Drop candidates denied under full robots semantics. Rules are tiny
+    (one row per host) → broadcast join; per-candidate evaluation is a JVM
+    higher-order filter + array_max — the struct max picks the longest
+    matching pattern, allow winning ties (least-restrictive rule)."""
+    joined = candidates.join(
+        F.broadcast(rules.withColumnRenamed("host", "__rhost")
+                    .withColumnRenamed("rules", "__rrules")),
+        on=candidates[host_col] == F.col("__rhost"),
+        how="left",
+    )
+    best = F.expr(
+        f"array_max(transform(filter(__rrules, r -> {path_col} rlike r.rx),"
+        " r -> struct(r.spec AS spec, r.allow AS allow)))")
+    allowed = best.isNull() | (best["allow"] == 1)
+    return joined.where(allowed).drop("__rhost", "__rrules")

@@ -567,3 +567,63 @@ class TestMapSearchRank:
             ("https://example.com/faq", "FAQ", None),
         ], "getting started")
         assert urls[0] == "https://example.com/getting-started"
+
+
+class TestRobotsSpec:
+    """RFC 9309 / robots-parser semantics (the matcher crawlee's
+    RobotsTxtFile gives the reference)."""
+
+    def test_pattern_to_regex(self):
+        import re as _re
+
+        from anycrawl_spark.politeness import robots_pattern_to_regex
+
+        rx = _re.compile(robots_pattern_to_regex("/*.pdf$"))
+        assert rx.search("/a/b.pdf") and not rx.search("/a/b.pdfx")
+        rx2 = _re.compile(robots_pattern_to_regex("/private"))
+        assert rx2.search("/private") and rx2.search("/private/x")
+        assert not rx2.search("/p/private")
+        rx3 = _re.compile(robots_pattern_to_regex("/a*b"))
+        assert rx3.search("/aXYb") and rx3.search("/ab") and not rx3.search("/b")
+
+    def test_parse_robots_txt_groups(self):
+        from anycrawl_spark.politeness import parse_robots_txt
+
+        text = """
+# comment
+User-agent: googlebot
+Disallow: /g-only
+
+User-agent: anycrawl
+User-agent: otherbot
+Allow: /open
+Disallow: /closed
+Disallow:
+
+User-agent: *
+Disallow: /everything
+Sitemap: https://site.test/sitemap.xml
+"""
+        got = parse_robots_txt(text, user_agent="anycrawl/1.0")
+        # most specific matching agent group wins (not '*', not googlebot)
+        assert got["rules"] == [(True, "/open"), (False, "/closed")]
+        assert got["sitemaps"] == ["https://site.test/sitemap.xml"]
+        fallback = parse_robots_txt(text, user_agent="unknown-bot")
+        assert fallback["rules"] == [(False, "/everything")]
+
+    def test_longest_match_allow_override(self, spark):
+        from anycrawl_spark.politeness import (
+            compile_robots_rules, robots_allowed_spec)
+
+        rules = compile_robots_rules(spark, {"h.test": [
+            (False, "/private"), (True, "/private/ok"), (False, "/*.pdf$"),
+        ]})
+        cand = spark.createDataFrame(
+            [("h.test", "/private/x"), ("h.test", "/private/ok/y"),
+             ("h.test", "/a.pdf"), ("h.test", "/a.pdfx"),
+             ("h.test", "/free"), ("other.test", "/private/x")],
+            "host string, path string")
+        got = {(r["host"], r["path"])
+               for r in robots_allowed_spec(cand, rules).collect()}
+        assert got == {("h.test", "/private/ok/y"), ("h.test", "/a.pdfx"),
+                       ("h.test", "/free"), ("other.test", "/private/x")}
