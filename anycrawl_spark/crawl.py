@@ -74,7 +74,9 @@ class CrawlConfig:
     include_paths: list[str] = field(default_factory=list)
     exclude_paths: list[str] = field(default_factory=list)
     scrape_paths: list[str] = field(default_factory=list)
-    politeness_budget: int = 0           # per-host fetches per round; 0 = unlimited
+    politeness_budget: int = 0           # fetches per budget key per round; 0 = unlimited
+    budget_scope: str = "host"           # 'host' or 'domain' (registrable) —
+                                         # north rule: per-DOMAIN politeness
     budget_salt_n: int = 0               # >1: two-stage salted per-host top-k (hot hosts)
     max_attempts: int = 1                # fetch retries (Queue.ts:84-89 attempts=3)
     batch_size: int = 0                  # rows fetched per round; 0 = whole round
@@ -255,7 +257,7 @@ class CrawlEngine:
         # --- politeness: per-host budget window (the host shuffle) ---------
         admitted, deferred = apply_host_budget(
             pending, cfg.politeness_budget, order_cols=("depth", "seq"),
-            salt_n=cfg.budget_salt_n)
+            salt_n=cfg.budget_salt_n, scope=cfg.budget_scope)
         if cfg.batch_size and cfg.batch_size > 0:
             # coordinator batch semantics (crawlCoordinator.ts:33-38): take
             # the first batch_size rows in FIFO (seq) order

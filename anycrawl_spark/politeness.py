@@ -159,9 +159,15 @@ def apply_host_budget(frontier: DataFrame, budget: int | None,
                       host_col: str = "host",
                       order_cols: tuple[str, ...] = ("depth", "seq"),
                       salt_n: int = 0,
-                      url_col: str = "url") -> tuple[DataFrame, DataFrame]:
+                      url_col: str = "url",
+                      scope: str = "host") -> tuple[DataFrame, DataFrame]:
     """Split a round's frontier into (admitted, deferred) by per-host top-k
     — the per-host priority queue of the north rule (priority = order_cols).
+
+    ``scope='domain'`` budgets by registrable domain instead (the north
+    rule's "per-domain politeness budgets"): all subdomains of one site
+    share the budget. Implemented by swapping the window key — the shuffle
+    then co-locates by domain.
 
     The window shuffles by host — that shuffle IS the politeness mechanism
     (it also co-locates each host's rows, which downstream per-host fetch
@@ -177,6 +183,15 @@ def apply_host_budget(frontier: DataFrame, budget: int | None,
     """
     if not budget or budget <= 0:
         return frontier, frontier.limit(0)
+    if scope == "domain":
+        from anycrawl_spark.kernel.canonical import base_domain_col
+
+        frontier = frontier.withColumn(
+            "__budget_key", base_domain_col(F.col(host_col)))
+        admitted, deferred = apply_host_budget(
+            frontier, budget, host_col="__budget_key", order_cols=order_cols,
+            salt_n=salt_n, url_col=url_col, scope="host")
+        return admitted.drop("__budget_key"), deferred.drop("__budget_key")
     order = [F.col(c) for c in order_cols]
     if salt_n and salt_n > 1:
         salt = F.pmod(

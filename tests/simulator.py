@@ -90,6 +90,7 @@ def simulate_crawl(
     include_paths: list[str] | None = None,
     exclude_paths: list[str] | None = None,
     politeness_budget: int = 0,
+    budget_scope: str = "host",
     batch_size: int = 0,
     robots: dict[str, list[str]] | None = None,
 ) -> SimResult:
@@ -114,6 +115,8 @@ def simulate_crawl(
         host_counts: dict[str, int] = {}
         for seq, url, depth in sorted(pending, key=lambda t: (t[2], t[0])):
             h = host_of(normalize_url(url))
+            if budget_scope == "domain":
+                h = base_domain_of(h)
             if politeness_budget and host_counts.get(h, 0) >= politeness_budget:
                 deferred.append((seq, url, depth))
                 continue

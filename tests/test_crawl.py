@@ -356,3 +356,41 @@ class TestCancellation:
         eng.run(CrawlConfig(job_id="cx", **kw), resume=True)
         got = sorted((v["seq"], v["url"]) for v in eng.visits().collect())
         assert got == ref_visits
+
+
+class TestDomainBudget:
+    def test_domain_budget_crawl_matches_simulator(self, spark, small_corpus,
+                                                   corpus_dict, tmp_root):
+        """North rule 'per-domain politeness budgets': subdomains share one
+        budget (fixture hosts include sub.siteNNN.test); engine matches the
+        simulator under the same scope."""
+        kw = dict(seed_url=SEED, strategy="all", max_depth=4, limit=60,
+                  politeness_budget=2, respect_robots=False,
+                  budget_scope="domain")
+        _, _, visits, seen = run_engine(spark, small_corpus, tmp_root,
+                                        "dombudget", **kw)
+        sim = simulate_crawl(corpus_dict, SEED, strategy="all", max_depth=4,
+                             limit=60, politeness_budget=2,
+                             budget_scope="domain")
+        assert_parity(spark, visits, seen, sim)
+
+    def test_subdomains_share_budget(self, spark):
+        from pyspark.sql import functions as F
+
+        from anycrawl_spark.politeness import apply_host_budget
+
+        rows = [("https://a.site.test/%d" % i, "a.site.test", 0, i)
+                for i in range(3)]
+        rows += [("https://b.site.test/%d" % i, "b.site.test", 0, 10 + i)
+                 for i in range(3)]
+        rows += [("https://other.test/%d" % i, "other.test", 0, 20 + i)
+                 for i in range(3)]
+        df = spark.createDataFrame(
+            rows, "url string, host string, depth int, seq long")
+        adm_host, _ = apply_host_budget(df, 2, scope="host")
+        assert adm_host.count() == 6  # 2 per hostname
+        adm_dom, _ = apply_host_budget(df, 2, scope="domain")
+        got = sorted(r["url"] for r in adm_dom.collect())
+        # site.test domain: only the 2 lowest-seq rows across BOTH subdomains
+        assert got == ["https://a.site.test/0", "https://a.site.test/1",
+                       "https://other.test/0", "https://other.test/1"]
