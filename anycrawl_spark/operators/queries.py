@@ -487,6 +487,130 @@ def q_quality_score(spark, sf_dir):
 
 
 @register(
+    "gopher_quality",
+    r"""SELECT doc_id, word_count, mean_word_len, symbol_ratio, bullet_frac,
+              ellipsis_frac, stop_hits,
+              CASE WHEN word_count BETWEEN 50 AND 100000
+                        AND mean_word_len BETWEEN 3 AND 10
+                        AND symbol_ratio <= 0.1
+                        AND bullet_frac <= 0.9
+                        AND ellipsis_frac <= 0.3
+                        AND stop_hits >= 2
+                   THEN 1 ELSE 0 END AS passes_gopher
+       FROM (
+         SELECT doc_id,
+                len(words) AS word_count,
+                ROUND(list_sum(list_transform(words, w -> length(w)))
+                      * 1.0 / greatest(len(words), 1), 4) AS mean_word_len,
+                ROUND(len(list_filter(words, w -> contains(w, '#')
+                                               OR contains(w, '...')))
+                      * 1.0 / greatest(len(words), 1), 4) AS symbol_ratio,
+                ROUND(len(list_filter(lines, l -> starts_with(trim(l), '-')
+                                               OR starts_with(trim(l), '*')))
+                      * 1.0 / greatest(len(lines), 1), 4) AS bullet_frac,
+                ROUND(len(list_filter(lines, l -> ends_with(rtrim(l), '...')))
+                      * 1.0 / greatest(len(lines), 1), 4) AS ellipsis_frac,
+                len(list_intersect(list_transform(words, w -> lower(w)),
+                    ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with']))
+                    AS stop_hits
+         FROM (SELECT doc_id,
+                      regexp_extract_all(text, '\S+') AS words,
+                      string_split(text, chr(10)) AS lines
+               FROM documents))""",
+    "Gopher quality rules (Rae et al. 2021 §A1.1 subset): word count, mean "
+    "word length, symbol-to-word ratio, bullet/ellipsis line fractions, "
+    "distinct-stopword floor — all JVM higher-order expressions",
+)
+def q_gopher_quality(spark, sf_dir):
+    documents = load_wide(spark, sf_dir, "documents")
+    words = F.regexp_extract_all("text", F.lit(r"\S+"), 0)
+    lines = F.split("text", "\n")
+    n_words = F.greatest(F.size(words), F.lit(1))
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+    mean_wl = F.aggregate(
+        F.transform(words, F.length), F.lit(0), lambda a, x: a + x
+    ) * F.lit(1.0) / n_words
+    symbols = F.size(F.filter(
+        words, lambda w: w.contains("#") | w.contains("...")))
+    bullets = F.size(F.filter(
+        lines, lambda l: F.trim(l).startswith("-") | F.trim(l).startswith("*")))
+    ellipsis = F.size(F.filter(lines, lambda l: F.rtrim(l).endswith("...")))
+    stop_hits = F.size(F.array_intersect(
+        F.transform(words, F.lower),
+        F.array(*[F.lit(s) for s in
+                  ("the", "be", "to", "of", "and", "that", "have", "with")])))
+    df = documents.select(
+        "doc_id",
+        F.size(words).cast("long").alias("word_count"),
+        F.round(mean_wl, 4).alias("mean_word_len"),
+        F.round(symbols * F.lit(1.0) / n_words, 4).alias("symbol_ratio"),
+        F.round(bullets * F.lit(1.0) / n_lines, 4).alias("bullet_frac"),
+        F.round(ellipsis * F.lit(1.0) / n_lines, 4).alias("ellipsis_frac"),
+        stop_hits.cast("long").alias("stop_hits"),
+    )
+    passes = (
+        F.col("word_count").between(50, 100000)
+        & F.col("mean_word_len").between(3, 10)
+        & (F.col("symbol_ratio") <= 0.1)
+        & (F.col("bullet_frac") <= 0.9)
+        & (F.col("ellipsis_frac") <= 0.3)
+        & (F.col("stop_hits") >= 2)
+    )
+    return df.withColumn("passes_gopher", F.when(passes, 1).otherwise(0))
+
+
+@register(
+    "c4_filters",
+    r"""SELECT doc_id, sentence_count, has_brace, has_lorem, has_js,
+              terminal_line_frac,
+              CASE WHEN sentence_count >= 3 AND has_brace = 0
+                        AND has_lorem = 0 AND has_js = 0
+                   THEN 1 ELSE 0 END AS passes_c4
+       FROM (
+         SELECT doc_id,
+                len(list_filter(regexp_split_to_array(text, '[.!?]'),
+                                s -> trim(s) != '')) AS sentence_count,
+                CASE WHEN contains(text, '{') THEN 1 ELSE 0 END AS has_brace,
+                CASE WHEN contains(lower(text), 'lorem ipsum')
+                     THEN 1 ELSE 0 END AS has_lorem,
+                CASE WHEN contains(lower(text), 'javascript')
+                     THEN 1 ELSE 0 END AS has_js,
+                ROUND(len(list_filter(string_split(text, chr(10)),
+                          l -> regexp_matches(rtrim(l), '[.!?"]$')))
+                      * 1.0 / greatest(len(string_split(text, chr(10))), 1), 4)
+                    AS terminal_line_frac
+         FROM documents)""",
+    "C4 cleaning filters (Raffel et al. 2020 §2.2): >=3 sentences, no curly "
+    "brace / lorem ipsum / javascript markers, terminal-punctuation line "
+    "fraction",
+)
+def q_c4_filters(spark, sf_dir):
+    documents = load_wide(spark, sf_dir, "documents")
+    sentences = F.split("text", r"[.!?]")
+    lines = F.split("text", "\n")
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+    sent_count = F.size(F.filter(sentences, lambda s: F.trim(s) != ""))
+    terminal = F.size(F.filter(
+        lines, lambda l: F.rtrim(l).rlike(r'[.!?"]$')))
+    df = documents.select(
+        "doc_id",
+        sent_count.cast("long").alias("sentence_count"),
+        F.when(F.col("text").contains("{"), 1).otherwise(0)
+         .cast("long").alias("has_brace"),
+        F.when(F.lower("text").contains("lorem ipsum"), 1).otherwise(0)
+         .cast("long").alias("has_lorem"),
+        F.when(F.lower("text").contains("javascript"), 1).otherwise(0)
+         .cast("long").alias("has_js"),
+        F.round(terminal * F.lit(1.0) / n_lines, 4).alias("terminal_line_frac"),
+    )
+    passes = (
+        (F.col("sentence_count") >= 3) & (F.col("has_brace") == 0)
+        & (F.col("has_lorem") == 0) & (F.col("has_js") == 0)
+    )
+    return df.withColumn("passes_c4", F.when(passes, 1).otherwise(0))
+
+
+@register(
     "lang_id",
     """SELECT doc_id, lang,
               len(list_filter(regexp_extract_all(text, '\\S+'),
