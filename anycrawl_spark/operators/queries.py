@@ -746,6 +746,46 @@ def _simhash_bits_sql() -> str:
       GROUP BY doc_id, bit_idx"""
 
 
+def _dedup_clusters_oracle() -> str:
+    """Recursive-CTE transitive closure over the SAME LSH pair SQL: cluster
+    of a doc = min doc_id reachable through candidate-pair edges."""
+    lsh = REGISTRY["lsh_candidate_pairs"].oracle
+    body, _, final = lsh.rpartition("SELECT DISTINCT")
+    return (
+        body.replace("WITH", "WITH RECURSIVE", 1)
+        + ", pairs AS (SELECT DISTINCT" + final + """),
+       edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+                 UNION SELECT doc_b, doc_a FROM pairs),
+       reach(src, dst) AS (
+         SELECT doc_id, doc_id FROM documents
+         UNION
+         SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u)
+       SELECT src AS doc_id,
+              CAST(MIN(dst) AS BIGINT) AS cluster,
+              CAST(CASE WHEN MIN(dst) = src THEN 1 ELSE 0 END AS BIGINT)
+                  AS is_representative
+       FROM reach GROUP BY src""")
+
+
+@register(
+    "dedup_clusters",
+    None,  # oracle attached below (built from the LSH pair SQL)
+    "Dedup clustering: connected components (min-label propagation, "
+    "localCheckpoint-truncated driver loop) over MinHash-LSH candidate "
+    "pairs → (cluster, representative); oracle = recursive-CTE transitive "
+    "closure over the identical pair SQL",
+)
+def q_dedup_clusters(spark, sf_dir):
+    from anycrawl_spark.operators.dedup import dedup_clusters
+
+    documents = load(spark, sf_dir, "documents")
+    pairs = REGISTRY["lsh_candidate_pairs"].fn(spark, sf_dir)
+    return dedup_clusters(documents.select("doc_id"), pairs)
+
+
+REGISTRY["dedup_clusters"].oracle = _dedup_clusters_oracle()
+
+
 @register(
     "simhash16",
     f"""SELECT doc_id,

@@ -232,3 +232,28 @@ class TestRealIvf:
         c1 = train_centroids(embeddings, k=8, iters=4)
         c2 = train_centroids(embeddings, k=8, iters=4)
         assert np.array_equal(c1, c2)
+
+
+class TestConnectedComponents:
+    def test_min_label_propagation(self, spark):
+        from anycrawl_spark.operators.dedup import connected_components
+
+        # two chains + a singleton: {1-2-3-4}, {10-11}, {99}
+        verts = spark.createDataFrame(
+            [(i,) for i in (1, 2, 3, 4, 10, 11, 99)], "id long")
+        edges = spark.createDataFrame(
+            [(2, 1), (2, 3), (4, 3), (10, 11)], "src long, dst long")
+        got = {r["id"]: r["cluster"]
+               for r in connected_components(verts, edges).collect()}
+        assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 99: 99}
+
+    def test_representative_policy(self, spark):
+        from anycrawl_spark.operators.dedup import dedup_clusters
+
+        docs = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+        pairs = spark.createDataFrame(
+            [(0, 3), (3, 5)], "doc_a long, doc_b long")
+        rows = {r["doc_id"]: (r["cluster"], r["is_representative"])
+                for r in dedup_clusters(docs, pairs).collect()}
+        assert rows[0] == (0, 1) and rows[3] == (0, 0) and rows[5] == (0, 0)
+        assert rows[1] == (1, 1) and rows[2] == (2, 1) and rows[4] == (4, 1)
