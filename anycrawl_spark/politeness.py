@@ -136,9 +136,18 @@ def robots_allowed(candidates: DataFrame, robots: DataFrame | None,
                    host_col: str = "host", path_col: str = "path") -> DataFrame:
     """Drop candidates whose path matches a disallow prefix for their host.
     robots is tiny (one row per host) → broadcast join; prefix test is an
-    array ``exists`` — all JVM-side."""
+    array ``exists`` — all JVM-side.
+
+    Dispatch: a robots table carrying a ``rules`` column (the compiled
+    spec-rule shape from :func:`compile_robots_rules` /
+    :func:`robots_rules_from_texts`) routes to the full RFC 9309 matcher;
+    the fixture shape (``disallow`` prefix array) keeps this fast path."""
     if robots is None:
         return candidates
+    if "rules" in robots.columns:
+        url_col = "url" if "url" in candidates.columns else None
+        return robots_allowed_spec(candidates, robots, host_col=host_col,
+                                   path_col=path_col, url_col=url_col)
     joined = candidates.join(
         F.broadcast(robots.select(F.col("host").alias("__rhost"), "disallow")),
         on=candidates[host_col] == F.col("__rhost"),
@@ -324,11 +333,29 @@ def compile_robots_rules(spark, per_host: dict[str, list[tuple[bool, str]]]) -> 
 
 def robots_allowed_spec(candidates: DataFrame, rules: DataFrame,
                         host_col: str = "host",
-                        path_col: str = "path") -> DataFrame:
+                        path_col: str = "path",
+                        url_col: str | None = None) -> DataFrame:
     """Drop candidates denied under full robots semantics. Rules are tiny
     (one row per host) → broadcast join; per-candidate evaluation is a JVM
     higher-order filter + array_max — the struct max picks the longest
-    matching pattern, allow winning ties (least-restrictive rule)."""
+    matching pattern, allow winning ties (least-restrictive rule).
+
+    When ``url_col`` is given, rules match against path+query — what
+    robots-parser (and the RFC) actually matches — instead of the bare
+    ``path_col``."""
+    if url_col is not None:
+        candidates = candidates.withColumn(
+            "__rpath",
+            F.concat(
+                F.coalesce(F.parse_url(F.col(url_col), F.lit("PATH")),
+                           F.lit("/")),
+                F.coalesce(
+                    F.concat(F.lit("?"),
+                             F.parse_url(F.col(url_col), F.lit("QUERY"))),
+                    F.lit(""))))
+        match_col = "__rpath"
+    else:
+        match_col = path_col
     joined = candidates.join(
         F.broadcast(rules.withColumnRenamed("host", "__rhost")
                     .withColumnRenamed("rules", "__rrules")),
@@ -336,7 +363,26 @@ def robots_allowed_spec(candidates: DataFrame, rules: DataFrame,
         how="left",
     )
     best = F.expr(
-        f"array_max(transform(filter(__rrules, r -> {path_col} rlike r.rx),"
+        f"array_max(transform(filter(__rrules, r -> {match_col} rlike r.rx),"
         " r -> struct(r.spec AS spec, r.allow AS allow)))")
     allowed = best.isNull() | (best["allow"] == 1)
-    return joined.where(allowed).drop("__rhost", "__rrules")
+    out = joined.where(allowed).drop("__rhost", "__rrules")
+    return out.drop("__rpath") if url_col is not None else out
+
+
+def robots_rules_from_texts(spark, texts: dict[str, str],
+                            user_agent: str = "anycrawl") -> DataFrame:
+    """Raw per-host robots.txt bodies → compiled spec-rule table (the shape
+    :func:`robots_allowed` dispatches to the full matcher). Sitemap URLs are
+    carried alongside for the map path."""
+    parsed = {host: parse_robots_txt(text, user_agent)
+              for host, text in texts.items()}
+    rows = [
+        (host,
+         [(len(p), int(allow), robots_pattern_to_regex(p))
+          for allow, p in info["rules"]],
+         info["sitemaps"])
+        for host, info in parsed.items()
+    ]
+    return spark.createDataFrame(
+        rows, ROBOTS_RULES_SCHEMA + ", sitemaps array<string>")

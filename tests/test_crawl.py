@@ -394,3 +394,33 @@ class TestDomainBudget:
         # site.test domain: only the 2 lowest-seq rows across BOTH subdomains
         assert got == ["https://a.site.test/0", "https://a.site.test/1",
                        "https://other.test/0", "https://other.test/1"]
+
+
+class TestSpecRobotsCrawl:
+    def test_crawl_with_wildcard_robots(self, spark, small_corpus, tmp_root):
+        """Engine accepts raw robots.txt with wildcard/Allow rules: the
+        blog subtree is disallowed via '/blog*' but '/blog/p/3' is re-allowed
+        by a longer Allow rule; visited set reflects both."""
+        from anycrawl_spark.politeness import robots_rules_from_texts
+
+        txt = (
+            "User-agent: anycrawl\n"
+            "Disallow: /blog*\n"
+            "Allow: /blog/p/3\n"
+            "Disallow: /*.png$\n"
+        )
+        robots = robots_rules_from_texts(
+            spark, {"site000.test": txt}, user_agent="anycrawl")
+        engine = CrawlEngine(spark, small_corpus,
+                             os.path.join(tmp_root, "specrb"), robots=robots)
+        engine.run(CrawlConfig(job_id="specrb", seed_url=SEED,
+                               strategy="same-hostname", max_depth=6,
+                               limit=80, respect_robots=True))
+        paths = {v["url"].split(".test", 1)[1] for v in engine.visits().collect()}
+        blog_paths = {p for p in paths if p.startswith("/blog")}
+        # Allow '/blog/p/3' is a PREFIX rule (RFC): /blog/p/3, /blog/p/38 and
+        # the ?query variant are re-allowed; every other blog path is denied
+        assert blog_paths and all(p.startswith("/blog/p/3") for p in blog_paths), blog_paths
+        assert "/blog/p/10" not in paths  # reachable but robots-denied
+        assert not any(p.endswith(".png") for p in paths)
+        assert any(p.startswith("/p/") for p in paths)  # rest still crawled
