@@ -403,6 +403,58 @@ def ac_responses_from_documents(docs_df):
     )
 
 
+def sitemap_bodies_from_documents(docs_df):
+    """(host, sitemap_url, body) fixture: per host one ``sitemapindex``
+    referencing two child sitemaps, children carrying ``<urlset>`` page
+    entries derived from doc_id (XML built JVM-side, deterministic order)."""
+    from pyspark.sql import functions as F
+
+    d = F.col("doc_id")
+    host = F.concat(F.lit("smsite"), d % 3, F.lit(".test"))
+    child = F.when((d / 3).cast("long") % 2 == 0, "a").otherwise("b")
+    loc = F.concat(F.lit("https://"), host, F.lit("/d/"), d)
+    lastmod = F.when(
+        d % 2 == 0,
+        F.concat(F.lit("<lastmod>2026-0"), d % 9 + 1, F.lit("-01</lastmod>")),
+    ).otherwise(F.lit(""))
+    entry = F.concat(F.lit("<url><loc>"), loc, F.lit("</loc>"),
+                     lastmod, F.lit("</url>"))
+    per_child = (
+        docs_df.select(host.alias("host"), child.alias("child"),
+                       F.struct(d.alias("doc_id"), entry.alias("e")).alias("s"))
+        .groupBy("host", "child")
+        .agg(F.array_join(
+            F.transform(F.sort_array(F.collect_list("s")), lambda s: s["e"]),
+            "").alias("body_inner"))
+    )
+    children = per_child.select(
+        "host",
+        F.concat(F.lit("https://"), F.col("host"), F.lit("/sitemap-"),
+                 F.col("child"), F.lit(".xml")).alias("sitemap_url"),
+        F.concat(
+            F.lit('<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'),
+            F.col("body_inner"), F.lit("</urlset>")).alias("body"),
+    )
+    index = (
+        children.groupBy("host")
+        .agg(F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list("sitemap_url")),
+                lambda u: F.concat(F.lit("<sitemap><loc>"), u,
+                                   F.lit("</loc></sitemap>"))), "")
+             .alias("refs"))
+        .select(
+            "host",
+            F.concat(F.lit("https://"), F.col("host"),
+                     F.lit("/sitemap.xml")).alias("sitemap_url"),
+            F.concat(
+                F.lit('<sitemapindex xmlns="http://www.sitemaps.org/'
+                      'schemas/sitemap/0.9">'),
+                F.col("refs"), F.lit("</sitemapindex>")).alias("body"))
+    )
+    return children.unionByName(index)
+
+
 # ---------------------------------------------------------------------------
 # Pages derived from the driver's documents table (sf-scaled harness input)
 # ---------------------------------------------------------------------------

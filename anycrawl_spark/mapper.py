@@ -9,6 +9,7 @@ result limit — as ``unionByName`` + ``groupBy(url).agg(first ignorenulls)``
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 MAP_SOURCE_ORDER = {"sitemap": 0, "search": 1, "crawl": 2, "cache": 3}
@@ -107,3 +108,78 @@ def rank_by_search(df: DataFrame, search: str) -> DataFrame:
                  + F.when(desc_l.contains(term), 1).otherwise(0))
     return (df.withColumn("score", score.cast("long"))
             .orderBy(F.desc("score"), F.asc("url")))
+
+
+# ---------------------------------------------------------------------------
+# Sitemap XML (urlset + sitemapindex) — what crawlee's Sitemap parser gives
+# the reference's getSitemapUrls (MapService.ts:172-201). The fixture-join
+# shortcut above (expand_sitemaps) models discovery; these functions parse
+# actual sitemap bodies.
+# ---------------------------------------------------------------------------
+
+SITEMAP_ENTRY_SCHEMA = "array<struct<loc:string, lastmod:string, is_index:boolean>>"
+
+
+def parse_sitemap_xml(body: str) -> list[tuple[str, str | None, bool]]:
+    """One sitemap body → [(loc, lastmod, is_index_child)]. Handles
+    ``<urlset>`` page entries and ``<sitemapindex>`` child references
+    (is_index_child=True), namespace-agnostic; malformed XML → []."""
+    import xml.etree.ElementTree as ET
+
+    try:
+        root = ET.fromstring(body or "")
+    except ET.ParseError:
+        return []
+    tag = root.tag.rsplit("}", 1)[-1].lower()
+    child_tag = "sitemap" if tag == "sitemapindex" else "url"
+    is_index = tag == "sitemapindex"
+    out = []
+    for child in root:
+        if child.tag.rsplit("}", 1)[-1].lower() != child_tag:
+            continue
+        loc, lastmod = None, None
+        for field in child:
+            name = field.tag.rsplit("}", 1)[-1].lower()
+            if name == "loc":
+                loc = (field.text or "").strip()
+            elif name == "lastmod":
+                lastmod = (field.text or "").strip()
+        if loc:
+            out.append((loc, lastmod, is_index))
+    return out
+
+
+def parse_sitemap_bodies(bodies: DataFrame, body_col: str = "body") -> DataFrame:
+    """(host, sitemap_url, body) rows → exploded entries (host, loc, lastmod,
+    is_index). Arrow-batched UDF (XML parsing has no JVM expression); one
+    ``sitemapindex`` level resolves by re-joining child locs back to the
+    bodies table — the batch analogue of crawlee's recursive fetch."""
+    @F.pandas_udf(SITEMAP_ENTRY_SCHEMA)
+    def parse_udf(body: pd.Series) -> pd.Series:
+        return body.map(parse_sitemap_xml)
+
+    parsed = (
+        bodies.withColumn("entries", parse_udf(F.col(body_col)))
+        .select("host", "sitemap_url",
+                F.explode("entries").alias("e"))
+        .select("host", "sitemap_url", F.col("e.loc").alias("loc"),
+                F.col("e.lastmod").alias("lastmod"),
+                F.col("e.is_index").alias("is_index"))
+    )
+    pages = parsed.where(~F.col("is_index")).drop("is_index")
+    # one index level: child sitemap locs -> their own bodies -> page entries
+    children = parsed.where(F.col("is_index")).select(
+        "host", F.col("loc").alias("child_url"))
+    child_bodies = children.join(
+        bodies.select(F.col("sitemap_url").alias("child_url"),
+                      F.col(body_col).alias("__cbody")),
+        "child_url")
+    child_pages = (
+        child_bodies.withColumn("entries", parse_udf(F.col("__cbody")))
+        .select("host", F.col("child_url").alias("sitemap_url"),
+                F.explode("entries").alias("e"))
+        .where(~F.col("e.is_index"))
+        .select("host", "sitemap_url", F.col("e.loc").alias("loc"),
+                F.col("e.lastmod").alias("lastmod"))
+    )
+    return pages.unionByName(child_pages).dropDuplicates(["host", "loc"])

@@ -1515,6 +1515,31 @@ def q_robots_spec_filter(spark, sf_dir):
 
 
 @register(
+    "sitemap_parse",
+    """SELECT 'smsite' || (doc_id % 3) || '.test' AS host,
+              'https://smsite' || (doc_id % 3) || '.test/sitemap-'
+                  || CASE WHEN (doc_id // 3) % 2 = 0 THEN 'a' ELSE 'b' END
+                  || '.xml' AS sitemap_url,
+              'https://smsite' || (doc_id % 3) || '.test/d/' || doc_id AS loc,
+              CASE WHEN doc_id % 2 = 0
+                   THEN '2026-0' || (doc_id % 9 + 1) || '-01' END AS lastmod
+       FROM documents""",
+    "S4 sitemap XML: parse <urlset> page entries + one <sitemapindex> level "
+    "(crawlee Sitemap parity) via an Arrow-batched XML UDF; the fixture "
+    "bodies are built deterministically from doc_id so the oracle recomputes "
+    "the expected (host, sitemap, loc, lastmod) rows directly",
+)
+def q_sitemap_parse(spark, sf_dir):
+    from anycrawl_spark.corpus import sitemap_bodies_from_documents
+    from anycrawl_spark.mapper import parse_sitemap_bodies
+
+    docs = load(spark, sf_dir, "documents")
+    bodies = sitemap_bodies_from_documents(docs)
+    return parse_sitemap_bodies(bodies).select(
+        "host", "sitemap_url", "loc", "lastmod")
+
+
+@register(
     "map_search_rank",
     """WITH links AS (
          SELECT doc_id,

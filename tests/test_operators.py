@@ -627,3 +627,38 @@ Sitemap: https://site.test/sitemap.xml
                for r in robots_allowed_spec(cand, rules).collect()}
         assert got == {("h.test", "/private/ok/y"), ("h.test", "/a.pdfx"),
                        ("h.test", "/free"), ("other.test", "/private/x")}
+
+
+class TestSitemapXml:
+    def test_parse_urlset_and_index(self):
+        from anycrawl_spark.mapper import parse_sitemap_xml
+
+        urlset = (
+            '<?xml version="1.0"?>'
+            '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+            "<url><loc>https://a.test/1</loc><lastmod>2026-01-01</lastmod></url>"
+            "<url><loc> https://a.test/2 </loc></url>"
+            "<url><lastmod>2026-01-02</lastmod></url>"  # no loc -> skipped
+            "</urlset>")
+        got = parse_sitemap_xml(urlset)
+        assert got == [("https://a.test/1", "2026-01-01", False),
+                       ("https://a.test/2", None, False)]
+        index = ('<sitemapindex><sitemap><loc>https://a.test/s1.xml</loc>'
+                 "</sitemap></sitemapindex>")
+        assert parse_sitemap_xml(index) == [("https://a.test/s1.xml", None, True)]
+        assert parse_sitemap_xml("not xml <<<") == []
+        assert parse_sitemap_xml("") == []
+
+    def test_index_resolution(self, spark):
+        from anycrawl_spark.mapper import parse_sitemap_bodies
+
+        bodies = spark.createDataFrame([
+            ("h.test", "https://h.test/sitemap.xml",
+             "<sitemapindex><sitemap><loc>https://h.test/s-a.xml</loc>"
+             "</sitemap></sitemapindex>"),
+            ("h.test", "https://h.test/s-a.xml",
+             "<urlset><url><loc>https://h.test/p1</loc></url>"
+             "<url><loc>https://h.test/p2</loc></url></urlset>"),
+        ], "host string, sitemap_url string, body string")
+        got = sorted(r["loc"] for r in parse_sitemap_bodies(bodies).collect())
+        assert got == ["https://h.test/p1", "https://h.test/p2"]
