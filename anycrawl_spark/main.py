@@ -73,11 +73,26 @@ def cmd_scrape(args) -> None:
 
 
 def cmd_search(args) -> None:
-    from anycrawl_spark.serp import parse_serp_pages, plan_and_limit
+    from anycrawl_spark.serp import (
+        RESPONSE_PARSERS,
+        parse_serp_pages,
+        plan_and_limit,
+    )
 
     spark = build_session("anycrawl-search")
     serp = spark.read.parquet(args.serp)
-    parsed = plan_and_limit(parse_serp_pages(serp, engine=args.engine), args.limit)
+    if args.engine in RESPONSE_PARSERS:
+        # JSON-response engines (searxng / ac-engine): rows of
+        # (query, page, body) — from_json passthrough, then page-plan
+        from pyspark.sql import Window, functions as F
+
+        parsed = RESPONSE_PARSERS[args.engine](serp)
+        w = Window.partitionBy("query").orderBy("page", "position")
+        parsed = (parsed.withColumn("__rank", F.row_number().over(w))
+                  .where(F.col("__rank") <= args.limit).drop("__rank"))
+    else:
+        parsed = plan_and_limit(
+            parse_serp_pages(serp, engine=args.engine), args.limit)
     parsed.write.mode("overwrite").parquet(args.out)
     print(json.dumps({"out": args.out}))
 

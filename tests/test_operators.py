@@ -222,6 +222,25 @@ class TestMainCli:
         assert len(rows) == 2
         assert all(r["status"] == 200 for r in rows)
 
+    def test_search_subcommand_json_engine(self, spark, tmp_root, monkeypatch):
+        from anycrawl_spark import main as cli
+
+        body = ('{"results": ['
+                '{"url": "https://x.test/a", "title": "A", "content": "ca"},'
+                '{"url": "https://x.test/b", "title": "B", "content": "cb",'
+                ' "category": "news", "pubdate": "2026-02-02"}]}')
+        serp_dir = os.path.join(tmp_root, "serp_json")
+        spark.createDataFrame(
+            [("q1", 1, body)], "query string, page int, body string"
+        ).write.mode("overwrite").parquet(serp_dir)
+        out = os.path.join(tmp_root, "serp_json_out")
+        monkeypatch.setattr(cli, "build_session", lambda app: spark)
+        cli.main(["search", "--serp", serp_dir, "--engine", "searxng",
+                  "--limit", "10", "--out", out])
+        rows = {r["url"]: r for r in spark.read.parquet(out).collect()}
+        assert set(rows) == {"https://x.test/a", "https://x.test/b"}
+        assert rows["https://x.test/b"]["news_date"] == "2026-02-02"
+
 
 class TestSerpUrl:
     def test_build_google_url_defaults(self):
