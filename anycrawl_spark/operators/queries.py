@@ -487,6 +487,51 @@ def q_quality_score(spark, sf_dir):
 
 
 @register(
+    "winnow_fingerprints",
+    r"""WITH grams AS (
+         SELECT doc_id,
+                list_transform(
+                  range(1, greatest(len(words) - 1, 2)),
+                  i -> substr(md5(array_to_string(words[i:i+2], ' ')), 1, 8))
+                    AS hashes
+         FROM (SELECT doc_id,
+                      list_transform(regexp_extract_all(text, '\S+'),
+                                     w -> lower(w)) AS words
+               FROM documents)
+         WHERE len(words) >= 3),
+       sel AS (
+         SELECT doc_id,
+                list_distinct(list_transform(
+                  range(1, greatest(len(hashes) - 4 + 1, 1) + 1),
+                  j -> list_min(hashes[j:j+3]))) AS fps
+         FROM grams)
+       SELECT doc_id, unnest(fps) AS fp FROM sel""",
+    "Document fingerprinting via winnowing (Schleimer et al. 2003): rolling "
+    "word-3-gram hashes, window-4 minima, distinct selected fingerprints — "
+    "the rolling-hash fingerprint set near-dup detectors index on",
+)
+def q_winnow_fingerprints(spark, sf_dir):
+    documents = load_wide(spark, sf_dir, "documents")
+    words = F.transform(
+        F.regexp_extract_all("text", F.lit(r"\S+"), 0), F.lower)
+    n = F.size(words)
+    # word 3-gram hashes, 1-based gram index i in [1, n-2]
+    hashes = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - 2, F.lit(1))),
+        lambda i: F.substring(
+            F.md5(F.array_join(F.slice(words, i, 3), " ")), 1, 8))
+    docs = documents.where(F.size(words) >= 3).select(
+        "doc_id", hashes.alias("hashes"))
+    m = F.size(F.col("hashes"))
+    # winnowing: window w=4 minima (one degenerate window when m < w)
+    selected = F.array_distinct(F.transform(
+        F.sequence(F.lit(1), F.greatest(m - 4 + 1, F.lit(1))),
+        lambda j: F.array_min(F.slice(F.col("hashes"), j, 4))))
+    return docs.select(
+        "doc_id", F.explode(selected.alias("fps")).alias("fp"))
+
+
+@register(
     "gopher_quality",
     r"""SELECT doc_id, word_count, mean_word_len, symbol_ratio, bullet_frac,
               ellipsis_frac, stop_hits,
