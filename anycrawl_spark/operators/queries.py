@@ -699,17 +699,19 @@ def q_fingerprint(spark, sf_dir):
 
 
 def _minhash_sigs_spark(n_sigs: int = 6):
-    """Spark minhash signature columns over 3-word shingles: for seed i,
-    sig_i = min(md5('i:' || shingle)). min over md5-hex strings is a valid
-    random-permutation proxy and is engine-portable."""
+    """Spark minhash signature columns over 3-word shingles: each shingle is
+    md5-digested ONCE, then per-seed values derive from the 32-char digest
+    (sig_i = min(md5('i:' || digest))) — n_sigs digests over short fixed-
+    width strings instead of n_sigs full-shingle passes. min over md5-hex
+    strings is a valid random-permutation proxy and is engine-portable."""
     words = F.regexp_extract_all("text", F.lit(r"\S+"), 0)
-    shingles = F.transform(
+    digests = F.transform(
         F.sequence(F.lit(1), F.size(words) - 2),
-        lambda i: F.concat_ws(" ", F.slice(words, i, F.lit(3))),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(words, i, F.lit(3)))),
     )
     return [
         F.array_min(
-            F.transform(shingles, lambda s: F.md5(F.concat(F.lit(f"{i}:"), s)))
+            F.transform(digests, lambda h: F.md5(F.concat(F.lit(f"{i}:"), h)))
         ).alias(f"sig{i}")
         for i in range(n_sigs)
     ]
@@ -718,9 +720,11 @@ def _minhash_sigs_spark(n_sigs: int = 6):
 def _minhash_sigs_sql(n_sigs: int = 6) -> str:
     cols = ", ".join(
         f"""list_aggregate(list_transform(
-              list_transform(range(1, greatest(len(regexp_extract_all(text, '\\S+')) - 1, 1)),
-                             i -> array_to_string((regexp_extract_all(text, '\\S+'))[i:i+2], ' ')),
-              s -> md5('{i}:' || s)), 'min') AS sig{i}"""
+              list_transform(
+                list_transform(range(1, greatest(len(regexp_extract_all(text, '\\S+')) - 1, 1)),
+                               i -> array_to_string((regexp_extract_all(text, '\\S+'))[i:i+2], ' ')),
+                s -> md5(s)),
+              h -> md5('{i}:' || h)), 'min') AS sig{i}"""
         for i in range(n_sigs)
     )
     return cols
