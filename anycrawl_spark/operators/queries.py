@@ -487,6 +487,90 @@ def q_quality_score(spark, sf_dir):
 
 
 @register(
+    "sessionize_events",
+    """SELECT user_id, session_seq,
+              COUNT(*) AS n_events,
+              strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+              strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+              ROUND(SUM(value), 2) AS total_value
+       FROM (
+         SELECT user_id, ts, value,
+                SUM(new_session) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS session_seq
+         FROM (
+           SELECT user_id, ts, event_id, value,
+                  CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+                                               ORDER BY ts, event_id)
+                            > INTERVAL 30 MINUTE
+                            OR LAG(ts) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id) IS NULL
+                       THEN 1 ELSE 0 END AS new_session
+           FROM events))
+       GROUP BY user_id, session_seq""",
+    "Sessionization: per-user sessions split on >30-min gaps (lag + running "
+    "sum over a keyed window — one shuffle by user), with per-session "
+    "aggregates",
+)
+def q_sessionize_events(spark, sf_dir):
+    events = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    secs = F.col("ts").cast("timestamp").cast("long")
+    prev_secs = prev_ts.cast("timestamp").cast("long")
+    new_session = F.when(
+        prev_ts.isNull() | (secs - prev_secs > 1800), 1
+    ).otherwise(0)
+    sessions = (
+        events.withColumn("__new", new_session)
+        .withColumn("session_seq",
+                    F.sum("__new").over(
+                        w.rowsBetween(Window.unboundedPreceding,
+                                      Window.currentRow)))
+    )
+    return (
+        sessions.groupBy("user_id", "session_seq")
+        .agg(F.count("*").alias("n_events"),
+             F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss")
+              .alias("session_start"),
+             F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss")
+              .alias("session_end"),
+             F.round(F.sum("value"), 2).alias("total_value"))
+    )
+
+
+@register(
+    "asof_join_events",
+    """SELECT p.event_id, p.user_id,
+              strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+              v.event_id AS view_event_id,
+              strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS view_ts
+       FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+       ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+         ON p.user_id = v.user_id AND p.ts >= v.ts""",
+    "As-of join (backward): each purchase matched to the user's most recent "
+    "view at-or-before it. Spark lacks ASOF JOIN; implemented via the union "
+    "+ keyed-window last_value trick (one shuffle, no range-join pair "
+    "explosion); the oracle uses DuckDB's native ASOF JOIN",
+)
+def q_asof_join_events(spark, sf_dir):
+    from anycrawl_spark.operators.relational import asof_join_backward
+
+    events = load(spark, sf_dir, "events")
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts")
+    views = events.where(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_event_id"))
+    joined = asof_join_backward(
+        purchases, views, on="user_id", right_cols=["view_event_id"])
+    return joined.select(
+        "event_id", "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        F.col("view_event_id_right").alias("view_event_id"),
+        F.date_format("ts_right", "yyyy-MM-dd HH:mm:ss").alias("view_ts"),
+    )
+
+
+@register(
     "winnow_fingerprints",
     r"""WITH grams AS (
          SELECT doc_id,

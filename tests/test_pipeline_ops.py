@@ -257,3 +257,24 @@ class TestConnectedComponents:
                 for r in dedup_clusters(docs, pairs).collect()}
         assert rows[0] == (0, 1) and rows[3] == (0, 0) and rows[5] == (0, 0)
         assert rows[1] == (1, 1) and rows[2] == (2, 1) and rows[4] == (4, 1)
+
+
+class TestAsofJoin:
+    def test_backward_semantics(self, spark):
+        from anycrawl_spark.operators.relational import asof_join_backward
+
+        left = spark.createDataFrame(
+            [(1, 10, "L10"), (1, 20, "L20"), (2, 5, "L5")],
+            "k long, ts long, lbl string")
+        right = spark.createDataFrame(
+            [(1, 10, "R10"), (1, 15, "R15"), (1, 25, "R25"), (3, 1, "R1")],
+            "k long, ts long, rv string")
+        got = {(r["k"], r["ts"]): (r["rv_right"], r["ts_right"])
+               for r in asof_join_backward(
+                   left, right, on="k", right_cols=["rv"]).collect()}
+        # ts=10 matches the equal-timestamp right row (>= contract)
+        assert got[(1, 10)] == ("R10", 10)
+        # ts=20: latest right at-or-before is 15
+        assert got[(1, 20)] == ("R15", 15)
+        # key 2 has no right rows -> NULLs
+        assert got[(2, 5)] == (None, None)
