@@ -571,6 +571,45 @@ def q_asof_join_events(spark, sf_dir):
 
 
 @register(
+    "range_join_events",
+    """WITH campaigns AS (
+         SELECT doc_id % 50 AS campaign_id,
+                TIMESTAMP '2024-01-01' + to_hours((doc_id % 50) * 7)
+                    AS start_ts,
+                TIMESTAMP '2024-01-01' + to_hours((doc_id % 50) * 7 + 5)
+                    AS end_ts
+         FROM documents WHERE doc_id < 50)
+       SELECT e.event_id, c.campaign_id,
+              strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS ts
+       FROM events e JOIN campaigns c
+         ON e.ts >= c.start_ts AND e.ts < c.end_ts""",
+    "Range/interval join (point-in-interval): implemented via bucket "
+    "expansion (intervals explode into overlapped hour buckets, points map "
+    "to one bucket, equi-join + exact containment filter) — a shuffle hash "
+    "join instead of the BroadcastNestedLoopJoin a raw BETWEEN predicate "
+    "plans; the oracle is the plain BETWEEN join",
+)
+def q_range_join_events(spark, sf_dir):
+    from anycrawl_spark.operators.relational import interval_join_bucketed
+
+    events = load(spark, sf_dir, "events")
+    documents = load(spark, sf_dir, "documents")
+    c = (F.col("doc_id") % 50).cast("long")
+    base = F.lit("2024-01-01 00:00:00").cast("timestamp")
+    campaigns = documents.where(F.col("doc_id") < 50).select(
+        c.alias("campaign_id"),
+        F.timestamp_seconds(base.cast("long") + c * 7 * 3600).alias("start_ts"),
+        F.timestamp_seconds(base.cast("long") + (c * 7 + 5) * 3600)
+         .alias("end_ts"),
+    )
+    joined = interval_join_bucketed(
+        events.select("event_id", "ts"), campaigns, bucket_seconds=3600)
+    return joined.select(
+        "event_id", "campaign_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"))
+
+
+@register(
     "winnow_fingerprints",
     r"""WITH grams AS (
          SELECT doc_id,

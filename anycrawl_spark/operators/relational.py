@@ -55,3 +55,34 @@ def asof_join_backward(left: DataFrame, right: DataFrame, on: str,
     for c in carried:
         out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
     return out.where(F.col("__tag") == 1).drop("__tag", "__t")
+
+
+def interval_join_bucketed(points: DataFrame, intervals: DataFrame,
+                           point_ts: str = "ts",
+                           start_col: str = "start_ts",
+                           end_col: str = "end_ts",
+                           bucket_seconds: int = 3600,
+                           how: str = "inner") -> DataFrame:
+    """Range/interval join (point ∈ [start, end)) without a nested-loop
+    plan: both sides key on coarse time buckets — intervals EXPLODE into
+    every bucket they overlap (sequence + explode), points map to one
+    bucket — then an equi-join on the bucket plus an exact containment
+    filter. Cost = interval replication factor (interval length /
+    bucket_seconds), a shuffle hash join, and no O(|P|·|I|) comparison;
+    this is the standard scale pattern Spark's optimizer cannot derive from
+    a raw BETWEEN predicate (which plans BroadcastNestedLoopJoin)."""
+    p_bucket = F.floor(F.col(point_ts).cast("timestamp").cast("long")
+                       / bucket_seconds)
+    i_start = F.col(start_col).cast("timestamp").cast("long")
+    i_end = F.col(end_col).cast("timestamp").cast("long")
+    exploded = intervals.withColumn(
+        "__bucket",
+        F.explode(F.sequence(F.floor(i_start / bucket_seconds),
+                             F.floor((i_end - 1) / bucket_seconds))))
+    tagged = points.withColumn("__bucket", p_bucket)
+    joined = tagged.join(exploded, "__bucket", how)
+    contained = (
+        (F.col(point_ts).cast("timestamp") >= F.col(start_col).cast("timestamp"))
+        & (F.col(point_ts).cast("timestamp") < F.col(end_col).cast("timestamp"))
+    )
+    return joined.where(contained).drop("__bucket")
