@@ -385,6 +385,49 @@ def q_windowed_events(spark, sf_dir):
 
 
 @register(
+    "hypertable_rollup",
+    """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+              COUNT(*) AS n, ROUND(SUM(value), 4) AS value_sum,
+              ROUND(MIN(value), 4) AS value_min,
+              ROUND(MAX(value), 4) AS value_max,
+              ROUND(ROUND(SUM(value), 4) / COUNT(*), 6) AS value_avg
+       FROM events GROUP BY 1, 2""",
+    "Hypertable/continuous-aggregate rollup: day stats REAGGREGATED from "
+    "the hour-level partial aggregates (sums/counts add, min/max compose, "
+    "avg derives) — the lossless two-level rollup a time-series store "
+    "maintains incrementally; the oracle computes days directly from raw "
+    "events, proving the composition",
+)
+def q_hypertable_rollup(spark, sf_dir):
+    events = load(spark, sf_dir, "events")
+    hourly = (
+        events.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("value_sum"),
+             F.min("value").alias("value_min"), F.max("value").alias("value_max"))
+    )
+    daily = (
+        hourly.groupBy(
+            F.date_format(F.date_trunc("day", F.col("hour")), "yyyy-MM-dd")
+            .alias("day"),
+            "event_type")
+        .agg(F.sum("n").cast("long").alias("n"),
+             F.sum("value_sum").alias("vs"),
+             F.min("value_min").alias("vmin"),
+             F.max("value_max").alias("vmax"))
+    )
+    return daily.select(
+        "day", "event_type", "n",
+        F.round("vs", 4).alias("value_sum"),
+        F.round("vmin", 4).alias("value_min"),
+        F.round("vmax", 4).alias("value_max"),
+        # avg derives from the ROUNDED sum so double accumulation order
+        # (hour partials vs direct) cannot flip the last ulp cross-engine
+        F.round(F.round(F.col("vs"), 4) / F.col("n"), 6).alias("value_avg"),
+    )
+
+
+@register(
     "fetch_join",
     """WITH frontier AS (SELECT doc_id FROM documents WHERE doc_id % 7 = 0),
          corpus AS (SELECT doc_id, n_chars FROM documents)
