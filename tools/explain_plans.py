@@ -192,6 +192,32 @@ def main() -> None:
         },
     ))
 
+    # 9. as-of join: one keyed window, no range-join nested loop
+    p = plan_of(REGISTRY["asof_join_events"].fn(spark, "/root/testdata/sf0.01"))
+    sections.append((
+        "asof_join_events: union + keyed window, no pair explosion",
+        p,
+        {
+            "single keyed window carries the right row forward":
+                r"last\(",
+            "shuffle keyed by the join key": r"hashpartitioning\(user_id",
+        },
+    ))
+    assert "NestedLoop" not in p, "as-of join must not plan a nested loop"
+
+    # 10. interval join: bucket-expanded equi-join
+    p = plan_of(REGISTRY["range_join_events"].fn(spark, "/root/testdata/sf0.01"))
+    sections.append((
+        "range_join_events: bucket-expanded interval join",
+        p,
+        {
+            "equi-join on the time bucket (hash join)":
+                r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)",
+            "interval explode into overlapped buckets": r"Generate",
+        },
+    ))
+    assert "NestedLoop" not in p, "interval join must not plan a nested loop"
+
     with open(os.path.join(REPO, "PLANS.md"), "w") as f:
         f.write("# PLANS — physical-plan evidence (auto-generated by "
                 "tools/explain_plans.py)\n\n"
