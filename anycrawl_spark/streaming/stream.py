@@ -81,3 +81,49 @@ def stream_metrics(spark: SparkSession, corpus_dir: str,
                 F.col("w.end").alias("window_end"),
                 "host", "pages", "bytes")
     )
+
+
+# ---------------------------------------------------------------------------
+# Continuous job intake: the batch analogue of the reference's BullMQ worker
+# (Queue.ts / crawl job consumer) — a file-source stream of crawl-job rows
+# drives full crawl runs via foreachBatch; each job checkpoints under its
+# own directory, so a killed worker resumes exactly like the batch engine.
+# ---------------------------------------------------------------------------
+
+JOBS_SCHEMA = ("job_id string, seed_url string, strategy string, "
+               "max_depth int, crawl_limit int")
+
+
+def stream_crawl_jobs(spark: SparkSession, jobs_dir: str, corpus: DataFrame,
+                      checkpoint_root: str, stream_checkpoint: str,
+                      available_now: bool = True,
+                      respect_robots: bool = False):
+    """Consume a stream of crawl-job rows; run the crawl engine per job.
+    Returns the StreamingQuery. Job rows are tiny — they collect to the
+    driver (the reference's worker does the same: one BullMQ job at a time);
+    the crawls themselves are distributed Spark jobs."""
+    import json
+    import os
+
+    from anycrawl_spark.crawl import CrawlConfig, CrawlEngine
+
+    jobs = spark.readStream.schema(JOBS_SCHEMA).json(jobs_dir)
+
+    def run_jobs(batch_df: DataFrame, batch_id: int) -> None:
+        for row in batch_df.collect():
+            ckpt = os.path.join(checkpoint_root, row["job_id"])
+            engine = CrawlEngine(batch_df.sparkSession, corpus, ckpt)
+            summary = engine.run(CrawlConfig(
+                job_id=row["job_id"], seed_url=row["seed_url"],
+                strategy=row["strategy"] or "same-domain",
+                max_depth=row["max_depth"] or 10,
+                limit=row["crawl_limit"] or 100,
+                respect_robots=respect_robots))
+            with open(os.path.join(ckpt, "_summary.json"), "w") as f:
+                json.dump(summary, f)
+
+    writer = (jobs.writeStream.foreachBatch(run_jobs)
+              .option("checkpointLocation", stream_checkpoint))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
