@@ -729,3 +729,42 @@ class TestStreamingJobs:
             want = direct.visits()
             assert sorted((r["seq"], r["url"]) for r in got.collect()) == \
                    sorted((r["seq"], r["url"]) for r in want.collect())
+
+
+class TestStreamingSessionize:
+    def test_closed_sessions_match_batch(self, spark, tmp_root):
+        """Streaming sessionizer (applyInPandasWithState) emits exactly the
+        batch sessionize_events sessions except each user's final (still
+        open) one."""
+        from anycrawl_spark.operators.queries import REGISTRY
+        from anycrawl_spark.streaming.stateful import streaming_sessionize
+        from pyspark.sql import functions as F
+
+        sf_dir = "/root/testdata/sf0.01"
+        src_dir = os.path.join(tmp_root, "sess_events")
+        (spark.read.parquet(f"{sf_dir}/events.parquet")
+         .select("user_id",
+                 (F.col("ts").cast("timestamp").cast("double") * 1_000_000)
+                 .cast("long").alias("ts_us"))
+         .write.mode("overwrite").parquet(src_dir))
+
+        stream = (spark.readStream.schema("user_id long, ts_us long")
+                  .parquet(src_dir))
+        out_dir = os.path.join(tmp_root, "sess_out")
+        q = (streaming_sessionize(stream).writeStream
+             .format("parquet").option("path", out_dir)
+             .option("checkpointLocation", os.path.join(tmp_root, "sess_ck"))
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(300)
+
+        got = {(r["user_id"], r["n_events"], r["session_start"], r["session_end"])
+               for r in spark.read.parquet(out_dir).collect()}
+
+        batch = REGISTRY["sessionize_events"].fn(spark, sf_dir)
+        w_last = F.max("session_seq").over(
+            __import__("pyspark.sql.window", fromlist=["Window"])
+            .Window.partitionBy("user_id"))
+        expected = {(r["user_id"], r["n_events"], r["session_start"], r["session_end"])
+                    for r in batch.withColumn("__last", w_last)
+                    .where(F.col("session_seq") != F.col("__last")).collect()}
+        assert got == expected and len(got) > 1000
