@@ -385,6 +385,59 @@ def q_windowed_events(spark, sf_dir):
 
 
 @register(
+    "supplier_region_rollup",
+    """SELECT r.r_name AS region, n.n_name AS nation,
+              COUNT(*) AS n_suppliers,
+              ROUND(AVG(s.s_acctbal), 2) AS avg_acctbal,
+              ROUND(MAX(s.s_acctbal), 2) AS max_acctbal
+       FROM supplier s
+       JOIN nation n ON s.s_nationkey = n.n_nationkey
+       JOIN region r ON n.n_regionkey = r.r_regionkey
+       GROUP BY 1, 2""",
+    "Supplier rollup through the nation/region dim chain (both dims "
+    "broadcast — no shuffle of the fact side before the aggregation)",
+)
+def q_supplier_region_rollup(spark, sf_dir):
+    supplier = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    return (
+        supplier
+        .join(F.broadcast(nation),
+              supplier["s_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region),
+              nation["n_regionkey"] == region["r_regionkey"])
+        .groupBy(F.col("r_name").alias("region"),
+                 F.col("n_name").alias("nation"))
+        .agg(F.count("*").alias("n_suppliers"),
+             F.round(F.avg("s_acctbal"), 2).alias("avg_acctbal"),
+             F.round(F.max("s_acctbal"), 2).alias("max_acctbal"))
+    )
+
+
+@register(
+    "part_brand_stats",
+    """SELECT p_brand,
+              COUNT(*) AS n_parts,
+              COUNT(DISTINCT p_type) AS n_types,
+              ROUND(AVG(p_retailprice), 2) AS avg_price,
+              CAST(SUM(p_size) AS BIGINT) AS total_size
+       FROM part GROUP BY p_brand""",
+    "Part catalog rollup: per-brand counts, distinct types, price/size "
+    "aggregates (partial map-side aggregation + one shuffle by brand)",
+)
+def q_part_brand_stats(spark, sf_dir):
+    part = load(spark, sf_dir, "part")
+    return (
+        part.groupBy("p_brand")
+        .agg(F.count("*").alias("n_parts"),
+             F.countDistinct("p_type").alias("n_types"),
+             F.round(F.avg("p_retailprice"), 2).alias("avg_price"),
+             F.sum("p_size").cast("long").alias("total_size"))
+    )
+
+
+@register(
     "hypertable_rollup",
     """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
               COUNT(*) AS n, ROUND(SUM(value), 4) AS value_sum,
