@@ -917,23 +917,32 @@ def q_fingerprint(spark, sf_dir):
     )
 
 
-def _minhash_sigs_spark(n_sigs: int = 6):
-    """Spark minhash signature columns over 3-word shingles: each shingle is
-    md5-digested ONCE, then per-seed values derive from the 32-char digest
-    (sig_i = min(md5('i:' || digest))) — n_sigs digests over short fixed-
-    width strings instead of n_sigs full-shingle passes. min over md5-hex
-    strings is a valid random-permutation proxy and is engine-portable."""
+def _minhash_digest_col():
+    """Array column of per-shingle md5 digests (3-word shingles). Each
+    shingle is digested ONCE; signature columns derive from this shared
+    column so Catalyst evaluates the expensive shingling a single time."""
     words = F.regexp_extract_all("text", F.lit(r"\S+"), 0)
-    digests = F.transform(
+    return F.transform(
         F.sequence(F.lit(1), F.size(words) - 2),
         lambda i: F.md5(F.concat_ws(" ", F.slice(words, i, F.lit(3)))),
     )
+
+
+def _minhash_sig_cols(digest_col, n_sigs: int = 6):
+    """Per-seed minhash signatures over the shared digest column:
+    sig_i = min(md5('i:' || digest)) — short fixed-width re-hashes. min over
+    md5-hex strings is a valid random-permutation proxy, engine-portable."""
     return [
         F.array_min(
-            F.transform(digests, lambda h: F.md5(F.concat(F.lit(f"{i}:"), h)))
+            F.transform(digest_col,
+                        lambda h: F.md5(F.concat(F.lit(f"{i}:"), h)))
         ).alias(f"sig{i}")
         for i in range(n_sigs)
     ]
+
+
+def _minhash_sigs_spark(n_sigs: int = 6):
+    return _minhash_sig_cols(F.col("__dg"), n_sigs)
 
 
 def _minhash_sigs_sql(n_sigs: int = 6) -> str:
@@ -961,6 +970,7 @@ def q_minhash_signature(spark, sf_dir):
     words = F.regexp_extract_all("text", F.lit(r"\S+"), 0)
     return (
         documents.where(F.size(words) >= 3)
+        .withColumn("__dg", _minhash_digest_col())
         .select("doc_id", *_minhash_sigs_spark(6))
     )
 
@@ -983,7 +993,12 @@ def q_lsh_candidate_pairs(spark, sf_dir):
     words = F.regexp_extract_all("text", F.lit(r"\S+"), 0)
     sigs = (
         documents.where(F.size(words) >= 3)
+        .withColumn("__dg", _minhash_digest_col())
         .select("doc_id", *_minhash_sigs_spark(6))
+        # the signature subtree is referenced FOUR times downstream (two
+        # band branches x both sides of the self-join); materialize it once
+        # (tiny: doc_id + 6 hex strings per doc)
+        .localCheckpoint()
     )
     band1 = sigs.select(
         "doc_id", F.md5(F.concat("sig0", "sig1", "sig2")).alias("band_hash"))
