@@ -1135,6 +1135,8 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
         .select("doc_id", "lang",
                 F.floor(F.size(words) / 16).cast("long").alias("len_bucket"),
                 shingles.alias("shingles"))
+        # shingling feeds both self-join sides: materialize once
+        .localCheckpoint()
     )
     a = shingled.alias("a")
     b = shingled.alias("b")
@@ -1656,6 +1658,8 @@ def q_simhash_near_pairs(spark, sf_dir):
             for i, (lo, mask) in enumerate(band_specs)
         ])).alias("band"),
     ).select("doc_id", "simhash", "band.band_idx", "band.band_val")
+    # the simhash computation feeds both self-join sides: materialize once
+    bands = bands.localCheckpoint()
     a, b = bands.alias("a"), bands.alias("b")
     hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (
