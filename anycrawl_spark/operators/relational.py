@@ -61,8 +61,7 @@ def interval_join_bucketed(points: DataFrame, intervals: DataFrame,
                            point_ts: str = "ts",
                            start_col: str = "start_ts",
                            end_col: str = "end_ts",
-                           bucket_seconds: int = 3600,
-                           how: str = "inner") -> DataFrame:
+                           bucket_seconds: int = 3600) -> DataFrame:
     """Range/interval join (point ∈ [start, end)) without a nested-loop
     plan: both sides key on coarse time buckets — intervals EXPLODE into
     every bucket they overlap (sequence + explode), points map to one
@@ -80,7 +79,8 @@ def interval_join_bucketed(points: DataFrame, intervals: DataFrame,
         F.explode(F.sequence(F.floor(i_start / bucket_seconds),
                              F.floor((i_end - 1) / bucket_seconds))))
     tagged = points.withColumn("__bucket", p_bucket)
-    joined = tagged.join(exploded, "__bucket", how)
+    joined = tagged.join(exploded, "__bucket")  # inner: containment filter
+    # below would drop left-join NULL rows anyway
     contained = (
         (F.col(point_ts).cast("timestamp") >= F.col(start_col).cast("timestamp"))
         & (F.col(point_ts).cast("timestamp") < F.col(end_col).cast("timestamp"))
