@@ -44,7 +44,8 @@ def cmd_crawl(args) -> None:
         max_depth=args.max_depth, limit=args.limit,
         include_paths=args.include or [], exclude_paths=args.exclude or [],
         scrape_paths=args.scrape_paths or [],
-        politeness_budget=args.budget, respect_robots=args.robots is not None,
+        politeness_budget=args.budget, budget_scope=args.budget_scope,
+        respect_robots=args.robots is not None,
     )
     summary = engine.run(cfg, resume=args.resume)
     print(json.dumps(summary))
@@ -146,6 +147,7 @@ def main(argv=None) -> None:
     p.add_argument("--limit", type=int, default=100)
     p.add_argument("--max-depth", type=int, default=10)
     p.add_argument("--budget", type=int, default=0)
+    p.add_argument("--budget-scope", default="host", choices=["host", "domain"])
     p.add_argument("--include", nargs="*")
     p.add_argument("--exclude", nargs="*")
     p.add_argument("--scrape-paths", nargs="*")
