@@ -112,7 +112,12 @@ def cmd_map(args) -> None:
         F.lit(None).cast("string").alias("description"))
     merged = union_dedup({"sitemap": sitemap_src, "crawl": crawl_src},
                          limit=args.limit)
-    domain_filter(merged, args.host).write.mode("overwrite").parquet(args.out)
+    out = domain_filter(merged, args.host)
+    if args.search:
+        from anycrawl_spark.mapper import rank_by_search
+
+        out = rank_by_search(out, args.search)
+    out.write.mode("overwrite").parquet(args.out)
     print(json.dumps({"out": args.out}))
 
 
@@ -178,6 +183,7 @@ def main(argv=None) -> None:
     p.add_argument("--corpus", required=True)
     p.add_argument("--robots", required=True)
     p.add_argument("--host", required=True)
+    p.add_argument("--search", help="rank results by search-term relevance")
     p.add_argument("--limit", type=int, default=5000)
     p.add_argument("--out", required=True)
     p.set_defaults(fn=cmd_map)
