@@ -90,6 +90,18 @@ class CrawlConfig:
     simulate_fetch_errors: bool = False  # F11: draw all five failure classes
                                          # from corpus misses (tests/fixtures)
 
+    def __post_init__(self) -> None:
+        # zod schema bounds (CrawlSchema.ts:31-47) — parse() rejects, so do we
+        if not 1 <= self.max_depth <= 50:
+            raise ValueError(f"max_depth must be in [1, 50], got {self.max_depth}")
+        if not 1 <= self.limit <= 50_000:
+            raise ValueError(f"limit must be in [1, 50000], got {self.limit}")
+        if self.strategy not in ("all", "same-domain", "same-hostname",
+                                 "same-origin"):
+            raise ValueError(f"unknown strategy {self.strategy!r}")
+        if self.budget_scope not in ("host", "domain"):
+            raise ValueError(f"unknown budget_scope {self.budget_scope!r}")
+
 
 def _strip_fragment(col):
     return F.split(col, "#", 2)[0]

@@ -424,3 +424,28 @@ class TestSpecRobotsCrawl:
         assert "/blog/p/10" not in paths  # reachable but robots-denied
         assert not any(p.endswith(".png") for p in paths)
         assert any(p.startswith("/p/") for p in paths)  # rest still crawled
+
+
+class TestConfigBounds:
+    def test_zod_schema_bounds(self):
+        """CrawlConfig enforces the reference zod bounds
+        (CrawlSchema.ts:31-47): max_depth [1,50], limit [1,50000], strategy
+        enum — zod .parse() rejects out-of-range, so does the dataclass."""
+        import pytest
+
+        CrawlConfig(job_id="b", seed_url="https://x.test/",
+                    max_depth=50, limit=50_000)  # boundary values accepted
+        with pytest.raises(ValueError):
+            CrawlConfig(job_id="b", seed_url="https://x.test/", max_depth=0)
+        with pytest.raises(ValueError):
+            CrawlConfig(job_id="b", seed_url="https://x.test/", max_depth=51)
+        with pytest.raises(ValueError):
+            CrawlConfig(job_id="b", seed_url="https://x.test/", limit=0)
+        with pytest.raises(ValueError):
+            CrawlConfig(job_id="b", seed_url="https://x.test/", limit=50_001)
+        with pytest.raises(ValueError):
+            CrawlConfig(job_id="b", seed_url="https://x.test/",
+                        strategy="same-planet")
+        with pytest.raises(ValueError):
+            CrawlConfig(job_id="b", seed_url="https://x.test/",
+                        budget_scope="continent")
