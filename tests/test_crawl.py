@@ -276,6 +276,25 @@ class TestCombinedSemantics:
                    for v in visits[1:])
         assert summary["done"] == sim.done and summary["enqueued"] == sim.enqueued
 
+    def test_everything_at_once(self, spark, small_corpus, corpus_dict,
+                                robots_df, robots_dict, tmp_root):
+        """Capstone: robots + DOMAIN-scoped salted budget + batch_size +
+        include globs + depth + limit in one job — exact order/membership
+        parity with the simulator under the full feature matrix."""
+        inc = ["**/p/*"]
+        kw = dict(seed_url=SEED, strategy="same-domain", max_depth=6,
+                  limit=50, include_paths=inc, politeness_budget=2,
+                  budget_scope="domain", budget_salt_n=4, batch_size=7,
+                  respect_robots=True)
+        _, summary, visits, seen = run_engine(
+            spark, small_corpus, tmp_root, "capstone", robots=robots_df, **kw)
+        sim = simulate_crawl(corpus_dict, SEED, strategy="same-domain",
+                             max_depth=6, limit=50, include_paths=inc,
+                             politeness_budget=2, budget_scope="domain",
+                             batch_size=7, robots=robots_dict)
+        assert_parity(spark, visits, seen, sim)
+        assert summary["done"] == sim.done and summary["enqueued"] == sim.enqueued
+
 
 class TestFailureClasses:
     def test_per_class_retry_paths(self, spark, small_corpus, tmp_root):
