@@ -526,8 +526,6 @@ class CrawlEngine:
         if new_rows is not None:
             new_rows.unpersist()
         docs.unpersist()
-        if new_rows is not None:
-            new_rows.unpersist()
         return meta
 
     # -- reads for callers --------------------------------------------------

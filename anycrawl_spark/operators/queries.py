@@ -591,8 +591,9 @@ def q_quality_score(spark, sf_dir):
               ROUND(SUM(value), 2) AS total_value
        FROM (
          SELECT user_id, ts, value,
-                SUM(new_session) OVER (PARTITION BY user_id
-                                       ORDER BY ts, event_id) AS session_seq
+                CAST(SUM(new_session) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id)
+                     AS BIGINT) AS session_seq
          FROM (
            SELECT user_id, ts, event_id, value,
                   CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
@@ -1195,6 +1196,172 @@ def q_embed_cosine_pairs(spark, sf_dir):
         .where(cos >= 0.35)
         .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"),
                 F.round(cos, 6).alias("cosine"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scale-bounded pairwise verification (the 100-TB path): score similarity
+# ONLY over candidate pairs produced by banding, never over block self-joins.
+# Block joins (ngram_jaccard_pairs / embed_cosine_pairs above) bound pair
+# counts only while blocks stay small — (lang, len-bucket) and (label)
+# cardinality is constant in corpus size, so one hot block at 100 TB is
+# quadratic again. These variants join the banded candidate pairs back to
+# the shingle/embedding tables: pair count is candidate-bounded (rows scale
+# with true near-dups, not block sizes), and every join is a keyed equi-join.
+# ---------------------------------------------------------------------------
+
+def _jaccard_over_candidates_oracle() -> str:
+    """Compose the LSH candidate-pair SQL (identical text to the
+    lsh_candidate_pairs oracle, same trick as _dedup_clusters_oracle) with a
+    per-pair exact-Jaccard scoring join."""
+    lsh = REGISTRY["lsh_candidate_pairs"].oracle
+    body, _, final = lsh.rpartition("SELECT DISTINCT")
+    return (
+        body
+        + ", pairs AS (SELECT DISTINCT" + final + """),
+       shingled AS (
+         SELECT doc_id,
+                list_distinct(list_transform(
+                  range(1, greatest(len(regexp_extract_all(text, '\\S+')) - 1, 1)),
+                  i -> array_to_string((regexp_extract_all(text, '\\S+'))[i:i+2], ' ')))
+                AS shingles
+         FROM documents WHERE len(regexp_extract_all(text, '\\S+')) >= 3)
+       SELECT p.doc_a, p.doc_b,
+              ROUND(len(list_intersect(a.shingles, b.shingles)) * 1.0 /
+                    len(list_distinct(list_concat(a.shingles, b.shingles))), 4)
+                  AS jaccard
+       FROM pairs p
+       JOIN shingled a ON a.doc_id = p.doc_a
+       JOIN shingled b ON b.doc_id = p.doc_b
+       WHERE len(list_intersect(a.shingles, b.shingles)) * 1.0 /
+             len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.2""")
+
+
+@register(
+    "jaccard_over_candidates",
+    None,  # oracle attached below (built from the LSH pair SQL)
+    "Scale-bounded n-gram Jaccard: exact trigram-shingle Jaccard scored ONLY "
+    "over MinHash-LSH candidate pairs (two doc_id equi-joins back to the "
+    "shingle table) — no block self-join anywhere in the plan, so pair count "
+    "is candidate-bounded at 100 TB. This is the scale path for "
+    "ngram_jaccard_pairs; dedup_clusters consumes the same candidates.",
+)
+def q_jaccard_over_candidates(spark, sf_dir):
+    pairs = REGISTRY["lsh_candidate_pairs"].fn(spark, sf_dir)
+    documents = load_wide(spark, sf_dir, "documents")
+    words = F.regexp_extract_all("text", F.lit(r"\S+"), 0)
+    shingles = F.array_distinct(F.transform(
+        F.sequence(F.lit(1), F.size(words) - 2),
+        lambda i: F.concat_ws(" ", F.slice(words, i, F.lit(3))),
+    ))
+    shingled = (
+        documents.where(F.size(words) >= 3)
+        .select("doc_id", shingles.alias("shingles"))
+        # referenced by both sides of the scoring join: materialize once
+        .localCheckpoint()
+    )
+    sa = shingled.select(F.col("doc_id").alias("doc_a"),
+                         F.col("shingles").alias("sh_a"))
+    sb = shingled.select(F.col("doc_id").alias("doc_b"),
+                         F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.array_distinct(F.concat(F.col("sh_a"), F.col("sh_b"))))
+    jac = inter * F.lit(1.0) / union
+    return (
+        pairs.join(sa, "doc_a").join(sb, "doc_b")
+        .where(jac >= 0.2)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+REGISTRY["jaccard_over_candidates"].oracle = _jaccard_over_candidates_oracle()
+
+
+# Winner-take-all (comparison-based) hash bits for embedding LSH (Yagnik et
+# al., "The Power of Comparative Reasoning", ICCV 2011): bit b compares two
+# fixed coordinates of the vector. Comparisons are exact on floats (no
+# accumulation), so Spark and DuckDB compute bit-identical sketches — unlike
+# signed-random-projection dot products, where a projection near 0 could
+# flip under different summation orders.
+_WTA_BITS = 16
+_WTA_DIM = 64
+_WTA_P = [(7 * b + 3) % _WTA_DIM for b in range(_WTA_BITS)]
+_WTA_Q = [(13 * b + 29) % _WTA_DIM for b in range(_WTA_BITS)]
+
+
+def _wta_band_sql(band: int) -> str:
+    terms = []
+    for j in range(8):
+        b = band * 8 + j
+        terms.append(f"(CASE WHEN v[{_WTA_P[b] + 1}] > v[{_WTA_Q[b] + 1}] "
+                     f"THEN {1 << j} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+def _wta_band_col(band: int):
+    v = F.col("v")
+    expr = F.lit(0)
+    for j in range(8):
+        b = band * 8 + j
+        expr = expr + F.when(
+            v.getItem(_WTA_P[b]) > v.getItem(_WTA_Q[b]), F.lit(1 << j)
+        ).otherwise(0)
+    return expr
+
+
+@register(
+    "cosine_over_candidates",
+    f"""WITH e AS (SELECT vec_id, {_DBL} AS v FROM embeddings),
+       bands AS (
+         SELECT vec_id, 0 AS band_idx, {_wta_band_sql(0)} AS band_val FROM e
+         UNION ALL
+         SELECT vec_id, 1 AS band_idx, {_wta_band_sql(1)} AS band_val FROM e),
+       cands AS (
+         SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         FROM bands a JOIN bands b
+           ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+          AND a.vec_id < b.vec_id)
+       SELECT c.vec_a, c.vec_b,
+              ROUND(list_cosine_similarity(ea.v, eb.v), 6) AS cosine
+       FROM cands c
+       JOIN e ea ON ea.vec_id = c.vec_a
+       JOIN e eb ON eb.vec_id = c.vec_b
+       WHERE list_cosine_similarity(ea.v, eb.v) >= 0.35""",
+    "Scale-bounded embedding cosine: WTA-hash banding (two 8-bit "
+    "comparison-sketch bands → band equi-join → candidate pairs), then "
+    "exact cosine scored only over candidates via vec_id equi-joins. No "
+    "label/block self-join: bucket cardinality grows with 2^bits, so the "
+    "plan stays bounded at 100 TB. Scale path for embed_cosine_pairs.",
+)
+def q_cosine_over_candidates(spark, sf_dir):
+    embeddings = load_wide(spark, sf_dir, "embeddings")
+    e = (
+        embeddings.select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+        # referenced four times (two band branches + two scoring sides)
+        .localCheckpoint()
+    )
+    bands = e.select(
+        "vec_id", F.lit(0).alias("band_idx"), _wta_band_col(0).alias("band_val")
+    ).unionByName(e.select(
+        "vec_id", F.lit(1).alias("band_idx"), _wta_band_col(1).alias("band_val")))
+    a, b = bands.alias("a"), bands.alias("b")
+    cands = (
+        a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
+               & (F.col("a.band_val") == F.col("b.band_val"))
+               & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(F.col("a.vec_id").alias("vec_a"),
+                F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    ea = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+    eb = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    cos = _cos_spark(F.col("va"), F.col("vb"))
+    return (
+        cands.join(ea, "vec_a").join(eb, "vec_b")
+        .where(cos >= 0.35)
+        .select("vec_a", "vec_b", F.round(cos, 6).alias("cosine"))
     )
 
 

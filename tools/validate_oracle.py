@@ -68,6 +68,25 @@ def main():
             rel = con.execute(spec.oracle)
             d_cols = [d[0] for d in rel.description]
             d_rows = rel.fetchall()
+            # The driver hashes values together with their (Arrow) types, so
+            # a DuckDB HUGEINT (windowed SUM of integers) or DECIMAL output
+            # hash-mismatches a Spark BIGINT/DOUBLE even when str() agrees.
+            # Surface that here instead of letting str() mask it.
+            arrow_schema = con.execute(spec.oracle).arrow().schema
+            bad_types = [
+                f"{f.name}:{f.type}"
+                for f in arrow_schema
+                if "decimal" in str(f.type)
+            ]
+            if bad_types:
+                print(
+                    f"✗ {name}: oracle emits decimal-typed columns "
+                    f"{bad_types} (DuckDB HUGEINT/DECIMAL) — the driver's "
+                    f"type-aware hash will mismatch; CAST AS BIGINT/DOUBLE "
+                    f"in the oracle SQL"
+                )
+                failures += 1
+                continue
         except Exception as e:  # noqa: BLE001
             print(f"✗ {name}: EXCEPTION {type(e).__name__}: {e}")
             failures += 1
