@@ -1,14 +1,14 @@
 """Multimodal columns: opaque binary payloads + typed metadata over Spark
 (task brief: decode / feature-extract / resize / frame-sample as Pandas UDFs
-over mapInPandas; decode stubbed — no image/audio libs in this container —
-with the Spark-side plumbing real: schema, partitioning, UDF signature,
-Arrow batch shape).
+over mapInPandas).
 
 Media payloads are ``binary`` columns with a ``modality`` tag and a typed
-metadata struct. The deterministic fake decoder derives plausible media
-properties from the payload hash so every stage downstream of decode
-(feature extraction, resizing plan, frame sampling) is real, tested
-dataflow; swap ``_decode_stub`` for PIL/ffmpeg when available.
+metadata struct. Decode is REAL header parsing for PNG/GIF/JPEG/WAV/MP4
+(``media_codec.decode_media_bytes`` — pure-struct reads, no PIL/ffmpeg
+needed); payloads with an unrecognized magic fall back to the deterministic
+hash stub (flagged ``format='unknown'``) so the downstream dataflow
+(feature extraction, resizing plan, frame sampling) always has values. A
+full-frame decoder (PIL/pyav) slots into the same mapInPandas stage.
 """
 
 from __future__ import annotations
@@ -18,9 +18,19 @@ import hashlib
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
+from anycrawl_spark.operators.media_codec import (
+    decode_media_bytes,
+    make_gif,
+    make_jpeg,
+    make_mp4,
+    make_png,
+    make_wav,
+)
+
 MEDIA_META_SCHEMA = (
-    "media_id long, modality string, payload_bytes long, payload_sha string, "
-    "width int, height int, duration_ms int, sample_rate int"
+    "media_id long, modality string, format string, payload_bytes long, "
+    "payload_sha string, width int, height int, duration_ms int, "
+    "sample_rate int"
 )
 
 FEATURE_SCHEMA = (
@@ -28,15 +38,13 @@ FEATURE_SCHEMA = (
     "resized_width int, resized_height int"
 )
 
-HAVE_REAL_DECODERS = False  # PIL / torchaudio / ffmpeg not present in sandbox
-
-
 def _decode_stub(payload: bytes, modality: str) -> dict:
-    """Deterministic fake decode. A real deployment replaces this body with
-    PIL.Image.open / soundfile / pyav; the surrounding dataflow (schemas,
+    """Deterministic fallback for payloads with no recognized container
+    magic (real media always hits ``decode_media_bytes`` first): derives
+    plausible properties from the payload hash so downstream stages have
+    values. A frame-level decoder (PIL/pyav, absent in this sandbox) would
+    replace this for exotic formats; the surrounding dataflow (schemas,
     batching, partitioning) is identical."""
-    if HAVE_REAL_DECODERS:  # pragma: no cover
-        raise NotImplementedError("real decoders are wired here (PIL/pyav/soundfile)")
     digest = hashlib.sha256(payload).digest()
     h = int.from_bytes(digest[:8], "big")
     if modality == "image":
@@ -63,16 +71,20 @@ def decode_media(df: DataFrame, id_col: str = "media_id",
             for mid, payload, modality in zip(
                     pdf[id_col], pdf[payload_col], pdf[modality_col]):
                 payload = bytes(payload) if payload is not None else b""
-                meta = _decode_stub(payload, modality)
+                meta = decode_media_bytes(payload)
+                if meta["format"] == "unknown":
+                    meta = dict(_decode_stub(payload, modality),
+                                format="unknown")
                 rows.append((
-                    int(mid), modality, len(payload),
+                    int(mid), modality, meta["format"], len(payload),
                     hashlib.sha256(payload).hexdigest(),
                     meta["width"], meta["height"],
                     meta["duration_ms"], meta["sample_rate"],
                 ))
             yield pd.DataFrame(rows, columns=[
-                "media_id", "modality", "payload_bytes", "payload_sha",
-                "width", "height", "duration_ms", "sample_rate"])
+                "media_id", "modality", "format", "payload_bytes",
+                "payload_sha", "width", "height", "duration_ms",
+                "sample_rate"])
 
     return (
         df.select(id_col, payload_col, modality_col)
@@ -119,6 +131,60 @@ def extract_features(df: DataFrame, meta: DataFrame, dim: int = 8,
                 "resized_width", "resized_height"])
 
     return joined.mapInPandas(featurize, schema=FEATURE_SCHEMA)
+
+
+MEDIA_PAYLOAD_SCHEMA = "media_id long, payload binary, modality string"
+
+
+def synthesize_media(documents: DataFrame) -> DataFrame:
+    """Derive a REAL media table from the documents table: each doc_id maps
+    deterministically to a minimal valid container file (PNG/GIF/JPEG for
+    images, WAV for audio, MP4 for video) whose header values are pure
+    arithmetic in doc_id — so an independent SQL oracle can predict exactly
+    what header decode must return.
+
+    Parameter map (mirrored by the media_decode_meta oracle SQL):
+      doc_id % 3 == 0 → image, format = [png,gif,jpeg][(doc_id//3) % 3],
+                        width = 16 + doc_id % 320, height = 16 + (7*doc_id) % 200
+      doc_id % 3 == 1 → audio wav, sample_rate = 8000 + 4000*(doc_id % 5),
+                        n_samples = 100*(1 + doc_id % 16)
+      doc_id % 3 == 2 → video mp4, width = 160 + 16*(doc_id % 60),
+                        height = 120 + 8*(doc_id % 90),
+                        duration_units = 500*(1 + doc_id % 20) @ timescale 600
+    """
+    n_parts = documents.sparkSession.sparkContext.defaultParallelism
+
+    def synth(iterator):
+        for pdf in iterator:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                m = d % 3
+                if m == 0:
+                    w, h = 16 + d % 320, 16 + (7 * d) % 200
+                    fmt = (d // 3) % 3
+                    payload = (make_png(w, h) if fmt == 0
+                               else make_gif(w, h) if fmt == 1
+                               else make_jpeg(w, h))
+                    modality = "image"
+                elif m == 1:
+                    payload = make_wav(8000 + 4000 * (d % 5),
+                                       100 * (1 + d % 16))
+                    modality = "audio"
+                else:
+                    payload = make_mp4(160 + 16 * (d % 60),
+                                       120 + 8 * (d % 90),
+                                       500 * (1 + d % 20), timescale=600)
+                    modality = "video"
+                rows.append((d, payload, modality))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "payload", "modality"])
+
+    return (
+        documents.select("doc_id")
+        .repartition(n_parts, "doc_id")
+        .mapInPandas(synth, schema=MEDIA_PAYLOAD_SCHEMA)
+    )
 
 
 def documents_as_media(documents: DataFrame) -> DataFrame:

@@ -1486,6 +1486,49 @@ def q_multimodal_meta(spark, sf_dir):
     )
 
 
+@register(
+    "media_decode_meta",
+    """SELECT doc_id,
+              CASE WHEN doc_id % 3 = 0 THEN 'image'
+                   WHEN doc_id % 3 = 1 THEN 'audio'
+                   ELSE 'video' END AS modality,
+              CASE WHEN doc_id % 3 = 0
+                     THEN (['png', 'gif', 'jpeg'])[CAST((doc_id // 3) % 3 AS INT) + 1]
+                   WHEN doc_id % 3 = 1 THEN 'wav'
+                   ELSE 'mp4' END AS format,
+              CAST(CASE WHEN doc_id % 3 = 0 THEN 16 + doc_id % 320
+                        WHEN doc_id % 3 = 2 THEN 160 + 16 * (doc_id % 60)
+                        ELSE 0 END AS INT) AS width,
+              CAST(CASE WHEN doc_id % 3 = 0 THEN 16 + (7 * doc_id) % 200
+                        WHEN doc_id % 3 = 2 THEN 120 + 8 * (doc_id % 90)
+                        ELSE 0 END AS INT) AS height,
+              CAST(CASE WHEN doc_id % 3 = 1
+                          THEN (100 * (1 + doc_id % 16) * 1000)
+                               // (8000 + 4000 * (doc_id % 5))
+                        WHEN doc_id % 3 = 2
+                          THEN (500 * (1 + doc_id % 20) * 1000) // 600
+                        ELSE 0 END AS INT) AS duration_ms,
+              CAST(CASE WHEN doc_id % 3 = 1 THEN 8000 + 4000 * (doc_id % 5)
+                        ELSE 0 END AS INT) AS sample_rate
+       FROM documents""",
+    "Real multimodal decode: synthesize a valid container file per doc "
+    "(PNG/GIF/JPEG/WAV/MP4, header params pure arithmetic in doc_id), then "
+    "parse the headers back with the pure-Python codec (mapInPandas, Arrow "
+    "batches). The oracle predicts every width/height/duration/sample_rate "
+    "independently from the doc_id parameter map, so encoder+decoder "
+    "roundtrip is genuinely checked — the hash stub no longer serves these "
+    "formats.",
+)
+def q_media_decode_meta(spark, sf_dir):
+    from anycrawl_spark.operators.multimodal import decode_media, synthesize_media
+
+    documents = load(spark, sf_dir, "documents")
+    media = synthesize_media(documents)
+    return decode_media(media).select(
+        F.col("media_id").alias("doc_id"), "modality", "format",
+        "width", "height", "duration_ms", "sample_rate")
+
+
 # ===========================================================================
 # TPC-H-style relational coverage (joins/aggregations at scale)
 # ===========================================================================

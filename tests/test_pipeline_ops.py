@@ -58,6 +58,77 @@ class TestMultimodal:
         assert meta.count() == 30
         assert meta.where(F.col("payload_sha").isNull()).count() == 0
 
+    def test_codec_roundtrip(self):
+        from anycrawl_spark.operators.media_codec import (
+            decode_media_bytes, make_gif, make_jpeg, make_mp4, make_png,
+            make_wav)
+
+        cases = [
+            (make_png(336, 216), ("png", 336, 216, 0, 0)),
+            (make_gif(17, 65535), ("gif", 17, 65535, 0, 0)),
+            (make_jpeg(1920, 1080), ("jpeg", 1920, 1080, 0, 0)),
+            (make_wav(16000, 1600), ("wav", 0, 0, 100, 16000)),
+            (make_wav(24000, 1000), ("wav", 0, 0, 1000 * 1000 // 24000, 24000)),
+            (make_mp4(640, 480, 1500, 600), ("mp4", 640, 480, 2500, 0)),
+        ]
+        for payload, want in cases:
+            d = decode_media_bytes(payload)
+            assert (d["format"], d["width"], d["height"],
+                    d["duration_ms"], d["sample_rate"]) == want
+
+    def test_codec_malformed_inputs(self):
+        from anycrawl_spark.operators.media_codec import (
+            decode_media_bytes, make_jpeg, make_png)
+
+        assert decode_media_bytes(b"")["format"] == "unknown"
+        assert decode_media_bytes(b"plain text")["format"] == "unknown"
+        # truncated PNG: magic only, no IHDR → png with zeroed fields
+        d = decode_media_bytes(b"\x89PNG\r\n\x1a\n\x00\x00")
+        assert d["format"] == "png" and d["width"] == 0
+        # JPEG whose SOF is missing (SOI + EOI): no crash, zero dims
+        d = decode_media_bytes(b"\xff\xd8\xff\xd9")
+        assert d["format"] == "jpeg" and d["width"] == 0
+        # full files truncated mid-header must not raise
+        for b in (make_png(33, 7), make_jpeg(100, 50)):
+            for cut in (4, 10, len(b) - 1):
+                decode_media_bytes(b[:cut])
+
+    def test_real_decode_in_spark_stage(self, spark):
+        from anycrawl_spark.operators.media_codec import make_png, make_wav
+        from anycrawl_spark.operators.multimodal import decode_media
+
+        media = spark.createDataFrame(
+            [(1, make_png(320, 200), "image"),
+             (2, make_wav(8000, 4000), "audio"),
+             (3, b"no magic here", "video")],
+            schema="media_id long, payload binary, modality string")
+        meta = {r["media_id"]: r for r in decode_media(media).collect()}
+        assert meta[1]["format"] == "png"
+        assert (meta[1]["width"], meta[1]["height"]) == (320, 200)
+        assert meta[2]["format"] == "wav"
+        assert meta[2]["sample_rate"] == 8000
+        assert meta[2]["duration_ms"] == 500
+        assert meta[3]["format"] == "unknown"  # stub fallback, flagged
+
+    def test_synthesize_media_parameter_map(self, spark):
+        from anycrawl_spark.operators.media_codec import decode_media_bytes
+        from anycrawl_spark.operators.multimodal import synthesize_media
+
+        docs = spark.createDataFrame(
+            [(i,) for i in range(12)], schema="doc_id long")
+        rows = {r["media_id"]: r for r in synthesize_media(docs).collect()}
+        assert len(rows) == 12
+        d0 = decode_media_bytes(bytes(rows[0]["payload"]))
+        assert d0["format"] == "png" and d0["width"] == 16
+        d3 = decode_media_bytes(bytes(rows[3]["payload"]))
+        assert d3["format"] == "gif" and d3["width"] == 16 + 3
+        d6 = decode_media_bytes(bytes(rows[6]["payload"]))
+        assert d6["format"] == "jpeg"
+        d1 = decode_media_bytes(bytes(rows[1]["payload"]))
+        assert d1["format"] == "wav" and d1["sample_rate"] == 12000
+        d2 = decode_media_bytes(bytes(rows[2]["payload"]))
+        assert d2["format"] == "mp4" and d2["width"] == 160 + 32
+
 
 class TestCache:
     def test_options_hash_key_order_invariant(self):
