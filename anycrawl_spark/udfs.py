@@ -103,3 +103,35 @@ def html_to_text_udf(html: pd.Series) -> pd.Series:
             h.decode("utf-8", errors="replace") if isinstance(h, (bytes, bytearray)) else (h or "")
         )
     )
+
+
+@F.pandas_udf(ArrayType(StringType()))
+def markdown_image_urls_udf(markdown: pd.Series) -> pd.Series:
+    """Distinct image urls per markdown doc, in first-occurrence order —
+    the fan-out set an OCR model batch would be called with
+    (reference: MarkdownOCR.ts collectMarkdownImageOccurrences)."""
+    from anycrawl_spark.kernel.ocr import image_urls
+
+    return markdown.map(lambda md: image_urls(md or ""))
+
+
+def make_inject_ocr_udf(ocr_lookup=None):
+    """OCR block injection UDF factory. ``ocr_lookup(url) -> text`` is the
+    external-model seam (reference: MarkdownOCR.ts injectOCRBlocksAfterImages
+    — the VL-model call itself is out of corpus-replay scope); default is
+    empty text, which still injects the (empty) OCR block per occurrence,
+    matching the reference's behavior for unavailable OCR."""
+
+    @F.pandas_udf(StringType())
+    def inject_ocr(markdown: pd.Series) -> pd.Series:
+        from anycrawl_spark.kernel.ocr import image_urls, inject_ocr_blocks
+
+        def one(md):
+            md = md or ""
+            mapping = ({u: ocr_lookup(u) for u in image_urls(md)}
+                       if ocr_lookup is not None else {})
+            return inject_ocr_blocks(md, mapping)
+
+        return markdown.map(one)
+
+    return inject_ocr

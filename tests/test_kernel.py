@@ -382,3 +382,109 @@ class TestCanonicalProperties:
         rows = df.select("u", canonical_url_col("u").alias("jvm")).collect()
         for r in rows:
             assert r["jvm"] == normalize_url(r["u"]), r["u"]
+
+
+class TestMarkdownOCR:
+    """Ports packages/scrape/src/__tests__/core/MarkdownOCR.test.ts plus
+    balanced-bracket / escape edge cases of MarkdownOCR.ts:35-131."""
+
+    def test_collects_plain_and_linked_images(self):
+        from anycrawl_spark.kernel.ocr import collect_image_occurrences
+
+        markdown = "\n".join([
+            "Intro", "",
+            "![first](https://example.com/a.png)", "",
+            "[![second](https://example.com/b.png)](https://example.com/details)",
+            "", "Tail",
+        ])
+        occ = collect_image_occurrences(markdown)
+        assert len(occ) == 2
+        assert occ[0].image_url == "https://example.com/a.png"
+        assert occ[1].image_url == "https://example.com/b.png"
+        span = markdown[occ[1].image_start - 1:occ[1].insert_after]
+        assert span == "[![second](https://example.com/b.png)](https://example.com/details)"
+
+    def test_injects_block_after_each_image(self):
+        from anycrawl_spark.kernel.ocr import inject_ocr_blocks
+
+        markdown = "\n".join([
+            "![first](https://example.com/a.png)", "",
+            "[![second](https://example.com/b.png)](https://example.com/details)",
+        ])
+        out = inject_ocr_blocks(markdown, {
+            "https://example.com/a.png": "first image text",
+            "https://example.com/b.png": "second image text",
+        })
+        assert ("![first](https://example.com/a.png)\n\n[ANYCRAWL_OCR_TEXT]\n"
+                "first image text\n[/ANYCRAWL_OCR_TEXT]") in out
+        assert ("[![second](https://example.com/b.png)](https://example.com/details)"
+                "\n\n[ANYCRAWL_OCR_TEXT]\nsecond image text\n[/ANYCRAWL_OCR_TEXT]") in out
+
+    def test_empty_block_when_ocr_unavailable(self):
+        from anycrawl_spark.kernel.ocr import (
+            OCR_BLOCK_CLOSE, OCR_BLOCK_OPEN, inject_ocr_blocks)
+
+        out = inject_ocr_blocks("![first](https://example.com/a.png)", {})
+        assert OCR_BLOCK_OPEN in out and OCR_BLOCK_CLOSE in out
+
+    def test_normalize_strips_markers_and_collapses(self):
+        from anycrawl_spark.kernel.ocr import normalize_ocr_text
+
+        got = normalize_ocr_text(
+            "  line1\r\n\r\n\r\n[ANYCRAWL_OCR_TEXT]line2[/ANYCRAWL_OCR_TEXT]  ")
+        assert got == "line1\n\nline2"
+
+    def test_normalize_caps_at_4000(self):
+        from anycrawl_spark.kernel.ocr import normalize_ocr_text
+
+        assert normalize_ocr_text("x" * 5000) == "x" * 4000 + "..."
+        assert normalize_ocr_text("x" * 4000) == "x" * 4000
+
+    def test_balanced_brackets_and_escapes(self):
+        from anycrawl_spark.kernel.ocr import collect_image_occurrences
+
+        # nested brackets in alt, escaped closers, title after url
+        occ = collect_image_occurrences(
+            r"![a [nested] alt](https://e.test/i.png 'title')")
+        assert occ[0].image_url == "https://e.test/i.png"
+        occ = collect_image_occurrences(
+            r"![esc \] alt](https://e.test/j.png)")
+        assert occ[0].image_url == "https://e.test/j.png"
+        # angle-bracketed destination with spaces
+        occ = collect_image_occurrences("![a](<https://e.test/with space.png>)")
+        assert occ[0].image_url == "https://e.test/with space.png"
+        # unterminated token is skipped, later valid token still found
+        occ = collect_image_occurrences(
+            "![broken](no-close ![ok](https://e.test/k.png)")
+        assert [o.image_url for o in occ] and occ[-1].image_url == "https://e.test/k.png"
+
+    def test_linked_image_requires_exact_wrapper(self):
+        from anycrawl_spark.kernel.ocr import collect_image_occurrences
+
+        # wrapper bracket contains MORE than the image -> not a linked image,
+        # insertion lands right after the image token itself
+        md = "[text ![a](https://e.test/a.png)](https://e.test/l)"
+        occ = collect_image_occurrences(md)
+        assert len(occ) == 1
+        assert occ[0].insert_after == occ[0].image_end
+
+    def test_image_urls_dedup_in_order(self):
+        from anycrawl_spark.kernel.ocr import image_urls
+
+        md = ("![a](https://e.test/1.png) ![b](https://e.test/2.png) "
+              "![c](https://e.test/1.png)")
+        assert image_urls(md) == ["https://e.test/1.png", "https://e.test/2.png"]
+
+    def test_udf_hooks(self, spark):
+        from anycrawl_spark.udfs import make_inject_ocr_udf, markdown_image_urls_udf
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            [("![x](https://e.test/x.png) tail",), ("no images",)],
+            "md string")
+        urls = [r[0] for r in df.select(markdown_image_urls_udf("md")).collect()]
+        assert urls == [["https://e.test/x.png"], []]
+        inject = make_inject_ocr_udf(lambda u: f"ocr:{u}")
+        out = [r[0] for r in df.select(inject("md")).collect()]
+        assert "ocr:https://e.test/x.png" in out[0]
+        assert out[1] == "no images"
