@@ -1529,6 +1529,114 @@ def q_media_decode_meta(spark, sf_dir):
         "width", "height", "duration_ms", "sample_rate")
 
 
+@register(
+    "auto_engine_decision",
+    """WITH pages AS (
+         SELECT doc_id,
+           '<html><head>'
+           || repeat('<script src="/static/a.js"></script>',
+                     CAST(doc_id % 15 AS INT))
+           || CASE WHEN doc_id % 7 = 0
+                   THEN '<script>window.__NUXT__={};</script>' ELSE '' END
+           || CASE WHEN doc_id % 11 = 0
+                   THEN '<script>var d = "__NEXT_DATA__";</script>' ELSE '' END
+           || CASE WHEN doc_id % 2 = 0
+                   THEN '<!-- ' || repeat('pad ', 600) || ' -->' ELSE '' END
+           || '</head><body>'
+           || CASE WHEN doc_id % 5 = 0 THEN '<div id="root"></div>' ELSE '' END
+           || CASE WHEN doc_id % 4 = 0
+                   THEN '<noscript><p>JavaScript is required to use this application.</p></noscript>'
+                   ELSE '' END
+           || CASE WHEN doc_id % 3 = 0 THEN '<article>' || text || '</article>'
+                   ELSE '<p>' || text || '</p>' END
+           || '</body></html>' AS h
+         FROM documents),
+       parts AS (
+         SELECT doc_id, h,
+           trim(regexp_replace(regexp_replace(regexp_replace(
+             regexp_extract(h, '(?is)<body[^>]*>(.*?)</body>', 1),
+             '(?is)<script.*?</script>', '', 'g'),
+             '(?is)<style.*?</style>', '', 'g'),
+             '(?is)<noscript.*?</noscript>', '', 'g')) AS content
+         FROM pages),
+       vis AS (
+         SELECT doc_id, h, content,
+           trim(regexp_replace(regexp_replace(content, '<[^>]+>', '', 'g'),
+                               '\\s+', ' ', 'g')) AS visible
+         FROM parts),
+       scored AS (
+         SELECT doc_id,
+           (CASE WHEN regexp_matches(h,
+              'id=["''](root|app|__next|__nuxt)["''][^>]*>\\s*</div>', 'i')
+            THEN 3 ELSE 0 END)
+           + (CASE WHEN len(visible) < 100 AND len(h) > 2000 THEN 3 ELSE 0 END)
+           + (CASE WHEN len(trim(regexp_replace(array_to_string(
+                regexp_extract_all(h, '(?is)<noscript[^>]*>(.*?)</noscript>', 1),
+                ''), '<[^>]+>', '', 'g'))) > 30 THEN 3 ELSE 0 END)
+           + (CASE WHEN regexp_matches(h, '["'']__NEXT_DATA__["'']')
+              THEN 1 ELSE 0 END)
+           + (CASE WHEN regexp_matches(h, '__NUXT__') THEN 1 ELSE 0 END)
+           + (CASE WHEN regexp_matches(h, 'window\\.__INITIAL_STATE__')
+              THEN 1 ELSE 0 END)
+           + (CASE WHEN regexp_matches(h, 'data-reactroot', 'i')
+              THEN 1 ELSE 0 END)
+           + (CASE WHEN regexp_matches(h, 'ng-app|ng-controller', 'i')
+              THEN 2 ELSE 0 END)
+           + (CASE WHEN regexp_matches(h, 'data-svelte', 'i')
+              THEN 1 ELSE 0 END)
+           + (CASE WHEN len(regexp_extract_all(h, '(?i)(<script)', 1)) > 10
+                    AND len(visible) < 500 THEN 2 ELSE 0 END)
+           + (CASE WHEN len(visible) > 1000 THEN -3
+                   WHEN len(visible) > 500 THEN -1 ELSE 0 END)
+           + (CASE WHEN regexp_matches(content,
+                '(?is)<(article|main)[^>]*>.{200,}') THEN -1 ELSE 0 END)
+           AS score
+         FROM vis)
+       SELECT doc_id, CAST(score AS INT) AS score,
+              CASE WHEN score >= 3 THEN 'playwright' ELSE 'cheerio' END AS engine
+       FROM scored""",
+    "Auto-engine selection (reference autoEngine.ts:7-88): synthesize a "
+    "deterministic HTML page per doc (script density, SPA markers, noscript "
+    "fallback, semantic content all varying with doc_id), then score its JS "
+    "requirement with the reference's weighted signals — Spark side is one "
+    "JVM regexp expression tree (codegen, no Python); oracle re-implements "
+    "the scoring independently in DuckDB SQL.",
+)
+def q_auto_engine_decision(spark, sf_dir):
+    from anycrawl_spark.autoengine import engine_decision_col, js_score_col
+
+    documents = load(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    h = F.concat(
+        F.lit("<html><head>"),
+        F.repeat(F.lit('<script src="/static/a.js"></script>'),
+                 (d % 15).cast("int")),
+        F.when(d % 7 == 0,
+               F.lit("<script>window.__NUXT__={};</script>")).otherwise(""),
+        F.when(d % 11 == 0,
+               F.lit('<script>var d = "__NEXT_DATA__";</script>')).otherwise(""),
+        F.when(d % 2 == 0,
+               F.concat(F.lit("<!-- "), F.repeat(F.lit("pad "), 600),
+                        F.lit(" -->"))).otherwise(""),
+        F.lit("</head><body>"),
+        F.when(d % 5 == 0, F.lit('<div id="root"></div>')).otherwise(""),
+        F.when(d % 4 == 0, F.lit(
+            "<noscript><p>JavaScript is required to use this application.</p>"
+            "</noscript>")).otherwise(""),
+        F.when(d % 3 == 0,
+               F.concat(F.lit("<article>"), F.col("text"),
+                        F.lit("</article>"))).otherwise(
+            F.concat(F.lit("<p>"), F.col("text"), F.lit("</p>"))),
+        F.lit("</body></html>"),
+    )
+    pages = documents.select("doc_id", h.alias("h"))
+    return pages.select(
+        "doc_id",
+        js_score_col("h").alias("score"),
+        engine_decision_col("h").alias("engine"),
+    )
+
+
 # ===========================================================================
 # TPC-H-style relational coverage (joins/aggregations at scale)
 # ===========================================================================

@@ -488,3 +488,91 @@ class TestMarkdownOCR:
         out = [r[0] for r in df.select(inject("md")).collect()]
         assert "ocr:https://e.test/x.png" in out[0]
         assert out[1] == "no images"
+
+
+class TestAutoEngine:
+    """Decision table from the reference's analyzeHtmlForJSRequirement
+    (packages/scrape/src/utils/autoEngine.ts:7-88)."""
+
+    def _page(self, body, head="", pad=True):
+        filler = "<!-- " + "pad " * 600 + " -->" if pad else ""
+        return f"<html><head>{head}{filler}</head><body>{body}</body></html>"
+
+    def test_spa_shell_requires_js(self):
+        from anycrawl_spark.autoengine import analyze_js_requirement
+
+        r = analyze_js_requirement(self._page('<div id="root"></div>'))
+        # empty root (+3) + minimal text (+3)
+        assert r["js_required"] and r["score"] == 6
+        assert "empty-root-container" in r["reasons"]
+        assert any(x.startswith("minimal-text:") for x in r["reasons"])
+
+    def test_substantial_article_stays_static(self):
+        from anycrawl_spark.autoengine import analyze_js_requirement
+
+        body = "<article>" + "word " * 300 + "</article>"
+        r = analyze_js_requirement(self._page(body))
+        # substantial text (-3) + semantic content (-1)
+        assert not r["js_required"] and r["score"] == -4
+        assert "has-semantic-content" in r["reasons"]
+
+    def test_framework_markers_accumulate(self):
+        from anycrawl_spark.autoengine import analyze_js_requirement
+
+        head = ('<script>window.__INITIAL_STATE__={}</script>'
+                '<script>"__NEXT_DATA__"</script>')
+        body = '<div ng-app="x">' + "word " * 150 + "</div>"
+        r = analyze_js_requirement(self._page(body, head=head))
+        # next(+1) + initial-state(+1) + angular(+2) + moderate text(-1) = 3
+        assert r["score"] == 3 and r["js_required"]
+        assert "framework:angular" in r["reasons"]
+
+    def test_noscript_fallback_counts_once_over_30_chars(self):
+        from anycrawl_spark.autoengine import analyze_js_requirement
+
+        long_ns = "<noscript>JavaScript is required to use this app.</noscript>"
+        short_ns = "<noscript>JS off</noscript>"
+        txt = "word " * 150
+        assert "noscript-fallback" in analyze_js_requirement(
+            self._page(long_ns + txt, pad=False))["reasons"]
+        assert "noscript-fallback" not in analyze_js_requirement(
+            self._page(short_ns + txt, pad=False))["reasons"]
+
+    def test_high_script_density(self):
+        from anycrawl_spark.autoengine import analyze_js_requirement
+
+        head = '<script src="a.js"></script>' * 12
+        txt = "word " * 60  # 300 chars: not minimal, below 500
+        r = analyze_js_requirement(self._page(txt, head=head, pad=False))
+        assert any(x.startswith("high-scripts:") for x in r["reasons"])
+
+    def test_small_plain_page_defaults_static(self):
+        from anycrawl_spark.autoengine import analyze_js_requirement
+
+        r = analyze_js_requirement("<html><body><p>hi</p></body></html>")
+        assert not r["js_required"] and r["score"] == 0
+
+    def test_jvm_column_matches_python_kernel(self, spark):
+        from anycrawl_spark.autoengine import (
+            analyze_js_requirement, engine_decision_col, js_score_col)
+
+        pages = [
+            self._page('<div id="root"></div>'),
+            self._page("<article>" + "word " * 300 + "</article>"),
+            self._page("word " * 150,
+                       head='<script>window.__NUXT__={}</script>'),
+            self._page("word " * 60,
+                       head='<script src="a.js"></script>' * 12, pad=False),
+            "<html><body><p>hi</p></body></html>",
+            self._page("<noscript>JavaScript is required to use this app."
+                       "</noscript>" + "word " * 150, pad=False),
+            "",
+        ]
+        df = spark.createDataFrame([(p,) for p in pages], "h string")
+        rows = df.select(js_score_col("h").alias("s"),
+                         engine_decision_col("h").alias("e")).collect()
+        for page, row in zip(pages, rows):
+            want = analyze_js_requirement(page)
+            assert row["s"] == want["score"], page[:80]
+            expect_engine = "playwright" if want["js_required"] else "cheerio"
+            assert row["e"] == expect_engine
