@@ -24,6 +24,19 @@ from pyspark.sql import DataFrame, Window, functions as F
 CACHE_COLS = ["url_hash", "options_hash", "url", "markdown", "text", "title",
               "status", "scraped_at"]
 
+# Reference default TTL tiers (libs/src/config.ts:186-191): a per-call
+# max_age always wins; otherwise the tier default applies — 2 days for the
+# page cache (ANYCRAWL_CACHE_DEFAULT_MAX_AGE), 7 days for the map/sitemap
+# cache (ANYCRAWL_CACHE_SITEMAP_MAX_AGE).
+DEFAULT_MAX_AGE_SECONDS = 2 * 24 * 3600
+SITEMAP_MAX_AGE_SECONDS = 7 * 24 * 3600
+TTL_TIERS = {"page": DEFAULT_MAX_AGE_SECONDS,
+             "sitemap": SITEMAP_MAX_AGE_SECONDS}
+
+
+def ttl_for_tier(tier: str) -> int:
+    return TTL_TIERS[tier]
+
 
 def kv_key_col(job_id: str, url_col) -> "F.Column":
     """crawlee key-value-store key for crawl results:
@@ -54,11 +67,17 @@ def options_hash(options: dict[str, Any] | None) -> str:
 
 def cache_lookup(frontier: DataFrame, cache: DataFrame, opts_hash: str,
                  max_age_seconds: int | None = None,
-                 now_expr: str = "current_timestamp()") -> DataFrame:
+                 now_expr: str = "current_timestamp()",
+                 tier: str | None = "page") -> DataFrame:
     """Left-join the frontier against the cache on (url_hash, options_hash);
     keep only fresh entries, newest first, limit 1 per key (Cache.ts:50-60).
+    ``max_age_seconds`` overrides per call; otherwise the ``tier`` default
+    TTL applies (page 2d / sitemap 7d, config.ts:186-191); tier=None with no
+    max_age disables the age filter entirely.
     Returns frontier columns + ``cache_hit`` flag + cached payload columns."""
     fresh = cache.where(F.col("options_hash") == opts_hash)
+    if max_age_seconds is None and tier is not None:
+        max_age_seconds = ttl_for_tier(tier)
     if max_age_seconds is not None:
         fresh = fresh.where(
             F.col("scraped_at") >= F.expr(f"{now_expr} - INTERVAL {max_age_seconds} SECOND"))

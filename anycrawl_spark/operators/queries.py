@@ -116,6 +116,38 @@ def q_cache_newest(spark, sf_dir):
 
 
 @register(
+    "cache_ttl_tiers",
+    """WITH ref AS (SELECT max(o_orderdate) AS now_ts FROM orders)
+       SELECT o.o_orderkey,
+              CASE WHEN o.o_orderkey % 2 = 0 THEN 'page' ELSE 'sitemap' END AS tier
+       FROM orders o, ref
+       WHERE (o.o_orderkey % 2 = 0
+              AND epoch(o.o_orderdate) >= epoch(ref.now_ts) - 172800)
+          OR (o.o_orderkey % 2 = 1
+              AND epoch(o.o_orderdate) >= epoch(ref.now_ts) - 604800)""",
+    "S8/A6 TTL tiers (config.ts:186-191): page-cache entries expire after "
+    "2 days, map/sitemap entries after 7 — rows = cache entries still fresh "
+    "relative to the newest timestamp, per tier. Exercises the TTL_TIERS "
+    "constants routed through cache.ttl_for_tier.",
+)
+def q_cache_ttl_tiers(spark, sf_dir):
+    from anycrawl_spark.cache import ttl_for_tier
+
+    orders = load(spark, sf_dir, "orders")
+    now_ts = orders.agg(F.max("o_orderdate").alias("now_ts"))
+    tier = F.when(F.col("o_orderkey") % 2 == 0, "page").otherwise("sitemap")
+    ttl = F.when(F.col("tier") == "page",
+                 ttl_for_tier("page")).otherwise(ttl_for_tier("sitemap"))
+    return (
+        orders.withColumn("tier", tier)
+        .crossJoin(F.broadcast(now_ts))
+        .where(F.col("o_orderdate").cast("timestamp").cast("long")
+               >= F.col("now_ts").cast("timestamp").cast("long") - ttl)
+        .select("o_orderkey", "tier")
+    )
+
+
+@register(
     "limit_admission",
     """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS order_ts
        FROM orders ORDER BY o_orderdate, o_orderkey LIMIT 100""",

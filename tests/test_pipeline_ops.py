@@ -157,6 +157,35 @@ class TestCache:
         assert not out["h3"]["cache_hit"]   # different options hash
         assert not out["h4"]["cache_hit"]   # miss
 
+    def test_tier_default_ttls(self, spark):
+        from anycrawl_spark.cache import (
+            DEFAULT_MAX_AGE_SECONDS, SITEMAP_MAX_AGE_SECONDS, cache_lookup,
+            ttl_for_tier)
+
+        assert ttl_for_tier("page") == DEFAULT_MAX_AGE_SECONDS == 2 * 86400
+        assert ttl_for_tier("sitemap") == SITEMAP_MAX_AGE_SECONDS == 7 * 86400
+        oh = options_hash({})
+        t = datetime.datetime(2025, 6, 1, 12, 0, 0)
+        cache = spark.createDataFrame(
+            [("h1", oh, "u1", "AGE3D", "t", "T", 200, t - datetime.timedelta(days=3))],
+            schema="url_hash string, options_hash string, url string, markdown string, "
+                   "text string, title string, status int, scraped_at timestamp")
+        frontier = spark.createDataFrame([("h1",)], schema="url_hash string")
+        now = f"timestamp'{t.isoformat(sep=' ')}'"
+        # 3-day-old entry: expired under the page tier (2d), fresh under
+        # sitemap (7d), present when the filter is explicitly disabled
+        page = cache_lookup(frontier, cache, oh, now_expr=now).head()
+        sitemap = cache_lookup(frontier, cache, oh, now_expr=now,
+                               tier="sitemap").head()
+        unlimited = cache_lookup(frontier, cache, oh, now_expr=now,
+                                 tier=None).head()
+        override = cache_lookup(frontier, cache, oh, now_expr=now,
+                                max_age_seconds=4 * 86400).head()
+        assert not page["cache_hit"]
+        assert sitemap["cache_hit"]
+        assert unlimited["cache_hit"]
+        assert override["cache_hit"]  # per-call max_age beats tier default
+
     def test_upsert_latest_wins(self, spark):
         t = datetime.datetime(2025, 6, 1)
         schema = ("url_hash string, options_hash string, url string, markdown string, "
