@@ -503,8 +503,20 @@ class CrawlEngine:
         for fut in state_writes:
             fut.result()
         writes.shutdown(wait=True)
-        # pending count from the written files' footers (metadata-only scan)
-        n_pending_next = self.catalog.read_round_uncommitted(spark, "pending", r).count()
+        # next-pending count by arithmetic over aggregates this round already
+        # computed — no re-read of the just-written files (which cost a
+        # footer-scan Spark job per round):
+        #   pending(r)  = deferred + retries + newly enqueued
+        #   deferred    = pending(r-1) - admitted      (budget/batch split)
+        # pending(r-1) is the prior round's recorded pending_next (the seed
+        # round records it as `enqueued` = seed count).
+        n_pending_prev = progress.get("pending_next", progress.get("enqueued", 0))
+        n_admitted = sum(outcome_counts.values())
+        n_retries = 0
+        if cfg.max_attempts > 1:
+            n_retries = sum(v for (s_, fin), v in outcome_counts.items()
+                            if s_ != 200 and not fin)
+        n_pending_next = (n_pending_prev - n_admitted) + n_retries + n_new
 
         done = progress["done"] + n_fetched + n_failed
         failed = progress["failed"] + n_failed

@@ -857,6 +857,100 @@ def q_gopher_quality(spark, sf_dir):
 
 
 @register(
+    "gopher_repetition",
+    r"""WITH words AS (
+         SELECT doc_id, length(text) AS n_chars,
+                regexp_extract_all(text, '\S+') AS ws
+         FROM documents),
+       g2 AS (
+         SELECT doc_id, n_chars, unnest(list_transform(
+                  range(1, greatest(len(ws), 1)),
+                  i -> ws[i] || ' ' || ws[i + 1])) AS g
+         FROM words WHERE len(ws) >= 2),
+       g2c AS (SELECT doc_id, n_chars, g, COUNT(*) AS c
+               FROM g2 GROUP BY doc_id, n_chars, g),
+       top2 AS (
+         SELECT doc_id,
+                ROUND(c * length(g) * 1.0 / n_chars, 4) AS top2_frac
+         FROM (SELECT doc_id, n_chars, g, c,
+                      ROW_NUMBER() OVER (PARTITION BY doc_id
+                                         ORDER BY c DESC, g) AS rn
+               FROM g2c) WHERE rn = 1),
+       g5 AS (
+         SELECT doc_id, n_chars, unnest(list_transform(
+                  range(1, greatest(len(ws) - 3, 1)),
+                  i -> array_to_string(ws[i:i+4], ' '))) AS g
+         FROM words WHERE len(ws) >= 5),
+       g5c AS (SELECT doc_id, n_chars, g, COUNT(*) AS c
+               FROM g5 GROUP BY doc_id, n_chars, g),
+       dup5 AS (
+         SELECT doc_id,
+                ROUND(least(SUM(CASE WHEN c >= 2 THEN c * length(g)
+                                     ELSE 0 END) * 1.0 / n_chars, 1.0), 4)
+                    AS dup5_frac
+         FROM g5c GROUP BY doc_id, n_chars)
+       SELECT w.doc_id,
+              COALESCE(t.top2_frac, 0.0) AS top2_frac,
+              COALESCE(d.dup5_frac, 0.0) AS dup5_frac,
+              CAST(CASE WHEN COALESCE(t.top2_frac, 0.0) <= 0.20
+                         AND COALESCE(d.dup5_frac, 0.0) <= 0.15
+                   THEN 1 ELSE 0 END AS BIGINT) AS passes_repetition
+       FROM words w
+       LEFT JOIN top2 t ON t.doc_id = w.doc_id
+       LEFT JOIN dup5 d ON d.doc_id = w.doc_id""",
+    "Gopher repetition-removal signals (Rae et al. 2021 §A1.1): fraction of "
+    "characters in the most frequent word 2-gram (threshold 0.20) and in "
+    "duplicated word 5-grams (threshold 0.15). Explode → per-doc groupBy: "
+    "every shuffle is keyed by doc_id (+gram), so the plan is "
+    "embarrassingly parallel at corpus scale — no cross-doc state.",
+)
+def q_gopher_repetition(spark, sf_dir):
+    documents = load_wide(spark, sf_dir, "documents")
+    words = documents.select(
+        "doc_id", F.length("text").alias("n_chars"),
+        F.regexp_extract_all("text", F.lit(r"\S+"), 0).alias("ws"))
+
+    def grams(n):
+        src = words.where(F.size("ws") >= n)
+        g = F.transform(
+            F.sequence(F.lit(1), F.size("ws") - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice("ws", i, F.lit(n))))
+        return (src.select("doc_id", "n_chars", F.explode(g).alias("g"))
+                .groupBy("doc_id", "n_chars", "g").agg(F.count("*").alias("c")))
+
+    w_top = Window.partitionBy("doc_id").orderBy(F.desc("c"), F.asc("g"))
+    top2 = (
+        grams(2).withColumn("rn", F.row_number().over(w_top))
+        .where(F.col("rn") == 1)
+        .select("doc_id",
+                F.round(F.col("c") * F.length("g") / F.col("n_chars"), 4)
+                 .alias("top2_frac"))
+    )
+    dup5 = (
+        grams(5).groupBy("doc_id", "n_chars")
+        .agg(F.sum(F.when(F.col("c") >= 2,
+                          F.col("c") * F.length("g")).otherwise(0))
+              .alias("dup_chars"))
+        .select("doc_id",
+                F.round(F.least(F.col("dup_chars") / F.col("n_chars"),
+                                F.lit(1.0)), 4).alias("dup5_frac"))
+    )
+    top2_frac = F.coalesce(F.col("top2_frac"), F.lit(0.0))
+    dup5_frac = F.coalesce(F.col("dup5_frac"), F.lit(0.0))
+    return (
+        words.select("doc_id")
+        .join(top2, "doc_id", "left")
+        .join(dup5, "doc_id", "left")
+        .select(
+            "doc_id",
+            top2_frac.alias("top2_frac"),
+            dup5_frac.alias("dup5_frac"),
+            F.when((top2_frac <= 0.20) & (dup5_frac <= 0.15), 1)
+             .otherwise(0).cast("long").alias("passes_repetition"))
+    )
+
+
+@register(
     "c4_filters",
     r"""SELECT doc_id, sentence_count, has_brace, has_lorem, has_js,
               terminal_line_frac,

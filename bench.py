@@ -248,10 +248,12 @@ def main() -> None:
         queries.update(run_registry_queries(spark, [
             "tpch_q1_pricing", "tpch_q3_revenue", "perhost_topk",
             "minhash_signature", "lsh_candidate_pairs", "dedup_clusters",
-            "ngram_jaccard_pairs", "simhash_near_pairs",
+            "ngram_jaccard_pairs", "jaccard_over_candidates",
+            "cosine_over_candidates", "simhash_near_pairs",
             "ann_bruteforce_topk", "ann_ivf_real", "gopher_quality",
             "winnow_fingerprints", "sessionize_events", "asof_join_events",
-            "token_count", "windowed_events",
+            "token_count", "windowed_events", "media_decode_meta",
+            "auto_engine_decision",
         ]))
         scaling = None
         scaling_path = os.path.join(REPO, "SCALING.json")

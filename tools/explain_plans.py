@@ -218,6 +218,58 @@ def main() -> None:
     ))
     assert "NestedLoop" not in p, "interval join must not plan a nested loop"
 
+    # 11. jaccard over LSH candidates: every join is a keyed equi-join on
+    # band_hash or doc ids — no block self-join, no nested loop anywhere
+    p = plan_of(REGISTRY["jaccard_over_candidates"].fn(spark, "/root/testdata/sf0.01"))
+    sections.append((
+        "jaccard_over_candidates: candidate-bounded scoring (100-TB dedup path)",
+        p,
+        {
+            "candidate generation is a band_hash equi-join":
+                r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)[^\n]*\n[^\n]*band_hash",
+            "scoring joins keyed on doc ids": r"doc_a",
+        },
+    ))
+    assert "NestedLoop" not in p, "candidate scoring must not nested-loop"
+    assert "len_bucket" not in p, "no (lang, len-bucket) block join in the scale path"
+
+    # 12. cosine over WTA-band candidates: same shape for embeddings
+    p = plan_of(REGISTRY["cosine_over_candidates"].fn(spark, "/root/testdata/sf0.01"))
+    sections.append((
+        "cosine_over_candidates: banded candidates, no label block join",
+        p,
+        {
+            "candidate generation is a band equi-join": r"band_val",
+            "scoring joins keyed on vec ids": r"vec_a",
+        },
+    ))
+    assert "NestedLoop" not in p, "cosine candidate scoring must not nested-loop"
+    assert not re.search(r"Join[^\n]*label", p), "no label block join in the scale path"
+
+    # 13. auto-engine decision: pure JVM expression tree, zero Python
+    p = plan_of(REGISTRY["auto_engine_decision"].fn(spark, "/root/testdata/sf0.01"))
+    sections.append((
+        "auto_engine_decision: JS-requirement scoring stays JVM-side",
+        p,
+        {
+            "whole-stage codegen": r"codegen id",
+            "only doc_id/text read from parquet": r"ReadSchema: [^\n]*doc_id[^\n]*text",
+        },
+    ))
+    assert "EvalPython" not in p, "auto-engine scoring must not call Python"
+
+    # 14. media decode: two Arrow-batched mapInPandas stages (synthesize,
+    # decode), repartitioned by id so payload sizes spread evenly
+    p = plan_of(REGISTRY["media_decode_meta"].fn(spark, "/root/testdata/sf0.01"))
+    sections.append((
+        "media_decode_meta: Arrow-batched decode stages",
+        p,
+        {
+            "mapInPandas stages present": r"MapInPandas",
+            "payload spread by id hash": r"hashpartitioning\((media_id|doc_id)",
+        },
+    ))
+
     with open(os.path.join(REPO, "PLANS.md"), "w") as f:
         f.write("# PLANS — physical-plan evidence (auto-generated by "
                 "tools/explain_plans.py)\n\n"
