@@ -378,3 +378,45 @@ class TestAsofJoin:
         assert got[(1, 20)] == ("R15", 15)
         # key 2 has no right rows -> NULLs
         assert got[(2, 5)] == (None, None)
+
+
+class TestCandidateBoundedPairs:
+    """The 100-TB dedup path scores similarity only over banded candidate
+    pairs (VERDICT r2 #3): verify it recovers the block-join results."""
+
+    def test_jaccard_candidates_recall(self, spark):
+        from anycrawl_spark.operators.queries import REGISTRY
+
+        sf = "/root/testdata/sf0.001"
+        block = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+                 for r in REGISTRY["ngram_jaccard_pairs"].fn(spark, sf).collect()}
+        cand = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+                for r in REGISTRY["jaccard_over_candidates"].fn(spark, sf).collect()}
+        # identical scores wherever both report a pair
+        for k in block.keys() & cand.keys():
+            assert abs(block[k] - cand[k]) < 1e-9
+        # high-similarity pairs must survive banding (LSH recall grows with
+        # similarity; at jaccard >= 0.5 two 3-row minhash bands catch nearly
+        # all — assert >= 0.8 to stay robust to fixture drift)
+        strong = {k for k, v in block.items() if v >= 0.5}
+        if strong:
+            recall = len(strong & cand.keys()) / len(strong)
+            assert recall >= 0.8, (recall, len(strong))
+
+    def test_cosine_candidates_recall(self, spark):
+        from anycrawl_spark.operators.queries import REGISTRY
+
+        sf = "/root/testdata/sf0.001"
+        block = {(r["vec_a"], r["vec_b"]): r["cosine"]
+                 for r in REGISTRY["embed_cosine_pairs"].fn(spark, sf).collect()}
+        cand = {(r["vec_a"], r["vec_b"]): r["cosine"]
+                for r in REGISTRY["cosine_over_candidates"].fn(spark, sf).collect()}
+        for k in block.keys() & cand.keys():
+            assert abs(block[k] - cand[k]) < 1e-9
+        # WTA banding is label-blind: near-identical vectors (cosine >= 0.9)
+        # agree on almost all coordinate comparisons, so an 8-bit band match
+        # is near-certain
+        strong = {k for k, v in block.items() if v >= 0.9}
+        if strong:
+            recall = len(strong & cand.keys()) / len(strong)
+            assert recall >= 0.8, (recall, len(strong))
