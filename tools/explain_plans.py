@@ -138,13 +138,14 @@ def main() -> None:
             "pair join is a hash join on (band_idx, band_val)":
                 r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)[^\n]*\n[^\n]*band",
             "band keys present in join": r"band_idx",
-            "only NestedLoop is the 16-row bit-dimension broadcast":
-                r"BroadcastNestedLoopJoin",
+            "signature subtree materialized once (localCheckpoint scan; the "
+            "16-row bit-dimension cross join runs once, not per join side)":
+                r"Scan ExistingRDD",
         },
     ))
-    # the pair join itself must be a hash join keyed on the bands; the only
-    # nested loops allowed are the 16-row bit-dimension cross joins feeding
-    # the simhash computation (one per side of the self-join)
+    # the pair join itself must be a hash join keyed on the bands; the
+    # checkpointed signature scan keeps the bit-dimension cross join out of
+    # the self-join entirely
     assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"
                      r"[^\n]*\n[^\n]*band", p), "band join must be hash-keyed"
     for line in p.splitlines():
