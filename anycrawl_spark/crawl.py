@@ -53,7 +53,15 @@ from .politeness import (
     robots_allowed,
     strategy_cond,
 )
-from .seen import build_segments, filter_new, merge_segments
+from .seen import (
+    DRIVER_MERGE_MAX_BYTES,
+    build_segments,
+    filter_new,
+    merge_into_driver,
+    merge_segments,
+    segments_from_driver,
+    segments_to_driver,
+)
 from .udfs import make_extract_udf
 
 FRONTIER_COLS = ["job_id", "url", "url_hash", "host", "origin", "path",
@@ -154,6 +162,11 @@ class CrawlEngine:
             self.corpus = self.corpus.persist(StorageLevel.MEMORY_AND_DISK)
         self.catalog = Catalog(checkpoint_dir)
         self.robots = robots
+        # driver-resident cumulative bloom segments (small-filter fast path;
+        # see seen.DRIVER_MERGE_MAX_BYTES). _bloom_mem_round = the round the
+        # cache is cumulative through; invalidated on resume (fresh engine).
+        self._bloom_mem: dict[int, bytes] | None = None
+        self._bloom_mem_round = -1
 
     # -- state helpers ------------------------------------------------------
     def _progress(self) -> dict:
@@ -211,6 +224,8 @@ class CrawlEngine:
         else:
             self.catalog.destroy()
             self.catalog = Catalog(self.catalog.root)
+            self._bloom_mem = None
+            self._bloom_mem_round = -1
             progress = {"round": -1, "done": 0, "failed": 0, "enqueued": 0, "finalized": False}
             round_no = 0
 
@@ -260,6 +275,7 @@ class CrawlEngine:
 
     def _run_round(self, cfg: CrawlConfig, r: int, progress: dict, extract_udf) -> dict:
         spark = self.spark
+        _t0 = time.time()
         pending = self.catalog.read_round(spark, "pending", r - 1)
         if pending is None or not pending.head(1):
             meta = {**progress, "round": r, "finalized": True, "phase": "drained"}
@@ -353,6 +369,7 @@ class CrawlEngine:
         n_fetched = sum(v for (s_, fin), v in outcome_counts.items() if s_ == 200)
         n_failed = sum(v for (s_, fin), v in outcome_counts.items()
                        if s_ != 200 and fin)
+        _t_fetch = time.time()
 
 
         # results: persistence gated by scrape_paths (F5) — links still flow;
@@ -420,7 +437,16 @@ class CrawlEngine:
             # round checkpoint is CUMULATIVE (delta OR-merged into the prior
             # round's segments at write time), so reading the seen-filter is
             # one round directory — O(1) per round, not O(rounds) re-merges.
-            segments = self._latest_bloom(spark, up_to_round=r - 1)
+            filter_bytes = cfg.bloom_num_buckets * (cfg.bloom_m_bits // 8)
+            driver_bloom = filter_bytes <= DRIVER_MERGE_MAX_BYTES
+            if (driver_bloom and self._bloom_mem is not None
+                    and self._bloom_mem_round == r - 1):
+                segments = segments_from_driver(spark, self._bloom_mem)
+            else:
+                segments = self._latest_bloom(spark, up_to_round=r - 1)
+                if driver_bloom and segments is not None:
+                    self._bloom_mem = segments_to_driver(segments)
+                    segments = segments_from_driver(spark, self._bloom_mem)
             seen = self.catalog.read(spark, "seen", up_to_round=r - 1)
             links = filter_new(links, segments, seen,
                                num_buckets=cfg.bloom_num_buckets,
@@ -464,6 +490,7 @@ class CrawlEngine:
                 .cache()
             )
             n_new = min(total, capacity)
+        _t_discover = time.time()
 
         # --- next pending + seen/bloom appends -----------------------------
         for fut in pending_writes:
@@ -495,9 +522,20 @@ class CrawlEngine:
             delta = build_segments(new_rows, num_buckets=cfg.bloom_num_buckets,
                                    m_bits=cfg.bloom_m_bits, k=cfg.bloom_k)
             # incremental checkpoint: merge this round's delta into the
-            # previous cumulative segment set ONCE, write it as round r
-            cumulative = (merge_segments(delta.unionByName(segments))
-                          if segments is not None else delta)
+            # previous cumulative segment set ONCE, write it as round r.
+            # Small filters merge on the driver (collect num_buckets tiny
+            # rows, numpy OR — saves the distributed merge job and the next
+            # round's parquet re-read); deployment-size filters keep the
+            # distributed applyInPandas merge.
+            if driver_bloom:
+                delta_mem = segments_to_driver(delta)
+                self._bloom_mem = merge_into_driver(self._bloom_mem or {},
+                                                    delta_mem)
+                cumulative = segments_from_driver(spark, self._bloom_mem)
+            else:
+                cumulative = (merge_segments(delta.unionByName(segments))
+                              if segments is not None else delta)
+                self._bloom_mem = None
             state_writes.append(writes.submit(
                 self.catalog.append_round, cumulative, "bloom", r))
         for fut in state_writes:
@@ -517,6 +555,10 @@ class CrawlEngine:
             n_retries = sum(v for (s_, fin), v in outcome_counts.items()
                             if s_ != 200 and not fin)
         n_pending_next = (n_pending_prev - n_admitted) + n_retries + n_new
+        if self._bloom_mem is not None:
+            # cumulative through this round whether or not a delta was added
+            self._bloom_mem_round = r
+        _t_writes = time.time()
 
         done = progress["done"] + n_fetched + n_failed
         failed = progress["failed"] + n_failed
@@ -527,6 +569,12 @@ class CrawlEngine:
             "enqueued": enqueued_total, "finalized": finalized,
             "admitted": n_fetched + n_failed, "new": n_new,
             "pending_next": n_pending_next, "phase": "crawl",
+            # per-phase wall seconds (lineage/metrics; negligible cost)
+            "timings": {
+                "fetch_extract": round(_t_fetch - _t0, 3),
+                "discover_enqueue": round(_t_discover - _t_fetch, 3),
+                "state_writes": round(_t_writes - _t_discover, 3),
+            },
         }
         tables = ["pending", "results", "visits", "metrics"]
         if n_new > 0:

@@ -86,6 +86,43 @@ def merge_segments(segments: DataFrame) -> DataFrame:
     return segments.groupBy("bucket").applyInPandas(merge, schema=SEGMENT_SCHEMA)
 
 
+# Below this total filter size the cumulative OR-merge runs on the driver
+# (collect 32 tiny delta rows, numpy OR, re-create a 32-row DataFrame) —
+# saving two Spark jobs per crawl round (the previous-round parquet re-read
+# and the distributed merge). Above it — deployment-scale filters, e.g.
+# 1024 buckets x 2^30 bits for a 10^10-URL frontier — the distributed
+# applyInPandas merge path is used unchanged. Same adaptive reasoning as a
+# broadcast-join threshold.
+DRIVER_MERGE_MAX_BYTES = 64 * 2**20
+
+
+def segments_to_driver(segments: DataFrame) -> dict[int, bytes]:
+    """Collect (bucket, bitmap) segment rows into a driver dict. Only call
+    when num_buckets * m_bits/8 is under DRIVER_MERGE_MAX_BYTES."""
+    return {row["bucket"]: bytes(row["bitmap"]) for row in segments.collect()}
+
+
+def merge_into_driver(cache: dict[int, bytes],
+                      delta: dict[int, bytes]) -> dict[int, bytes]:
+    """OR-merge delta segments into the driver-resident cumulative dict."""
+    out = dict(cache)
+    for bucket, bm in delta.items():
+        if bucket in out:
+            merged = np.bitwise_or(np.frombuffer(out[bucket], dtype=np.uint8),
+                                   np.frombuffer(bm, dtype=np.uint8))
+            out[bucket] = merged.tobytes()
+        else:
+            out[bucket] = bm
+    return out
+
+
+def segments_from_driver(spark, cache: dict[int, bytes]) -> DataFrame:
+    """Driver dict → (bucket, bitmap) DataFrame (32ish rows; broadcast-able)."""
+    return spark.createDataFrame(
+        [(int(b), bytearray(bm)) for b, bm in sorted(cache.items())],
+        SEGMENT_SCHEMA)
+
+
 def filter_new(candidates: DataFrame, segments: DataFrame | None,
                seen_exact: DataFrame | None,
                url_hash_col: str = "url_hash",
