@@ -462,6 +462,12 @@ class CrawlEngine:
             # range slice. Partitions whose offset already exceeds the
             # enqueue capacity are pruned before the rank is even computed.
             capacity = cfg.limit - enqueued
+            # NOTE: repartitionByRange samples its input for range bounds, so
+            # the discovery subtree evaluates twice (sampling pass + shuffle
+            # write). Caching `links` to avoid that was MEASURED SLOWER here
+            # (cache serialization beats the recompute: the subtree is all
+            # codegen-fused JVM exprs + one Arrow stage over link rows, no
+            # html). Revisit only if the discovery subtree grows Python-heavy.
             ranged = (
                 links.repartitionByRange(F.col("parent_seq"), F.col("link_pos"))
                 .withColumn("__pid", F.spark_partition_id())
