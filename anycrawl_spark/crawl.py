@@ -277,7 +277,17 @@ class CrawlEngine:
         spark = self.spark
         _t0 = time.time()
         pending = self.catalog.read_round(spark, "pending", r - 1)
-        if pending is None or not pending.head(1):
+        # drain check: the prior round's meta already counted pending rows
+        # (pending_next / seed enqueued), so only fall back to a head(1)
+        # probe job when the count is absent (legacy checkpoints)
+        known_pending = progress.get("pending_next",
+                                     progress.get("enqueued")
+                                     if progress.get("phase") == "seeded"
+                                     else None)
+        drained = (pending is None
+                   or (known_pending == 0 if known_pending is not None
+                       else not pending.head(1)))
+        if drained:
             meta = {**progress, "round": r, "finalized": True, "phase": "drained"}
             self.catalog.commit_round(r, [], meta)
             return meta
@@ -553,8 +563,10 @@ class CrawlEngine:
         #   pending(r)  = deferred + retries + newly enqueued
         #   deferred    = pending(r-1) - admitted      (budget/batch split)
         # pending(r-1) is the prior round's recorded pending_next (the seed
-        # round records it as `enqueued` = seed count).
-        n_pending_prev = progress.get("pending_next", progress.get("enqueued", 0))
+        # round records it as `enqueued` = seed count); legacy checkpoints
+        # without either fall back to counting the read DataFrame.
+        n_pending_prev = (known_pending if known_pending is not None
+                          else pending.count())
         n_admitted = sum(outcome_counts.values())
         n_retries = 0
         if cfg.max_attempts > 1:

@@ -488,9 +488,33 @@ def matches(el: Element, selector: str) -> bool:
     return any(_chain_matches(el, chain) for chain in parse_selector(selector))
 
 
+# Per-selector compiled fast paths: a frozenset of tags when every
+# alternative is a bare tag name ("script, style, noscript"), else None.
+_TAGSET_CACHE: dict[str, frozenset | None] = {}
+
+
+def _tagset_for(selector: str, chains: list[list[Compound]]) -> frozenset | None:
+    cached = _TAGSET_CACHE.get(selector, False)
+    if cached is not False:
+        return cached
+    tags = None
+    if all(
+        len(chain) == 1
+        and chain[0].tag and chain[0].tag != "*"
+        and not chain[0].ids and not chain[0].classes and not chain[0].attrs
+        for chain in chains
+    ):
+        tags = frozenset(chain[0].tag for chain in chains)
+    _TAGSET_CACHE[selector] = tags
+    return tags
+
+
 def select(root: Element, selector: str) -> list[Element]:
     """All descendant elements matching the selector, in document order."""
     chains = parse_selector(selector)
+    tags = _tagset_for(selector, chains)
+    if tags is not None:  # bare-tag union: one walk, one set test per element
+        return [el for el in root.iter() if el.tag in tags]
     out: list[Element] = []
     for el in root.iter():
         if any(_chain_matches(el, chain) for chain in chains):

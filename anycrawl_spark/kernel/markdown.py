@@ -100,8 +100,24 @@ def _is_pre_or_code(node: Node) -> bool:
     return isinstance(node, Element) and node.tag in ("pre", "code")
 
 
-def _has_descendant(el: Element, tags: set[str]) -> bool:
-    return any(d.tag in tags for d in el.iter())
+_BLANK_DISQUALIFIERS = VOID | MEANINGFUL_WHEN_BLANK
+_DISQ_CACHE: dict[int, bool] = {}
+
+
+def _has_disq_descendant(el: Element) -> bool:
+    """Memoized ``_has_descendant(el, VOID | MEANINGFUL_WHEN_BLANK)`` —
+    the two sets disqualify blankness identically, so one fused bottom-up
+    scan replaces two per-node subtree walks (tree is static during rule
+    evaluation; cache cleared with _TC_CACHE)."""
+    key = id(el)
+    cached = _DISQ_CACHE.get(key)
+    if cached is None:
+        cached = any(
+            c.tag in _BLANK_DISQUALIFIERS or _has_disq_descendant(c)
+            for c in el.children if c.__class__ is Element
+        )
+        _DISQ_CACHE[key] = cached
+    return cached
 
 
 def _is_blank(node: Node) -> bool:
@@ -112,7 +128,7 @@ def _is_blank(node: Node) -> bool:
         return False
     if (_tc(node) or "").strip():
         return False
-    if _has_descendant(node, VOID) or _has_descendant(node, MEANINGFUL_WHEN_BLANK):
+    if _has_disq_descendant(node):
         return False
     return True
 
@@ -239,12 +255,36 @@ _ESCAPES: list[tuple[re.Pattern[str], str]] = [
 # fast path: text containing none of these characters matches no escape rule
 _ESCAPE_TRIGGER = re.compile(r"[\\*\-+=#`~\[\]>_]|\d\. ")
 
+# Same rules as _ESCAPES, applied in the same order, but each gated on a
+# cheap substring test (most triggered texts hit only 1-2 rules) and using
+# str.replace where the pattern is a bare literal. _ESCAPES stays as the
+# order-of-application spec.
+_GATED_ESCAPES: list[tuple[str, str | None, re.Pattern[str] | None, str]] = [
+    ("\\", "\\\\", None, ""),
+    ("*", "\\*", None, ""),
+    ("-", None, _ESCAPES[2][0], _ESCAPES[2][1]),
+    ("+ ", None, _ESCAPES[3][0], _ESCAPES[3][1]),
+    ("=", None, _ESCAPES[4][0], _ESCAPES[4][1]),
+    ("#", None, _ESCAPES[5][0], _ESCAPES[5][1]),
+    ("`", "\\`", None, ""),
+    ("~~~", None, _ESCAPES[7][0], _ESCAPES[7][1]),
+    ("[", "\\[", None, ""),
+    ("]", "\\]", None, ""),
+    (">", None, _ESCAPES[10][0], _ESCAPES[10][1]),
+    ("_", "\\_", None, ""),
+    (". ", None, _ESCAPES[12][0], _ESCAPES[12][1]),
+]
+
 
 def _escape(text: str) -> str:
     if not _ESCAPE_TRIGGER.search(text):
         return text
-    for pattern, repl in _ESCAPES:
-        text = pattern.sub(repl, text)
+    for needle, literal, pattern, repl in _GATED_ESCAPES:
+        if needle in text:
+            if literal is not None:
+                text = text.replace(needle, literal)
+            else:
+                text = pattern.sub(repl, text)
     return text
 
 
@@ -289,13 +329,6 @@ def _flanked_by_ws(node: Element, *, left: bool) -> bool:
 
 _TRAIL_NL = re.compile(r"\n+$")
 _LEAD_NL = re.compile(r"^\n+")
-
-
-def _join(left: str, right: str) -> str:
-    s1 = left.rstrip("\n")
-    s2 = right.lstrip("\n")
-    nls = max(len(left) - len(s1), len(right) - len(s2))
-    return s1 + "\n\n"[:min(nls, 2)] + s2
 
 
 # ---------------------------------------------------------------------------
@@ -707,15 +740,36 @@ class _Converter:
 
     # -- tree processing ---------------------------------------------------
     def process(self, parent: Element) -> str:
-        output = ""
+        # Incremental equivalent of folding ``output = _join(output, piece)``:
+        # keep the accumulated string as (parts with no trailing newlines,
+        # tail = trailing-newline count). Avoids re-copying the whole output
+        # per child (the fold is O(n^2) on wide nodes).
+        parts: list[str] = []
+        tail = 0
         for node in list(parent.children):
-            if isinstance(node, Text):
-                replacement = node.data if _in_code(node) else _escape(node.data)
-                output = _join(output, replacement)
-            elif isinstance(node, Element):
-                output = _join(output, self.replacement_for(node))
-            # comments are dropped by collapse; ignore any stragglers
-        return output
+            if node.__class__ is Text:
+                piece = node.data if _in_code(node) else _escape(node.data)
+            elif node.__class__ is Element:
+                piece = self.replacement_for(node)
+            else:
+                continue  # comments are dropped by collapse; ignore stragglers
+            if not piece:
+                if tail > 2:  # _join(output, "") caps trailing newlines at 2
+                    tail = 2
+                continue
+            stripped_lead = piece.lstrip("\n")
+            sep = max(tail, len(piece) - len(stripped_lead))
+            if sep > 2:
+                sep = 2
+            body = stripped_lead.rstrip("\n")
+            if body:
+                if sep:
+                    parts.append("\n" * sep)
+                parts.append(body)
+                tail = len(stripped_lead) - len(body)
+            else:  # piece was all newlines: only the separator survives
+                tail = sep
+        return "".join(parts) + "\n" * tail
 
     def replacement_for(self, node: Element) -> str:
         _, repl = self.rule_for(node)
@@ -848,6 +902,7 @@ def html_to_markdown_dom(root: Element) -> str:
     _strip_ws_only_text_nodes(root)
     _collapse_whitespace(root)
     _TC_CACHE.clear()
+    _DISQ_CACHE.clear()
     markdown = _CONVERTER.process(root)
     markdown = re.sub(r"^[\t\r\n]+|[\t\r\n\s]+$", "", markdown)  # turndown postProcess trim
     markdown = _normalize_bracket_wrapped_images(markdown)

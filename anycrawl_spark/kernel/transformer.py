@@ -303,7 +303,9 @@ def extract_links(html_or_root, base_url: str) -> list[str]:
     root = html_or_root if isinstance(html_or_root, Element) else parse_html(html_or_root)
     seen: set[str] = set()
     out: list[str] = []
-    for a in select(root, "a[href]"):
+    for a in root.iter():  # direct walk == select(root, "a[href]") fast path
+        if a.tag != "a" or "href" not in a.attrs:
+            continue
         href = (a.attrs.get("href") or "").strip()
         if not href:
             continue
