@@ -51,6 +51,19 @@ class Catalog:
         """Write one round's rows. NOT committed until commit_round runs."""
         df.write.mode("overwrite").parquet(self.round_path(table, round_no))
 
+    def append_round_local(self, arrow_table, table: str, round_no: int) -> None:
+        """Driver-side parquet write (pyarrow) of one round's rows — same
+        directory layout and read path as append_round, but no Spark job.
+        Only for driver-resident state (small bloom segments, collected seen
+        deltas); deployment-scale rounds use the distributed writer."""
+        import pyarrow.parquet as pq
+
+        path = Path(self.round_path(table, round_no))
+        if path.exists():
+            shutil.rmtree(path)
+        path.mkdir(parents=True)
+        pq.write_table(arrow_table, path / "part-00000.parquet")
+
     def commit_round(self, round_no: int, tables: list[str], meta: dict | None = None) -> None:
         """Atomically mark ``round_no`` committed for all given tables."""
         manifest = self._read_manifest()

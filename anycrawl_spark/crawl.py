@@ -56,6 +56,7 @@ from .politeness import (
 from .seen import (
     DRIVER_MERGE_MAX_BYTES,
     build_segments,
+    build_segments_driver,
     filter_new,
     merge_into_driver,
     merge_segments,
@@ -371,11 +372,18 @@ class CrawlEngine:
             # per-class retry decision (errorHandler): non-retryable classes
             # fail on their first attempt regardless of max_attempts
             final_attempt = final_attempt | ~should_retry_col(F.col("error_message"))
-        outcome_counts = {
-            (row["status"], row["final"]): row["count"]
-            for row in docs.groupBy("status", final_attempt.alias("final"))
-            .count().collect()
-        }
+        # One job: outcome counts (progress/retry math) + the admitted seq
+        # range (drives the sampling-free dense-seq bucketing below).
+        outcome_rows = (
+            docs.groupBy("status", final_attempt.alias("final"))
+            .agg(F.count("*").alias("count"),
+                 F.min("seq").alias("min_seq"), F.max("seq").alias("max_seq"))
+            .collect()
+        )
+        outcome_counts = {(row["status"], row["final"]): row["count"]
+                          for row in outcome_rows}
+        seq_lo = min((row["min_seq"] for row in outcome_rows), default=0)
+        seq_hi = max((row["max_seq"] for row in outcome_rows), default=0)
         n_fetched = sum(v for (s_, fin), v in outcome_counts.items() if s_ == 200)
         n_failed = sum(v for (s_, fin), v in outcome_counts.items()
                        if s_ != 200 and fin)
@@ -414,7 +422,6 @@ class CrawlEngine:
 
         # --- discover → filter → dedup → enqueue ---------------------------
         new_rows = None
-        ranged = None
         n_new = 0
         enqueued = progress["enqueued"]
         if enqueued < cfg.limit:
@@ -464,38 +471,46 @@ class CrawlEngine:
 
             # enqueue cap + dense seq (FIFO append order), scale-safe:
             # a Window.partitionBy(job_id) would sort the whole round's
-            # discovery set in ONE task. Instead range-partition by the FIFO
-            # sort key — (parent_seq, link_pos) is unique per discovered link
-            # — cumsum the per-partition counts on the driver (#partitions
-            # rows, tiny), and add offset + per-partition row_number. Yields
-            # the identical dense numbering with every task bounded by one
-            # range slice. Partitions whose offset already exceeds the
-            # enqueue capacity are pruned before the rank is even computed.
+            # discovery set in ONE task. Instead bucket by the FIFO sort key
+            # WITHOUT sampling: the admitted parent seq range [seq_lo,
+            # seq_hi] is already known driver-side (same job as the outcome
+            # counts), so width_bucket(parent_seq) yields contiguous key
+            # ranges directly — no repartitionByRange sampling pass, no
+            # second evaluation of the discovery subtree, no range shuffle
+            # (the rank window's own hash shuffle on __bucket is the only
+            # data movement). Rows sharing a parent_seq land in one bucket,
+            # so bucket index respects FIFO order between buckets and the
+            # within-bucket row_number over (parent_seq, link_pos) completes
+            # the identical dense numbering. Buckets = 4x parallelism keeps
+            # each rank task a bounded slice even when link fanout is uneven
+            # across the seq range. Buckets whose cumulative offset already
+            # exceeds the enqueue capacity are pruned before ranking.
             capacity = cfg.limit - enqueued
-            # NOTE: repartitionByRange samples its input for range bounds, so
-            # the discovery subtree evaluates twice (sampling pass + shuffle
-            # write). Caching `links` to avoid that was MEASURED SLOWER here
-            # (cache serialization beats the recompute: the subtree is all
+            n_buckets = 4 * spark.sparkContext.defaultParallelism
+            # NOT persisted: the discovery subtree evaluates twice (counts
+            # job + rank window job) — caching it was MEASURED SLOWER (cache
+            # serialization beats the recompute: the subtree is all
             # codegen-fused JVM exprs + one Arrow stage over link rows, no
             # html). Revisit only if the discovery subtree grows Python-heavy.
             ranged = (
-                links.repartitionByRange(F.col("parent_seq"), F.col("link_pos"))
-                .withColumn("__pid", F.spark_partition_id())
-                .persist()
+                links.withColumn(
+                    "__bucket",
+                    F.width_bucket(F.col("parent_seq"), F.lit(seq_lo),
+                                   F.lit(seq_hi + 1), F.lit(n_buckets)))
             )
-            counts = {row["__pid"]: row["cnt"] for row in
-                      ranged.groupBy("__pid").agg(F.count("*").alias("cnt")).collect()}
+            counts = {row["__bucket"]: row["cnt"] for row in
+                      ranged.groupBy("__bucket").agg(F.count("*").alias("cnt")).collect()}
             total = sum(counts.values())
             offsets, acc = [], 0
-            for pid in sorted(counts):
-                offsets.append((pid, acc))
-                acc += counts[pid]
+            for b in sorted(counts):
+                offsets.append((b, acc))
+                acc += counts[b]
             off_df = spark.createDataFrame(
-                [(p, o) for p, o in offsets if o < capacity],
-                "__pid int, __off long")
-            w_local = Window.partitionBy("__pid").orderBy("parent_seq", "link_pos")
+                [(b, o) for b, o in offsets if o < capacity],
+                "__bucket long, __off long")
+            w_local = Window.partitionBy("__bucket").orderBy("parent_seq", "link_pos")
             new_rows = (
-                ranged.join(F.broadcast(off_df), "__pid")
+                ranged.join(F.broadcast(off_df), "__bucket")
                 .withColumn("__rn", F.col("__off") + F.row_number().over(w_local))
                 .where(F.col("__rn") <= capacity)
                 .withColumn("depth", F.col("parent_depth") + 1)
@@ -533,27 +548,50 @@ class CrawlEngine:
             next_pending = next_pending.unionByName(new_rows)
         state_writes = [writes.submit(self.catalog.append_round, next_pending, "pending", r)]
         if n_new > 0:
-            state_writes.append(writes.submit(
-                self.catalog.append_round, new_rows.select("url_hash"), "seen", r))
-            delta = build_segments(new_rows, num_buckets=cfg.bloom_num_buckets,
-                                   m_bits=cfg.bloom_m_bits, k=cfg.bloom_k)
             # incremental checkpoint: merge this round's delta into the
             # previous cumulative segment set ONCE, write it as round r.
-            # Small filters merge on the driver (collect num_buckets tiny
-            # rows, numpy OR — saves the distributed merge job and the next
-            # round's parquet re-read); deployment-size filters keep the
-            # distributed applyInPandas merge.
+            # Driver-resident filters (small crawls: the per-round delta is
+            # bounded by the job's enqueue limit) collect the new hashes
+            # once, build/merge the delta in numpy, and write BOTH the seen
+            # delta and the cumulative bloom with pyarrow on the driver —
+            # three Spark jobs per round (build_segments, seen write, bloom
+            # write) become one collect. Deployment-size filters keep the
+            # distributed build + applyInPandas merge + Spark writes.
             if driver_bloom:
-                delta_mem = segments_to_driver(delta)
+                import pyarrow as pa
+
+                hashes = [row["url_hash"]
+                          for row in new_rows.select("url_hash").collect()]
+                self.catalog.append_round_local(
+                    pa.table({"url_hash": pa.array(hashes, type=pa.string())}),
+                    "seen", r)
+                delta_mem = build_segments_driver(
+                    hashes, num_buckets=cfg.bloom_num_buckets,
+                    m_bits=cfg.bloom_m_bits, k=cfg.bloom_k)
                 self._bloom_mem = merge_into_driver(self._bloom_mem or {},
                                                     delta_mem)
-                cumulative = segments_from_driver(spark, self._bloom_mem)
+                self.catalog.append_round_local(
+                    pa.table({
+                        "bucket": pa.array(sorted(self._bloom_mem),
+                                           type=pa.int32()),
+                        "bitmap": pa.array(
+                            [self._bloom_mem[b]
+                             for b in sorted(self._bloom_mem)],
+                            type=pa.binary()),
+                    }),
+                    "bloom", r)
             else:
+                state_writes.append(writes.submit(
+                    self.catalog.append_round, new_rows.select("url_hash"),
+                    "seen", r))
+                delta = build_segments(new_rows,
+                                       num_buckets=cfg.bloom_num_buckets,
+                                       m_bits=cfg.bloom_m_bits, k=cfg.bloom_k)
                 cumulative = (merge_segments(delta.unionByName(segments))
                               if segments is not None else delta)
                 self._bloom_mem = None
-            state_writes.append(writes.submit(
-                self.catalog.append_round, cumulative, "bloom", r))
+                state_writes.append(writes.submit(
+                    self.catalog.append_round, cumulative, "bloom", r))
         for fut in state_writes:
             fut.result()
         writes.shutdown(wait=True)
@@ -599,8 +637,6 @@ class CrawlEngine:
             tables += ["seen", "bloom"]
         self.catalog.commit_round(r, tables, meta)
         admitted.unpersist()
-        if ranged is not None:
-            ranged.unpersist()
         if new_rows is not None:
             new_rows.unpersist()
         docs.unpersist()

@@ -96,6 +96,24 @@ def merge_segments(segments: DataFrame) -> DataFrame:
 DRIVER_MERGE_MAX_BYTES = 64 * 2**20
 
 
+def build_segments_driver(hashes, num_buckets: int = DEFAULT_NUM_BUCKETS,
+                          m_bits: int = DEFAULT_M_BITS,
+                          k: int = DEFAULT_K) -> dict[int, bytes]:
+    """Driver-side build_segments over an already-collected hash list —
+    same bucket/position derivation as the distributed path (bucket_col /
+    _positions). Only for driver-resident filters (DRIVER_MERGE_MAX_BYTES),
+    where the per-round delta is bounded by the job's enqueue limit."""
+    bitmaps: dict[int, np.ndarray] = {}
+    for h in hashes:
+        b = int(h[:8], 16) % num_buckets
+        bm = bitmaps.get(b)
+        if bm is None:
+            bm = bitmaps[b] = np.zeros(m_bits // 8, dtype=np.uint8)
+        for pos in _positions(h, m_bits, k):
+            bm[pos >> 3] |= 1 << (pos & 7)
+    return {b: bm.tobytes() for b, bm in bitmaps.items()}
+
+
 def segments_to_driver(segments: DataFrame) -> dict[int, bytes]:
     """Collect (bucket, bitmap) segment rows into a driver dict. Only call
     when num_buckets * m_bits/8 is under DRIVER_MERGE_MAX_BYTES."""

@@ -148,6 +148,21 @@ class TestSeenFilter:
         expect = {hashlib.sha256(str(i).encode()).hexdigest() for i in range(200, 400)}
         assert got == expect
 
+    def test_driver_build_matches_distributed(self, spark):
+        """build_segments_driver (pyarrow checkpoint path) must produce
+        byte-identical bitmaps to the distributed build_segments."""
+        import hashlib
+
+        from anycrawl_spark.seen import build_segments, build_segments_driver
+
+        hashes = [hashlib.sha256(str(i).encode()).hexdigest() for i in range(300)]
+        df = spark.createDataFrame([(h,) for h in hashes], "url_hash string")
+        dist = {r["bucket"]: bytes(r["bitmap"])
+                for r in build_segments(df, num_buckets=4, m_bits=1 << 12,
+                                        k=3).collect()}
+        local = build_segments_driver(hashes, num_buckets=4, m_bits=1 << 12, k=3)
+        assert dist == local
+
     def test_segment_merge(self, spark):
         from anycrawl_spark.seen import build_segments, filter_new, merge_segments
 
