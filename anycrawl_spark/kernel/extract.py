@@ -29,6 +29,7 @@ from .transformer import (
     extract_title,
     fallback_clean_dom,
     fallback_html,
+    resolve_link_anchors,
     transform_dom,
     transform_html,
 )
@@ -64,10 +65,30 @@ def extract_page(
     consumes the cleaned DOM directly (no re-parse)."""
     formats = tuple(formats)
     root = parse_html(raw_html or "")
+    # one pre-order walk collects title + metadata + anchors (identical
+    # document order to the three separate extract_* walks)
+    title_el = None
+    metadata: list[dict] = []
+    anchors: list = []
+    for el in root.iter():
+        tag = el.tag
+        if tag == "title":
+            if title_el is None:
+                title_el = el
+        elif tag == "meta":
+            name = el.attrs.get("name")
+            prop = el.attrs.get("property")
+            content = el.attrs.get("content")
+            if (name or prop) and content:
+                metadata.append({"name": name or prop,
+                                 "content": content.strip(),
+                                 "property": prop})
+        elif tag == "a" and "href" in el.attrs:
+            anchors.append(el)
     result: dict[str, Any] = {
         "url": url,
-        "title": extract_title(root),
-        "metadata": extract_metadata(root),
+        "title": title_el.text_content.strip() if title_el is not None else "",
+        "metadata": metadata,
         "html": None,
         "markdown": None,
         "text": None,
@@ -75,7 +96,7 @@ def extract_page(
         "raw_html": raw_html if "rawHtml" in formats else None,
     }
     if "links" in formats:
-        result["links"] = extract_links(root, url)
+        result["links"] = resolve_link_anchors(anchors, url)
     if "text" in formats:
         # text is computed from RAW html, not the cleaned html
         # (DataExtractor.ts:486-488); reuses the raw parse read-only, before

@@ -198,10 +198,9 @@ def _remove_selected(root: Element, selector: str) -> None:
 
 
 def _remove_comments(root: Element) -> None:
-    for el in [root, *list(root.iter())]:
-        for child in list(el.children):
-            if isinstance(child, Comment):
-                el.remove_child(child)
+    comments = [n for n in root.iter_nodes() if n.__class__ is Comment]
+    for c in comments:
+        c.parent.remove_child(c)
 
 
 def _clean_dom_tree(root: Element, options: TransformOptions) -> Element:
@@ -301,11 +300,15 @@ def extract_links(html_or_root, base_url: str) -> list[str]:
     first-seen dedup — crawlee ``extractUrlsFromCheerio`` semantics
     (DataExtractor.ts:490-494)."""
     root = html_or_root if isinstance(html_or_root, Element) else parse_html(html_or_root)
+    anchors = [a for a in root.iter() if a.tag == "a" and "href" in a.attrs]
+    return resolve_link_anchors(anchors, base_url)
+
+
+def resolve_link_anchors(anchors, base_url: str) -> list[str]:
+    """extract_links over an already-collected document-order anchor list."""
     seen: set[str] = set()
     out: list[str] = []
-    for a in root.iter():  # direct walk == select(root, "a[href]") fast path
-        if a.tag != "a" or "href" not in a.attrs:
-            continue
+    for a in anchors:
         href = (a.attrs.get("href") or "").strip()
         if not href:
             continue

@@ -28,6 +28,7 @@ def build_session(app: str):
         SparkSession.builder.appName(app)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "8000")
         .getOrCreate()
     )
 
