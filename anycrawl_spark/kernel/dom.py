@@ -187,6 +187,27 @@ class _TreeBuilder(HTMLParser):
             # <div/> in HTML is treated as an open tag by browsers/htmlparser2
             self.handle_starttag(tag, attrs)
 
+    # fast-path entries for the flat tokenizer (_fast_feed): tag and attr
+    # names arrive pre-lowercased and attrs pre-deduped into a dict — same
+    # tree operations as handle_starttag/handle_endtag without re-lowering
+    # or list→dict conversion.
+    def start_fast(self, tag: str, attr_dict: dict[str, str]) -> None:
+        self._implicit_close(tag)
+        el = Element(tag, attr_dict)
+        self.stack[-1].append(el)
+        if tag not in VOID_ELEMENTS:
+            self.stack.append(el)
+
+    def end_fast(self, tag: str) -> None:
+        if tag in VOID_ELEMENTS:
+            return
+        stack = self.stack
+        for i in range(len(stack) - 1, 0, -1):
+            if stack[i].tag == tag:
+                del stack[i:]
+                return
+        # unmatched end tag: ignore
+
     def handle_endtag(self, tag: str) -> None:
         tag = tag.lower()
         if tag in VOID_ELEMENTS:
@@ -259,7 +280,9 @@ def _fast_feed(core: "_TreeBuilder", rawdata: str) -> None:
             m = _tagfind.match(rawdata, lt + 1)
             tag = m.group(1).lower()
             k = m.end()
-            attrs: list[tuple[str, str | None]] = []
+            # attrs built as the final dict directly (first occurrence wins,
+            # mirroring handle_starttag's list→dict conversion)
+            attrs: dict[str, str] = {}
             while k < n:
                 am = _attrfind.match(rawdata, k)
                 if not am:
@@ -272,7 +295,9 @@ def _fast_feed(core: "_TreeBuilder", rawdata: str) -> None:
                     attrvalue = attrvalue[1:-1]
                 if attrvalue:
                     attrvalue = _unescape(attrvalue)
-                attrs.append((attrname.lower(), attrvalue))
+                attrname = attrname.lower()
+                if attrname not in attrs:
+                    attrs[attrname] = attrvalue if attrvalue is not None else ""
                 k = am.end()
             gt = find(">", k)
             if gt < 0:  # truncated start tag at EOF → literal data
@@ -283,18 +308,19 @@ def _fast_feed(core: "_TreeBuilder", rawdata: str) -> None:
                 handle_data(rawdata[lt:gt + 1])
                 i = gt + 1
                 continue
-            if end == "/>":
-                core.handle_startendtag(tag, attrs)
-                i = gt + 1
-                continue
-            core.handle_starttag(tag, attrs)
+            # "/>" == start tag here: <div/> is an open tag in HTML and void
+            # elements never push the stack either way (handle_startendtag
+            # parity)
+            core.start_fast(tag, attrs)
             i = gt + 1
+            if end == "/>":
+                continue
             if tag in _RAWTEXT:
                 em = _RAW_END[tag].search(rawdata, i)
                 if em:
                     if em.start() > i:
                         handle_data(rawdata[i:em.start()])  # raw, no unescape
-                    core.handle_endtag(tag)
+                    core.end_fast(tag)
                     i = em.end()
                 else:
                     if i < n:
@@ -303,7 +329,7 @@ def _fast_feed(core: "_TreeBuilder", rawdata: str) -> None:
         elif c == "/":
             m = _ENDTAG_RX.match(rawdata, lt)
             if m:
-                core.handle_endtag(m.group(1).lower())
+                core.end_fast(m.group(1).lower())
                 i = m.end()
             else:  # bogus end tag: skip through '>'
                 gt = find(">", lt)
