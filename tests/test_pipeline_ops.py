@@ -347,6 +347,44 @@ class TestConnectedComponents:
                for r in connected_components(verts, edges).collect()}
         assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 99: 99}
 
+    def test_two_star_matches_union_find(self, spark):
+        """Alternating large-star/small-star must label identically to a
+        driver-side union-find on a random graph AND on a 60-node path
+        (diameter 59 — the case min-label propagation needs 59 rounds for;
+        two-star converges within its default max_iter=20 ≈ O(log n))."""
+        import random
+
+        from anycrawl_spark.operators.dedup import connected_components_two_star
+
+        def union_find(n_ids, edge_list):
+            parent = {i: i for i in n_ids}
+
+            def find(x):
+                while parent[x] != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            for a, b in edge_list:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+            return {i: find(i) for i in n_ids}
+
+        rng = random.Random(42)
+        ids = list(range(100))
+        rand_edges = [(rng.randrange(100), rng.randrange(100))
+                      for _ in range(60)]
+        path_edges = [(i + 100, i + 101) for i in range(59)]  # 60-node path
+        ids += list(range(100, 160))
+        edge_list = rand_edges + path_edges
+
+        verts = spark.createDataFrame([(i,) for i in ids], "id long")
+        edges = spark.createDataFrame(edge_list, "src long, dst long")
+        got = {r["id"]: r["cluster"]
+               for r in connected_components_two_star(verts, edges).collect()}
+        assert got == union_find(ids, edge_list)
+
     def test_representative_policy(self, spark):
         from anycrawl_spark.operators.dedup import dedup_clusters
 
