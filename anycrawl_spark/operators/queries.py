@@ -1197,6 +1197,34 @@ REGISTRY["dedup_clusters"].oracle = _dedup_clusters_oracle()
 
 
 @register(
+    "dedup_clusters_two_star",
+    None,  # same transitive-closure oracle as dedup_clusters (below)
+    "Dedup clustering via alternating large-star/small-star connected "
+    "components (O(log n) rounds regardless of component diameter — the "
+    "scale path for chainy components) over the same LSH candidate pairs; "
+    "must produce the identical clustering as min-label propagation",
+)
+def q_dedup_clusters_two_star(spark, sf_dir):
+    from anycrawl_spark.operators.dedup import connected_components_two_star
+
+    documents = load(spark, sf_dir, "documents")
+    pairs = REGISTRY["lsh_candidate_pairs"].fn(spark, sf_dir)
+    comps = connected_components_two_star(
+        documents.select(F.col("doc_id").alias("id")),
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
+    )
+    return comps.select(
+        F.col("id").alias("doc_id"),
+        F.col("cluster").cast("long").alias("cluster"),
+        F.when(F.col("id") == F.col("cluster"), 1).otherwise(0)
+        .cast("long").alias("is_representative"),
+    )
+
+
+REGISTRY["dedup_clusters_two_star"].oracle = _dedup_clusters_oracle()
+
+
+@register(
     "simhash16",
     f"""SELECT doc_id,
               CAST(SUM(CASE WHEN weight > 0
