@@ -251,6 +251,7 @@ def main() -> None:
         queries.update(run_registry_queries(spark, [
             "tpch_q1_pricing", "tpch_q3_revenue", "perhost_topk",
             "minhash_signature", "lsh_candidate_pairs", "dedup_clusters",
+            "dedup_clusters_two_star",
             "ngram_jaccard_pairs", "jaccard_over_candidates",
             "cosine_over_candidates", "simhash_near_pairs",
             "ann_bruteforce_topk", "ann_ivf_real", "gopher_quality",
