@@ -64,17 +64,34 @@ class Catalog:
         path.mkdir(parents=True)
         pq.write_table(arrow_table, path / "part-00000.parquet")
 
-    def commit_round(self, round_no: int, tables: list[str], meta: dict | None = None) -> None:
-        """Atomically mark ``round_no`` committed for all given tables."""
+    def commit_round(self, round_no: int, tables: list[str], meta: dict | None = None,
+                     replace: list[str] | None = None) -> None:
+        """Atomically mark ``round_no`` committed for all given tables.
+
+        Tables named in ``replace`` have their round list REPLACED by
+        ``[round_no]`` (compaction: this round's write holds the full
+        cumulative content). The swap shares the round's single atomic
+        manifest write, so a kill at any point leaves either the old delta
+        chain or the compacted table — never a mix. Superseded round
+        directories are deleted after the commit; if that cleanup is
+        interrupted, drop_uncommitted removes them at resume (they are no
+        longer in the manifest)."""
         manifest = self._read_manifest()
+        superseded: list[tuple[str, int]] = []
         for table in tables:
             rounds = manifest["tables"].setdefault(table, [])
+            if replace and table in replace:
+                superseded += [(table, rr) for rr in rounds if rr != round_no]
+                rounds[:] = [round_no]
+                continue
             if round_no not in rounds:
                 rounds.append(round_no)
                 rounds.sort()
         if meta:
             manifest["meta"][str(round_no)] = meta
         self._write_manifest(manifest)
+        for table, rr in superseded:
+            shutil.rmtree(self.round_path(table, rr), ignore_errors=True)
 
     def committed_rounds(self, table: str) -> list[int]:
         return self._read_manifest()["tables"].get(table, [])

@@ -96,6 +96,10 @@ class CrawlConfig:
     bloom_m_bits: int = 1 << 17
     bloom_k: int = 4
     max_rounds: int = 1000
+    seen_compact_every: int = 8          # rewrite the seen table cumulatively
+                                         # every K seen-writing rounds so its
+                                         # read stays O(1) dirs, not O(rounds);
+                                         # 0 disables
     simulate_fetch_errors: bool = False  # F11: draw all five failure classes
                                          # from corpus misses (tests/fixtures)
 
@@ -547,7 +551,23 @@ class CrawlEngine:
         if new_rows is not None and n_new > 0:
             next_pending = next_pending.unionByName(new_rows)
         state_writes = [writes.submit(self.catalog.append_round, next_pending, "pending", r)]
+        compact_seen = False
         if n_new > 0:
+            # seen compaction: the seen read unions every committed round's
+            # directory, so an unbounded crawl pays O(rounds) listing/open
+            # cost per round. Every K seen-writing rounds this round's write
+            # holds the full cumulative hash set instead of the delta and
+            # the manifest swap (atomic with the round commit) replaces the
+            # delta chain — read cost stays O(1) directories. The Iceberg
+            # deployment equivalent is snapshot compaction.
+            compact_seen = (
+                cfg.seen_compact_every > 0 and seen is not None
+                and len(self.catalog.committed_rounds("seen"))
+                >= cfg.seen_compact_every)
+            if compact_seen:
+                state_writes.append(writes.submit(
+                    self.catalog.append_round,
+                    seen.unionByName(new_rows.select("url_hash")), "seen", r))
             # incremental checkpoint: merge this round's delta into the
             # previous cumulative segment set ONCE, write it as round r.
             # Driver-resident filters (small crawls: the per-round delta is
@@ -562,9 +582,11 @@ class CrawlEngine:
 
                 hashes = [row["url_hash"]
                           for row in new_rows.select("url_hash").collect()]
-                self.catalog.append_round_local(
-                    pa.table({"url_hash": pa.array(hashes, type=pa.string())}),
-                    "seen", r)
+                if not compact_seen:
+                    self.catalog.append_round_local(
+                        pa.table({"url_hash": pa.array(hashes,
+                                                       type=pa.string())}),
+                        "seen", r)
                 delta_mem = build_segments_driver(
                     hashes, num_buckets=cfg.bloom_num_buckets,
                     m_bits=cfg.bloom_m_bits, k=cfg.bloom_k)
@@ -581,9 +603,10 @@ class CrawlEngine:
                     }),
                     "bloom", r)
             else:
-                state_writes.append(writes.submit(
-                    self.catalog.append_round, new_rows.select("url_hash"),
-                    "seen", r))
+                if not compact_seen:
+                    state_writes.append(writes.submit(
+                        self.catalog.append_round,
+                        new_rows.select("url_hash"), "seen", r))
                 delta = build_segments(new_rows,
                                        num_buckets=cfg.bloom_num_buckets,
                                        m_bits=cfg.bloom_m_bits, k=cfg.bloom_k)
@@ -635,7 +658,8 @@ class CrawlEngine:
         tables = ["pending", "results", "visits", "metrics"]
         if n_new > 0:
             tables += ["seen", "bloom"]
-        self.catalog.commit_round(r, tables, meta)
+        self.catalog.commit_round(r, tables, meta,
+                                  replace=["seen"] if compact_seen else None)
         admitted.unpersist()
         if new_rows is not None:
             new_rows.unpersist()

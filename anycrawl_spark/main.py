@@ -47,6 +47,7 @@ def cmd_crawl(args) -> None:
         scrape_paths=args.scrape_paths or [],
         politeness_budget=args.budget, budget_scope=args.budget_scope,
         respect_robots=args.robots is not None,
+        seen_compact_every=args.seen_compact_every,
     )
     summary = engine.run(cfg, resume=args.resume)
     print(json.dumps(summary))
@@ -159,6 +160,9 @@ def main(argv=None) -> None:
     p.add_argument("--scrape-paths", nargs="*")
     p.add_argument("--robots")
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--seen-compact-every", type=int, default=8,
+                   help="rewrite the seen table cumulatively every K "
+                        "seen-writing rounds (0 disables)")
     p.set_defaults(fn=cmd_crawl)
 
     p = sub.add_parser("cancel")

@@ -196,6 +196,53 @@ class TestResume:
         assert resumed_results == full_results
 
 
+class TestSeenCompaction:
+    def test_compaction_preserves_crawl_and_bounds_dirs(self, spark, small_corpus,
+                                                        tmp_root):
+        """seen_compact_every=2 must crawl identically to the uncompacted
+        run, keep the seen table content equal, and bound the number of
+        committed seen round directories; resume across a compaction point
+        stays exact."""
+        kw = dict(seed_url=SEED, strategy="same-hostname", max_depth=6,
+                  limit=40, respect_robots=False)
+
+        plain_dir = os.path.join(tmp_root, "seen_plain")
+        plain = CrawlEngine(spark, small_corpus, plain_dir)
+        plain.run(CrawlConfig(job_id="sc", seen_compact_every=0, **kw))
+        plain_visits = [(r["seq"], r["url"]) for r in plain.visit_order().collect()]
+        plain_seen = {r["url_hash"] for r in
+                      plain.catalog.read(spark, "seen").collect()}
+
+        comp_dir = os.path.join(tmp_root, "seen_comp")
+        comp = CrawlEngine(spark, small_corpus, comp_dir)
+        comp.run(CrawlConfig(job_id="sc", seen_compact_every=2, **kw))
+        comp_visits = [(r["seq"], r["url"]) for r in comp.visit_order().collect()]
+        comp_seen = {r["url_hash"] for r in
+                     comp.catalog.read(spark, "seen").collect()}
+
+        assert comp_visits == plain_visits
+        assert comp_seen == plain_seen
+        assert (len(comp.catalog.committed_rounds("seen"))
+                <= 3 < len(plain.catalog.committed_rounds("seen")))
+        # superseded delta directories were physically removed
+        import glob as _glob
+
+        on_disk = {int(p.rsplit("=", 1)[1]) for p in
+                   _glob.glob(os.path.join(comp_dir, "seen", "round=*"))}
+        assert on_disk == set(comp.catalog.committed_rounds("seen"))
+
+        # resume across a compaction boundary reproduces the full crawl
+        part_dir = os.path.join(tmp_root, "seen_comp_part")
+        part = CrawlEngine(spark, small_corpus, part_dir)
+        part.run(CrawlConfig(job_id="sc", seen_compact_every=2, max_rounds=3, **kw))
+        resumed = CrawlEngine(spark, small_corpus, part_dir)
+        resumed.run(CrawlConfig(job_id="sc", seen_compact_every=2, **kw),
+                    resume=True)
+        resumed_visits = [(r["seq"], r["url"])
+                          for r in resumed.visit_order().collect()]
+        assert resumed_visits == plain_visits
+
+
 class TestExtractionParity:
     def test_byte_identical_text_vs_corpus_golden(self, spark, small_corpus, tmp_root):
         """The per-row invariant (input_hint): extracted text byte-equals the
