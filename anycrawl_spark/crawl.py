@@ -133,7 +133,14 @@ def _canonical_cols(df: DataFrame, url_col: str) -> DataFrame:
         .withColumn("origin", F.concat(
             F.lower(F.regexp_extract(F.col("__canon"), r"^([A-Za-z][A-Za-z0-9+.-]*):", 1)),
             F.lit("://"),
-            F.lower(F.parse_url(F.col("__canon"), F.lit("HOST"))),
+            # netloc minus userinfo from the canonical URL: keeps the
+            # non-default port (canonicalization already stripped default
+            # ports and lowercased the host), matching origin_of() — a
+            # parse_url HOST here would drop ports and break same-origin
+            # crawls of ported seeds
+            F.regexp_replace(
+                F.regexp_extract(F.col("__canon"), r"^[^:]+://([^/?#]*)", 1),
+                r"^.*@", ""),
         ))
         .withColumn("path", F.coalesce(F.parse_url(F.col("__canon"), F.lit("PATH")), F.lit("/")))
         .drop("__canon")
@@ -656,10 +663,16 @@ class CrawlEngine:
             },
         }
         tables = ["pending", "results", "visits", "metrics"]
+        # every bloom checkpoint is the full cumulative filter and only the
+        # newest committed round is ever read (_latest_bloom), so each commit
+        # retires the previous copy — otherwise an unbounded crawl stores
+        # O(rounds) superseded full-filter copies
+        replace = ["bloom"] if n_new > 0 else []
         if n_new > 0:
             tables += ["seen", "bloom"]
-        self.catalog.commit_round(r, tables, meta,
-                                  replace=["seen"] if compact_seen else None)
+        if compact_seen:
+            replace.append("seen")
+        self.catalog.commit_round(r, tables, meta, replace=replace or None)
         admitted.unpersist()
         if new_rows is not None:
             new_rows.unpersist()
@@ -677,4 +690,7 @@ class CrawlEngine:
         v = self.visits()
         if v is None:
             return None
-        return v.select("round", "seq", "url", "depth", "status").orderBy("seq")
+        # retry attempts reuse the original seq; the attempt tiebreak keeps
+        # the order deterministic when max_attempts > 1
+        return (v.select("round", "seq", "url", "depth", "status", "attempt")
+                .orderBy("seq", "attempt").drop("attempt"))

@@ -160,25 +160,20 @@ def _collapse_whitespace(root: Element) -> None:
         return
 
     def _next(prev: Node | None, current: Node) -> Node | None:
-        # identical traversal contract to turndown's collapse.js `next()`
-        if prev is not None and prev.parent is current:
+        # identical traversal contract to turndown's collapse.js `next()`:
+        # `current.firstChild || current.nextSibling || current.parentNode`.
+        # Climbing returns the PARENT node itself, which the main loop then
+        # re-processes through the element branch — a closing block resets
+        # prevText/keep_leading_ws exactly as in turndown (skipping the
+        # ancestor revisit leaks a leading space into text after a closed
+        # block, e.g. '<div><p>a</p> x</div>').
+        if (prev is not None and prev.parent is current) or _is_pre_or_code(current):
             sib = next_sibling(current)
-            if sib is not None:
-                return sib
-            return current.parent
-        if isinstance(current, Element) and not _is_pre_or_code(current) and current.children:
+            return sib if sib is not None else current.parent
+        if isinstance(current, Element) and current.children:
             return current.children[0]
         sib = next_sibling(current)
-        if sib is not None:
-            return sib
-        # climb until a sibling exists
-        cur = current.parent
-        while cur is not None and cur is not root:
-            s = next_sibling(cur)
-            if s is not None:
-                return s
-            cur = cur.parent
-        return root
+        return sib if sib is not None else current.parent
 
     prev_text: Text | None = None
     keep_leading_ws = False
@@ -410,6 +405,32 @@ class _Converter:
         self.add(tag_filter("ul", "ol"), list_repl)
 
         # list item
+        def _js_number(s: str) -> float:
+            # JS Number() coercion for the cases an HTML start attr can hold
+            t = s.strip()
+            if t == "":
+                return 0.0
+            try:
+                if re.fullmatch(r"[+-]?0[xX][0-9a-fA-F]+", t):
+                    return float(int(t, 16))
+                if re.fullmatch(r"0[bB][01]+", t):
+                    return float(int(t, 2))
+                if re.fullmatch(r"0[oO][0-7]+", t):
+                    return float(int(t, 8))
+                return float(t)
+            except ValueError:
+                return float("nan")
+
+        def _js_num_str(x: float) -> str:
+            import math
+            if math.isnan(x):
+                return "NaN"
+            if math.isinf(x):
+                return "Infinity" if x > 0 else "-Infinity"
+            if x == int(x) and abs(x) < 1e21:
+                return str(int(x))
+            return repr(x)
+
         def list_item_repl(content: str, node: Element) -> str:
             content = re.sub(r"^\n+", "", content)
             content = re.sub(r"\n+$", "\n", content)
@@ -419,8 +440,12 @@ class _Converter:
             if isinstance(parent, Element) and parent.tag == "ol":
                 start = parent.attrs.get("start")
                 index = _child_index_in_parent(node)
-                number = (int(start) + index) if start and start.isdigit() else index + 1
-                prefix = f"{number}.  "
+                # turndown: `start ? Number(start) + index : index + 1` —
+                # negative/whitespace/NaN start values follow JS coercion
+                if start:
+                    prefix = f"{_js_num_str(_js_number(start) + index)}.  "
+                else:
+                    prefix = f"{index + 1}.  "
             suffix = "\n" if (next_sibling(node) is not None and not content.endswith("\n")) else ""
             return prefix + content + suffix
 
@@ -433,8 +458,8 @@ class _Converter:
             class_attr = code.attrs.get("class", "")
             m = re.search(r"language-(\S+)", class_attr)
             language = m.group(1) if m else ""
-            code_text = code.text_content
-            return "\n\n```" + language + "\n" + code_text.replace("\n$", "") + "\n```\n\n"
+            code_text = re.sub(r"\n$", "", code.text_content)
+            return "\n\n```" + language + "\n" + code_text + "\n```\n\n"
 
         self.add(
             hint(lambda n: n.tag == "pre" and n.children
@@ -490,7 +515,17 @@ class _Converter:
         self.add(hint(task_filter, "input"),
                  lambda c, n: ("[x] " if "checked" in n.attrs else "[ ] "))
 
-        # tables
+        # tables — gfm-plugin parity: isFirstTbody accepts no previous
+        # sibling OR a whitespace-only thead; firstChild/childNodes checks
+        # see ALL nodes (stray non-ws text in a tr defeats the all-TH test,
+        # exactly as in the plugin)
+        def is_first_tbody(parent: Element) -> bool:
+            prev = prev_sibling(parent)
+            return parent.tag == "tbody" and (
+                prev is None
+                or (isinstance(prev, Element) and prev.tag == "thead"
+                    and not _tc(prev).strip()))
+
         def is_heading_row(tr: Element | None) -> bool:
             if tr is None:
                 return False
@@ -499,19 +534,11 @@ class _Converter:
                 return False
             if parent.tag == "thead":
                 return True
-            table = parent if parent.tag == "table" else parent.parent
-            first_section_ok = parent.tag == "table" or (
-                parent.tag == "tbody"
-                and isinstance(table, Element)
-                and table.element_children()
-                and table.element_children()[0] is parent
-            )
             return (
-                first_section_ok
-                and isinstance(table, Element)
-                and parent.element_children()
-                and parent.element_children()[0] is tr
-                and all(ch.tag == "th" for ch in tr.element_children())
+                bool(parent.children) and parent.children[0] is tr
+                and (parent.tag == "table" or is_first_tbody(parent))
+                and all(isinstance(ch, Element) and ch.tag == "th"
+                        for ch in tr.children)
             )
 
         def first_row(table: Element) -> Element | None:
@@ -558,7 +585,8 @@ class _Converter:
                 # gfm `keep()` path: tables without a heading row are kept as
                 # raw HTML (turndown keepReplacement: block → \n\n+outerHTML+\n\n)
                 return "\n\n" + serialize(node) + "\n\n"
-            content = content.replace("\n\n", "\n")
+            # JS string-pattern replace: FIRST occurrence only
+            content = content.replace("\n\n", "\n", 1)
             return "\n\n" + content + "\n\n"
 
         self.add(tag_filter("table"), table_repl)

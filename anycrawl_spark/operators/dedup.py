@@ -32,6 +32,8 @@ def connected_components(vertices: DataFrame, edges: DataFrame,
     they come out as singleton clusters). ``edges``: undirected pairs.
     Returns (id, cluster) with cluster = min id of the component.
     """
+    import warnings
+
     sym = (
         edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
         .unionByName(
@@ -42,6 +44,7 @@ def connected_components(vertices: DataFrame, edges: DataFrame,
     labels = vertices.select(
         F.col(id_col).alias("id"), F.col(id_col).alias("label"))
     labels = labels.localCheckpoint()
+    changed = 0
     for _ in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym["v"] == labels["id"])
@@ -64,6 +67,13 @@ def connected_components(vertices: DataFrame, edges: DataFrame,
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        warnings.warn(
+            f"connected_components did not converge within max_iter={max_iter}"
+            " rounds (component diameter exceeds the budget) — labels may"
+            " split one component into several; raise max_iter or use"
+            " connected_components_two_star (O(log n) rounds)",
+            RuntimeWarning, stacklevel=2)
     return labels.select("id", F.col("label").alias("cluster"))
 
 
@@ -155,9 +165,15 @@ def dedup_clusters(docs: DataFrame, pairs: DataFrame,
         docs.select(F.col(id_col).alias("id")),
         pairs.select(F.col(pair_a).alias("src"), F.col(pair_b).alias("dst")),
     )
+    # cluster keeps the id column's own type — an unconditional cast("long")
+    # would silently NULL every cluster for string (e.g. sha-hex) doc ids
+    numeric = comps.schema["id"].dataType.typeName() in (
+        "byte", "short", "integer", "long")
+    cluster = (F.col("cluster").cast("long") if numeric
+               else F.col("cluster"))
     return comps.select(
         F.col("id").alias(id_col),
-        F.col("cluster").cast("long").alias("cluster"),
+        cluster.alias("cluster"),
         F.when(F.col("id") == F.col("cluster"), 1).otherwise(0)
         .cast("long").alias("is_representative"),
     )

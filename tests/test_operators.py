@@ -132,6 +132,29 @@ class TestMapper:
         assert "site000.test" in hosts
 
 
+class TestOriginColumn:
+    def test_origin_matches_origin_of_including_ports(self, spark):
+        """The JVM origin column must agree with the Python origin_of() used
+        for the same-origin seed comparison — including non-default ports
+        (a parse_url HOST origin drops them) and userinfo stripping."""
+        from anycrawl_spark.crawl import _canonical_cols
+        from anycrawl_spark.kernel.canonical import origin_of
+
+        urls = [
+            "http://localhost:8080/a",
+            "https://x.test:8443/b",
+            "http://y.test:80/c",          # default port strips
+            "https://z.test/d",
+            "http://u:p@w.test:9090/e",    # userinfo never in an origin
+            "HTTP://UPPER.test:7070/f",
+        ]
+        df = spark.createDataFrame([(u,) for u in urls], "url string")
+        rows = {r["url"]: r["origin"]
+                for r in _canonical_cols(df, "url").collect()}
+        for u in urls:
+            assert rows[u] == origin_of(u), (u, rows[u], origin_of(u))
+
+
 class TestSeenFilter:
     def test_bloom_no_false_negatives(self, spark):
         from anycrawl_spark.seen import build_segments, filter_new
