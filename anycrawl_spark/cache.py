@@ -74,13 +74,25 @@ def cache_lookup(frontier: DataFrame, cache: DataFrame, opts_hash: str,
     ``max_age_seconds`` overrides per call; otherwise the ``tier`` default
     TTL applies (page 2d / sitemap 7d, config.ts:186-191); tier=None with no
     max_age disables the age filter entirely.
-    Returns frontier columns + ``cache_hit`` flag + cached payload columns."""
-    fresh = cache.where(F.col("options_hash") == opts_hash)
+    Returns frontier columns + ``cache_hit`` flag + cached payload columns.
+    ``max_age_seconds=0`` is force-refresh: every row misses (Cache.ts:40-43
+    returns null before touching the cache)."""
     if max_age_seconds is None and tier is not None:
         max_age_seconds = ttl_for_tier(tier)
+    if max_age_seconds == 0:
+        return (  # same column order as the join path below
+            frontier
+            .withColumn("cached_markdown", F.lit(None).cast("string"))
+            .withColumn("cached_text", F.lit(None).cast("string"))
+            .withColumn("cached_title", F.lit(None).cast("string"))
+            .withColumn("cached_at", F.lit(None).cast("timestamp"))
+            .withColumn("cache_hit", F.lit(False))
+        )
+    fresh = cache.where(F.col("options_hash") == opts_hash)
     if max_age_seconds is not None:
+        # strictly greater, matching the reference's gt(scrapedAt, minScrapedAt)
         fresh = fresh.where(
-            F.col("scraped_at") >= F.expr(f"{now_expr} - INTERVAL {max_age_seconds} SECOND"))
+            F.col("scraped_at") > F.expr(f"{now_expr} - INTERVAL {max_age_seconds} SECOND"))
     w = Window.partitionBy("url_hash").orderBy(F.desc("scraped_at"))
     newest = (
         fresh.withColumn("__rn", F.row_number().over(w))
@@ -102,13 +114,21 @@ def cache_lookup(frontier: DataFrame, cache: DataFrame, opts_hash: str,
 
 def cache_upsert(cache: DataFrame | None, new_rows: DataFrame) -> DataFrame:
     """MERGE-equivalent: newest row per (url_hash, options_hash) wins across
-    old ∪ new. At deployment scale this is
-    ``MERGE INTO page_cache USING new ON (url_hash, options_hash)``."""
-    new_rows = new_rows.select(*CACHE_COLS)
-    unioned = new_rows if cache is None else cache.select(*CACHE_COLS).unionByName(new_rows)
-    w = Window.partitionBy("url_hash", "options_hash").orderBy(F.desc("scraped_at"))
+    old ∪ new; on a scraped_at TIE the new row wins (the reference's
+    saveToCache is an unconditional upsert — without the tiebreak a
+    re-scrape landing in the same second as the cached entry would
+    nondeterministically keep the stale payload). At deployment scale this
+    is ``MERGE INTO page_cache USING new ON (url_hash, options_hash)``."""
+    new_rows = new_rows.select(*CACHE_COLS).withColumn("__is_new", F.lit(1))
+    if cache is None:
+        unioned = new_rows
+    else:
+        unioned = (cache.select(*CACHE_COLS).withColumn("__is_new", F.lit(0))
+                   .unionByName(new_rows))
+    w = Window.partitionBy("url_hash", "options_hash").orderBy(
+        F.desc("scraped_at"), F.desc("__is_new"))
     return (
         unioned.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") == 1)
-        .drop("__rn")
+        .drop("__rn", "__is_new")
     )

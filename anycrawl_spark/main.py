@@ -112,9 +112,14 @@ def cmd_map(args) -> None:
     crawl_src = pages.select(
         "url", F.lit(None).cast("string").alias("title"),
         F.lit(None).cast("string").alias("description"))
+    # reference order of operations (MapService.ts:148-153): merge, filter
+    # by domain, THEN slice to the limit — limiting first would let
+    # off-domain urls consume the budget
     merged = union_dedup({"sitemap": sitemap_src, "crawl": crawl_src},
-                         limit=args.limit)
-    out = domain_filter(merged, args.host)
+                         limit=None)
+    out = domain_filter(merged, args.host,
+                        include_subdomains=args.include_subdomains)
+    out = out.limit(args.limit)
     if args.search:
         from anycrawl_spark.mapper import rank_by_search
 
@@ -189,6 +194,9 @@ def main(argv=None) -> None:
     p.add_argument("--robots", required=True)
     p.add_argument("--host", required=True)
     p.add_argument("--search", help="rank results by search-term relevance")
+    p.add_argument("--include-subdomains", action="store_true",
+                   help="same base-domain instead of exact hostname "
+                        "(reference default: off)")
     p.add_argument("--limit", type=int, default=5000)
     p.add_argument("--out", required=True)
     p.set_defaults(fn=cmd_map)

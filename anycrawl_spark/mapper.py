@@ -15,12 +15,17 @@ from pyspark.sql import DataFrame, functions as F
 MAP_SOURCE_ORDER = {"sitemap": 0, "search": 1, "crawl": 2, "cache": 3}
 
 
-def union_dedup(sources: dict[str, DataFrame], limit: int = 5000) -> DataFrame:
+def union_dedup(sources: dict[str, DataFrame],
+                limit: int | None = 5000) -> DataFrame:
     """``sources`` maps source-name → DataFrame(url, title, description).
 
     First-wins per field across sources in MAP_SOURCE_ORDER (the reference
     merges into a Map in source order, coalescing title/description —
     MapService.ts:56-163); deterministic via min_by over the source rank.
+
+    ``limit=None`` skips the slice — the reference applies the limit AFTER
+    domain filtering (MapService.ts:151-153), so callers that domain-filter
+    must pass None here and slice afterwards (see main.cmd_map).
     """
     tagged = []
     for name, df in sources.items():
@@ -46,14 +51,17 @@ def union_dedup(sources: dict[str, DataFrame], limit: int = 5000) -> DataFrame:
             F.min("source_rank").alias("first_rank"),
         )
         .orderBy("first_rank", "url")
-        .limit(limit)                      # MapService.ts:151-153
-        .drop("first_rank")
     )
-    return merged
+    if limit is not None:
+        merged = merged.limit(limit)       # MapService.ts:151-153
+    return merged.drop("first_rank")
 
 
-def domain_filter(df: DataFrame, seed_host: str, include_subdomains: bool = True) -> DataFrame:
-    """Keep exact-hostname or same base-domain urls (MapService.ts:301-329)."""
+def domain_filter(df: DataFrame, seed_host: str,
+                  include_subdomains: bool = False) -> DataFrame:
+    """Keep exact-hostname urls, or same base-domain with
+    ``include_subdomains`` (MapService.ts:301-329; the reference defaults
+    ``includeSubdomains ?? false`` → exact hostname)."""
     host = F.lower(F.parse_url(F.col("url"), F.lit("HOST")))
     from anycrawl_spark.kernel.canonical import map_base_domain_col, map_base_domain_of
 

@@ -122,9 +122,9 @@ def q_cache_newest(spark, sf_dir):
               CASE WHEN o.o_orderkey % 2 = 0 THEN 'page' ELSE 'sitemap' END AS tier
        FROM orders o, ref
        WHERE (o.o_orderkey % 2 = 0
-              AND epoch(o.o_orderdate) >= epoch(ref.now_ts) - 172800)
+              AND epoch(o.o_orderdate) > epoch(ref.now_ts) - 172800)
           OR (o.o_orderkey % 2 = 1
-              AND epoch(o.o_orderdate) >= epoch(ref.now_ts) - 604800)""",
+              AND epoch(o.o_orderdate) > epoch(ref.now_ts) - 604800)""",
     "S8/A6 TTL tiers (config.ts:186-191): page-cache entries expire after "
     "2 days, map/sitemap entries after 7 — rows = cache entries still fresh "
     "relative to the newest timestamp, per tier. Exercises the TTL_TIERS "
@@ -141,8 +141,9 @@ def q_cache_ttl_tiers(spark, sf_dir):
     return (
         orders.withColumn("tier", tier)
         .crossJoin(F.broadcast(now_ts))
+        # strictly greater — the reference's gt(scrapedAt, minScrapedAt)
         .where(F.col("o_orderdate").cast("timestamp").cast("long")
-               >= F.col("now_ts").cast("timestamp").cast("long") - ttl)
+               > F.col("now_ts").cast("timestamp").cast("long") - ttl)
         .select("o_orderkey", "tier")
     )
 

@@ -24,16 +24,89 @@ _REGEX_LITERAL = re.compile(r"^/(.*)/([gimsuy]*)$")
 
 def _glob_segment_to_regex(seg: str) -> str:
     out = []
-    for c in seg:
+    i, n = 0, len(seg)
+    while i < n:
+        c = seg[i]
         if c == "*":
             out.append("[^/]*")
+            i += 1
         elif c == "?":
             out.append("[^/]")
-        elif c in ".+^$()[]{}|\\":
+            i += 1
+        elif c == "[":
+            # character class ([0-9], [!abc] → [^abc]); ']' as the first
+            # member is literal, unterminated '[' is a literal bracket —
+            # glob(7)/minimatch rules
+            j = i + 1
+            if j < n and seg[j] in "!^":
+                j += 1
+            if j < n and seg[j] == "]":
+                j += 1
+            while j < n and seg[j] != "]":
+                j += 1
+            if j >= n:
+                out.append(r"\[")
+                i += 1
+            else:
+                inner = seg[i + 1:j]
+                if inner[:1] in ("!", "^"):
+                    inner = "^" + inner[1:]
+                # '&&' is set-intersection in Java regex classes — escape it
+                out.append("[" + inner.replace("&&", r"\&\&") + "]")
+                i = j + 1
+        elif c in ".+^$(){}|\\":
             out.append("\\" + c)
+            i += 1
         else:
             out.append(c)
+            i += 1
     return "".join(out)
+
+
+def _expand_braces(pattern: str) -> list[str]:
+    """minimatch-style brace expansion: ``{a,b{c,d}}`` → a, bc, bd and
+    numeric ranges ``{1..3}`` → 1 2 3. Comma-less braces stay literal
+    (minimatch leaves ``a{b}c`` untouched)."""
+    i = pattern.find("{")
+    while i != -1:
+        depth, end = 0, -1
+        for j in range(i, len(pattern)):
+            if pattern[j] == "{":
+                depth += 1
+            elif pattern[j] == "}":
+                depth -= 1
+                if depth == 0:
+                    end = j
+                    break
+        if end == -1:
+            return [pattern]
+        body = pattern[i + 1:end]
+        m = re.fullmatch(r"(-?\d+)\.\.(-?\d+)", body)
+        if m:
+            a, b = int(m.group(1)), int(m.group(2))
+            step = 1 if b >= a else -1
+            parts = [str(v) for v in range(a, b + step, step)]
+        else:
+            parts, buf, d = [], [], 0
+            for ch in body:
+                if ch == "{":
+                    d += 1
+                elif ch == "}":
+                    d -= 1
+                if ch == "," and d == 0:
+                    parts.append("".join(buf))
+                    buf = []
+                else:
+                    buf.append(ch)
+            parts.append("".join(buf))
+            if len(parts) == 1:  # no top-level comma: literal braces
+                i = pattern.find("{", end + 1)
+                continue
+        out: list[str] = []
+        for p in parts:
+            out.extend(_expand_braces(pattern[:i] + p + pattern[end + 1:]))
+        return out
+    return [pattern]
 
 
 def glob_to_regex(glob: str) -> str:
@@ -72,15 +145,23 @@ def glob_to_regex(glob: str) -> str:
 
 def compile_path_patterns(patterns: list[str]) -> list[str]:
     """Each pattern → Java-regex string. ``/re/flags`` literals pass through
-    (flags other than i are dropped — crawl patterns in practice use none)."""
+    (flags other than i are dropped — crawl patterns in practice use none).
+    Globs support minimatch braces (``*.{html,htm}`` compiles to one
+    alternation regex) and character classes; pattern-level ``!`` negation
+    is NOT supported (document-level caveat, like the /re/flags one)."""
     compiled = []
     for pattern in patterns or []:
         m = _REGEX_LITERAL.match(pattern)
         if m:
             body, flags = m.group(1), m.group(2)
             compiled.append(("(?i)" if "i" in flags else "") + body)
-        else:
-            compiled.append(glob_to_regex(pattern))
+            continue
+        expansions = _expand_braces(pattern)
+        if len(expansions) == 1:
+            compiled.append(glob_to_regex(expansions[0]))
+        else:  # one regex per pattern: alternation over the expansions
+            bodies = [glob_to_regex(e)[1:-1] for e in expansions]
+            compiled.append("^(?:" + "|".join(bodies) + ")$")
     return compiled
 
 
@@ -214,10 +295,16 @@ def apply_host_budget(frontier: DataFrame, budget: int | None,
         w2 = Window.partitionBy(host_col).orderBy(*order)
         ranked = survivors.withColumn("__host_rank", F.row_number().over(w2))
         admitted = ranked.where(F.col("__host_rank") <= budget).drop("__host_rank", "__salt")
-        # deferred = everything not admitted (stage-1 losers included)
-        deferred = frontier.join(
-            admitted.select(F.col(url_col).alias("__adm_url")),
-            frontier[url_col] == F.col("__adm_url"), "left_anti")
+        # deferred = exact multiset complement: stage-1 losers + stage-2
+        # losers. (A url anti-join here would drop BOTH copies of any
+        # duplicate-url rows — admitted ∪ deferred must equal the frontier
+        # row-for-row, matching the unsalted path's invariant.)
+        deferred = (
+            stage1.where(F.col("__r1") > budget).drop("__r1", "__salt")
+            .unionByName(
+                ranked.where(F.col("__host_rank") > budget)
+                .drop("__host_rank", "__salt"))
+        )
         return admitted, deferred
     w = Window.partitionBy(host_col).orderBy(*order)
     ranked = frontier.withColumn("__host_rank", F.row_number().over(w))

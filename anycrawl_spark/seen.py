@@ -150,11 +150,20 @@ def filter_new(candidates: DataFrame, segments: DataFrame | None,
     """Rows of ``candidates`` whose url_hash is NOT in the seen set.
 
     Bloom pre-filter (definitely-new fast path) + exact anti-join on the
-    maybe-seen remainder. With no segments yet (round 0) this degrades to the
-    plain exact anti-join (or a no-op when there is no history at all).
+    maybe-seen remainder. With no segments yet (e.g. a missing/corrupt bloom
+    checkpoint on resume) this degrades to the plain exact anti-join; with
+    no exact history at all it is a no-op (the bloom alone can never
+    CONFIRM membership — dropping on a bloom hit would lose rows to false
+    positives).
     """
-    if segments is None or seen_exact is None:
+    if seen_exact is None:
         return candidates
+    if segments is None:
+        return candidates.join(
+            seen_exact.select(F.col(url_hash_col).alias("__seen_hash")).distinct(),
+            on=candidates[url_hash_col] == F.col("__seen_hash"),
+            how="left_anti",
+        )
 
     cand = candidates.withColumn("__bucket", bucket_col(url_hash_col, num_buckets))
     joined = cand.join(
@@ -163,7 +172,13 @@ def filter_new(candidates: DataFrame, segments: DataFrame | None,
     )
 
     out_fields = [f for f in candidates.columns]
-    schema = candidates.schema.add("__maybe_seen", "boolean")
+    # fresh StructType — StructType.add MUTATES and DataFrame.schema is a
+    # cached_property, so building on candidates.schema would leave a
+    # phantom __maybe_seen field on the caller's DataFrame object
+    from pyspark.sql.types import BooleanType, StructField, StructType
+
+    schema = StructType([*candidates.schema.fields,
+                         StructField("__maybe_seen", BooleanType())])
 
     def test(iterator):
         for pdf in iterator:

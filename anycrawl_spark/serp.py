@@ -44,12 +44,16 @@ def parse_google_serp(html: str) -> list[dict]:
         url = (anchor.attrs.get("href") or "") if anchor is not None else ""
         if not url:
             continue
-        content_node = select_one(block, 'div[data-sncf="1"]')
-        if content_node is None:
+        # ALL matching nodes, text concatenated — cheerio's $nodes.text()
+        # (Google.ts:222-224); taking only the first node drops snippet
+        # continuation/date lines
+        content_nodes = select(block, 'div[data-sncf="1"]')
+        if not content_nodes:
             continue
-        for script in select(content_node, "script"):
-            script.detach()
-        description = content_node.text_content.strip()
+        for node in content_nodes:
+            for script in select(node, "script"):
+                script.detach()
+        description = "".join(n.text_content for n in content_nodes).strip()
         if not description:
             continue
         results.append({
@@ -272,12 +276,14 @@ def build_google_url(query: str, page: int = 1, *, lang: str = "en",
                      country: str | None = None, limit: int | None = None,
                      time_range: str | None = None,
                      safe_search: int | None = None,
-                     arc_id: str = "srp_fixture0000000000000_100") -> str:
+                     arc_rand: str = "fixture0000000000000000") -> str:
     """Deterministic re-expression of Google.buildSearchUrl
     (Google.ts:71-146): same locale resolution (skip-list-aware lang-country
     lookup, first-non-skipped-region fallback, US default), same parameter
-    set and ordering; the random 23-char arc id is injectable (fixtures use a
-    fixed one — randomness only matters against the live endpoint)."""
+    set and ordering. The arc id is ``srp_<rand23>_1<start padded to 2>``
+    (generateAsyncParam, Google.ts:153-156) — only the 23 random chars are
+    injectable; the ``_1NN`` suffix derives from the start offset and must
+    vary per page."""
     from urllib.parse import urlencode
 
     eng_lang = GOOGLE_LANGUAGES.get(lang) or "en"
@@ -304,7 +310,7 @@ def build_google_url(query: str, page: int = 1, *, lang: str = "en",
         ("lr", eng_lang), ("cr", f"country{resolved_country}"),
         ("ie", "utf8"), ("oe", "utf8"), ("filter", "0"),
         ("asearch", "arc"),
-        ("async", f"arc_id:{arc_id},use_ac:true,_fmt:prog"),
+        ("async", f"arc_id:srp_{arc_rand}_1{start:02d},use_ac:true,_fmt:prog"),
     ]
     if limit:
         params.append(("num", str(per_page)))

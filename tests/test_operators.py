@@ -26,6 +26,29 @@ class TestGlobs:
         assert rx.match("https://a.test/p/1")
         assert not rx.match("https://a.test/p/12")
 
+    def test_brace_expansion(self):
+        # minimatch brace sets compile to one alternation regex
+        compiled = compile_path_patterns(["**/*.{html,htm}"])
+        assert len(compiled) == 1
+        assert re.match(compiled[0], "https://a.test/x/p.html")
+        assert re.match(compiled[0], "https://a.test/p.htm")
+        assert not re.match(compiled[0], "https://a.test/p.txt")
+        # numeric ranges
+        compiled = compile_path_patterns(["**/p/{1..3}"])
+        assert re.match(compiled[0], "https://a.test/p/2")
+        assert not re.match(compiled[0], "https://a.test/p/4")
+        # comma-less braces stay literal (minimatch)
+        rx = re.compile(glob_to_regex("a{b}c"))
+        assert rx.match("a{b}c")
+
+    def test_character_classes(self):
+        rx = re.compile(glob_to_regex("**/p/[0-9]"))
+        assert rx.match("https://a.test/p/7")
+        assert not rx.match("https://a.test/p/x")
+        rx = re.compile(glob_to_regex("**/p/[!0-9]"))
+        assert rx.match("https://a.test/p/x")
+        assert not rx.match("https://a.test/p/7")
+
     def test_regex_literal_passthrough(self):
         # Base.ts:391-417 — `/pattern/flags` strings are regexes
         compiled = compile_path_patterns([r"/\/p\/\d+$/"])
@@ -121,8 +144,12 @@ class TestMapper:
         df = spark.createDataFrame(
             [("https://a.test/1",), ("https://sub.a.test/2",), ("https://b.test/3",)],
             schema="url string")
+        # reference default: includeSubdomains ?? false → exact hostname
         kept = [r["url"] for r in domain_filter(df, "a.test").collect()]
-        assert sorted(kept) == ["https://a.test/1", "https://sub.a.test/2"]
+        assert sorted(kept) == ["https://a.test/1"]
+        kept_sub = [r["url"] for r in
+                    domain_filter(df, "a.test", include_subdomains=True).collect()]
+        assert sorted(kept_sub) == ["https://a.test/1", "https://sub.a.test/2"]
 
     def test_sitemap_expansion(self, spark, small_corpus, robots_df):
         from anycrawl_spark.mapper import expand_sitemaps
@@ -292,6 +319,14 @@ class TestSerpUrl:
         assert "start=20" in url          # (page-1) * per_page
         assert "hl=en-AG" in url and "cr=countryAG" in url
         assert "num=20" in url and "filter=0" in url and "asearch=arc" in url
+        # generateAsyncParam: arc id suffix = _1<start padded to 2> — varies
+        # with the page offset (Google.ts:155)
+        from urllib.parse import parse_qs, urlsplit
+
+        async_p = parse_qs(urlsplit(url).query)["async"][0]
+        assert async_p.startswith("arc_id:srp_") and "_120," in async_p
+        p1 = build_google_url("web crawling", page=1, limit=20)
+        assert "_100," in parse_qs(urlsplit(p1).query)["async"][0]
 
     def test_build_google_url_locale_and_range(self):
         from anycrawl_spark.serp import build_google_url
