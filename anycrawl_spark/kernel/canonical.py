@@ -87,7 +87,8 @@ def url_hash(url: str) -> str:
 @_lru_cache(maxsize=512)
 def _base_origin(base_url: str) -> tuple[str, str]:
     parts = urlsplit(base_url)
-    return parts.scheme.lower(), parts.netloc.lower()
+    userinfo, sep, hostport = parts.netloc.rpartition("@")
+    return parts.scheme.lower(), userinfo + sep + hostport.lower()
 
 
 def resolve_url(base_url: str, href: str) -> str | None:
@@ -117,7 +118,12 @@ def resolve_url(base_url: str, href: str) -> str | None:
         parts = urlsplit(resolved)
         if not parts.scheme:
             return href
-        netloc = parts.netloc.lower()
+        # lowercase only the host portion — userinfo is case-significant
+        # (normalize_url and canonical_url_col preserve credential case;
+        # mangling it here would canonicalize seed-reached and
+        # link-discovered copies of the same URL differently)
+        userinfo, sep, hostport = parts.netloc.rpartition("@")
+        netloc = userinfo + sep + hostport.lower()
         path = parts.path or ("/" if parts.netloc else "")
         return urlunsplit((parts.scheme.lower(), netloc, path, parts.query, parts.fragment))
     except ValueError:

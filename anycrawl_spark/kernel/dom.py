@@ -46,6 +46,12 @@ _IMPLICIT_CLOSE = {
 
 _RAWTEXT = {"script", "style"}
 
+# Open-element stack cap: beyond this, new elements attach flat instead of
+# nesting (browser-like). Bounds recursion depth in the (recursive) clean/
+# serialize/render walks — 512 levels x ~3 frames/level stays well under
+# the interpreter recursion limit raised by udfs.py.
+MAX_TREE_DEPTH = 512
+
 
 class Node:
     __slots__ = ("parent",)
@@ -168,16 +174,11 @@ class _TreeBuilder(HTMLParser):
 
     # html.parser already handles rawtext (script/style) content as data
     def handle_starttag(self, tag: str, attrs: list[tuple[str, str | None]]) -> None:
-        tag = tag.lower()
-        self._implicit_close(tag)
         attr_dict: dict[str, str] = {}
         for k, v in attrs:
             if k not in attr_dict:  # first occurrence wins (htmlparser2 behavior)
                 attr_dict[k] = v if v is not None else ""
-        el = Element(tag, attr_dict)
-        self.stack[-1].append(el)
-        if tag not in VOID_ELEMENTS:
-            self.stack.append(el)
+        self.start_fast(tag.lower(), attr_dict)
 
     def handle_startendtag(self, tag: str, attrs: list[tuple[str, str | None]]) -> None:
         tag = tag.lower()
@@ -195,28 +196,39 @@ class _TreeBuilder(HTMLParser):
         self._implicit_close(tag)
         el = Element(tag, attr_dict)
         self.stack[-1].append(el)
-        if tag not in VOID_ELEMENTS:
+        if tag not in VOID_ELEMENTS and len(self.stack) < MAX_TREE_DEPTH:
+            # past the depth cap new elements attach flat (children land on
+            # the capped ancestor) — browsers cap nesting similarly, and an
+            # unbounded tree would blow Python's recursion limit in the
+            # (recursive) transform/serialize/render walks on adversarial
+            # pages like '<div>'*100000
             self.stack.append(el)
 
     def end_fast(self, tag: str) -> None:
         if tag in VOID_ELEMENTS:
+            if tag == "br":
+                # htmlparser2 non-xmlMode: a stray </br> EMITS a <br>
+                # element — dropping it merges words across the intended
+                # line break ('x</br>y' must not read 'xy')
+                self.start_fast("br", {})
             return
         stack = self.stack
         for i in range(len(stack) - 1, 0, -1):
             if stack[i].tag == tag:
                 del stack[i:]
                 return
-        # unmatched end tag: ignore
+        if tag == "p":
+            # htmlparser2 non-xmlMode: an unmatched </p> synthesizes an
+            # empty <p> element (pop only if start_fast actually pushed —
+            # at the depth cap it does not)
+            depth = len(self.stack)
+            self.start_fast("p", {})
+            if len(self.stack) > depth:
+                del self.stack[-1:]
+        # other unmatched end tags: ignore
 
     def handle_endtag(self, tag: str) -> None:
-        tag = tag.lower()
-        if tag in VOID_ELEMENTS:
-            return
-        for i in range(len(self.stack) - 1, 0, -1):
-            if self.stack[i].tag == tag:
-                del self.stack[i:]
-                return
-        # unmatched end tag: ignore
+        self.end_fast(tag.lower())
 
     def handle_data(self, data: str) -> None:
         if data:
@@ -229,13 +241,19 @@ class _TreeBuilder(HTMLParser):
         pass  # DOCTYPE dropped; serializer does not re-emit it
 
     def _implicit_close(self, tag: str) -> None:
-        top = self.stack[-1].tag
-        if top == "p" and tag in _P_CLOSERS:
-            del self.stack[-1:]
-            return
-        closers = _IMPLICIT_CLOSE.get(top)
-        if closers and tag in closers:
-            del self.stack[-1:]
+        # loop until the top no longer implies-closes — htmlparser2 runs
+        # `while (top in openImpliesClose[name])`, so e.g. a new <tr> after
+        # an open <td> closes td THEN tr (single-pop nested the rows)
+        while True:
+            top = self.stack[-1].tag
+            if top == "p" and tag in _P_CLOSERS:
+                del self.stack[-1:]
+                continue
+            closers = _IMPLICIT_CLOSE.get(top)
+            if closers and tag in closers:
+                del self.stack[-1:]
+                continue
+            break
 
 
 # ---------------------------------------------------------------------------
@@ -331,9 +349,28 @@ def _fast_feed(core: "_TreeBuilder", rawdata: str) -> None:
             if m:
                 core.end_fast(m.group(1).lower())
                 i = m.end()
-            else:  # bogus end tag: skip through '>'
-                gt = find(">", lt)
-                i = gt + 1 if gt >= 0 else n
+            else:
+                # html.parser-tolerant forms: '</b junk>' still closes b
+                # (tagfind_tolerant then skip to '>'); no tag name → bogus
+                # comment ('</123>' emits comment '123'); '</>' is consumed
+                # silently; unterminated at EOF is dropped
+                nm = _tagfind.match(rawdata, lt + 2)
+                if nm:
+                    gt = find(">", nm.end())
+                    if gt < 0:
+                        i = n
+                    else:
+                        core.end_fast(nm.group(1).lower())
+                        i = gt + 1
+                elif rawdata.startswith("</>", lt):
+                    i = lt + 3
+                else:
+                    gt = find(">", lt)
+                    if gt < 0:
+                        i = n
+                    else:
+                        core.handle_comment(rawdata[lt + 2:gt])
+                        i = gt + 1
         elif c == "!":
             if rawdata.startswith("<!--", lt):
                 end_c = find("-->", lt + 4)

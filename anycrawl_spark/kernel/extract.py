@@ -29,6 +29,7 @@ from .transformer import (
     extract_title,
     fallback_clean_dom,
     fallback_html,
+    meta_entry,
     resolve_link_anchors,
     transform_dom,
     transform_html,
@@ -76,13 +77,9 @@ def extract_page(
             if title_el is None:
                 title_el = el
         elif tag == "meta":
-            name = el.attrs.get("name")
-            prop = el.attrs.get("property")
-            content = el.attrs.get("content")
-            if (name or prop) and content:
-                metadata.append({"name": name or prop,
-                                 "content": content.strip(),
-                                 "property": prop})
+            entry = meta_entry(el)
+            if entry is not None:
+                metadata.append(entry)
         elif tag == "a" and "href" in el.attrs:
             anchors.append(el)
     result: dict[str, Any] = {

@@ -92,19 +92,29 @@ class _Renderer:
             if not text:
                 return f"[{href}]"
             return f"{inner} [{href}]"
-        if tag in ("strong", "b", "em", "i", "span", "code", "u", "small",
-                   "sub", "sup", "abbr", "mark", "del", "s", "strike", "label",
-                   "time", "cite", "q"):
-            return "".join(self._inline(c) for c in node.children)
-        # inline fallback for unknown/other elements: concatenate children
-        return "".join(self._inline(c) for c in node.children)
+        # all other elements (inline tags and the fallback alike) render
+        # their children with block boundaries
+        return self._inline_children(node)
+
+    def _inline_children(self, node: Element) -> str:
+        """Join children; BLOCK children contribute a newline boundary so
+        blocks inlined into e.g. a table cell don't merge adjacent words
+        ('<td><p>alpha</p><p>beta</p></td>' must not read 'alphabeta')."""
+        parts = []
+        for c in node.children:
+            rendered = self._inline(c)
+            if c.__class__ is Element and c.tag in _BLOCK:
+                parts.append("\n" + rendered + "\n")
+            else:
+                parts.append(rendered)
+        return "".join(parts)
 
     def _inline_block_text(self, node: Element) -> str:
-        text = "".join(self._inline(c) for c in node.children)
-        # collapse spaces but keep explicit newlines from <br>
+        text = self._inline_children(node)
+        # collapse spaces but keep explicit newlines from <br>/blocks
         text = _SPACES.sub(" ", text)
         text = "\n".join(part.strip() for part in text.split("\n"))
-        return text.strip("\n").strip() if "\n" not in text else text.strip()
+        return text.strip()
 
     # -- block rendering ----------------------------------------------------
     def render_children(self, el: Element) -> None:
@@ -120,7 +130,7 @@ class _Renderer:
                 self.blocks.append("\n".join(_wrap(text)))
 
         for child in el.children:
-            if isinstance(child, Element) and (child.tag in _BLOCK or child.tag in ("ul", "ol", "li", "tr")):
+            if isinstance(child, Element) and (child.tag in _BLOCK or child.tag in ("li", "tr")):
                 flush()
                 self.render_block(child)
             elif isinstance(child, Element) and child.tag in _SKIP:
@@ -185,8 +195,19 @@ class _Renderer:
             self.blocks.append("\n".join(out_lines))
 
     def _render_table(self, el: Element) -> None:
+        # only THIS table's rows: a nested table's rows are inlined into
+        # their outer cell's text — iterating all descendant tr would render
+        # them a second time as standalone rows
+        def _owner_table(tr: Element) -> Element | None:
+            cur = tr.parent
+            while isinstance(cur, Element):
+                if cur.tag == "table":
+                    return cur
+                cur = cur.parent
+            return None
+
         rows: list[str] = []
-        for tr in [d for d in el.iter() if d.tag == "tr"]:
+        for tr in [d for d in el.iter() if d.tag == "tr" and _owner_table(d) is el]:
             cells = [
                 self._inline_block_text(td).replace("\n", " ")
                 for td in tr.element_children()

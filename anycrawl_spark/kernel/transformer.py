@@ -275,6 +275,19 @@ def extract_title(html_or_root) -> str:
     return title.text_content.strip() if title is not None else ""
 
 
+def meta_entry(el: Element) -> dict | None:
+    """One ``<meta>`` element → entry dict, or None if it lacks
+    (name|property)+content (DataExtractor.ts:307-330). Single source of
+    truth shared by extract_metadata and extract_page's fused walk."""
+    name = el.attrs.get("name")
+    prop = el.attrs.get("property")
+    content = el.attrs.get("content")
+    if (name or prop) and content:
+        return {"name": name or prop, "content": content.strip(),
+                "property": prop}
+    return None
+
+
 def extract_metadata(html_or_root) -> list[dict]:
     """Every ``<meta>`` with (name|property)+content → ordered entries
     (DataExtractor.ts:307-330)."""
@@ -283,15 +296,9 @@ def extract_metadata(html_or_root) -> list[dict]:
     for el in root.iter():
         if el.tag != "meta":
             continue
-        name = el.attrs.get("name")
-        prop = el.attrs.get("property")
-        content = el.attrs.get("content")
-        if (name or prop) and content:
-            out.append({
-                "name": name or prop,
-                "content": content.strip(),
-                "property": prop,
-            })
+        entry = meta_entry(el)
+        if entry is not None:
+            out.append(entry)
     return out
 
 

@@ -58,17 +58,33 @@ def make_extract_udf(formats: tuple[str, ...] = ("markdown", "text", "links", "h
     def extract(url: pd.Series, html: pd.Series) -> pd.DataFrame:
         from anycrawl_spark.kernel.extract import extract_page
 
+        import sys
+
+        # the clean/serialize/render walks recurse ~3 frames per DOM level;
+        # the parser caps trees at dom.MAX_TREE_DEPTH (512), so 20k frames
+        # is ample headroom over CPython's default 1000
+        if sys.getrecursionlimit() < 20_000:
+            sys.setrecursionlimit(20_000)
+
+        empty_doc = {"title": "", "metadata": [], "html": None,
+                     "markdown": None, "text": None, "links": None}
         out = {"title": [], "user_data": [], "metadata": [], "html": [],
                "markdown": [], "text": [], "links": []}
         for u, h in zip(url, html):
             raw = h.decode("utf-8", errors="replace") if isinstance(h, (bytes, bytearray)) else (h or "")
-            doc = extract_page(
-                u, raw,
-                formats=formats,
-                include_tags=include_tags,
-                exclude_tags=exclude_tags,
-                only_main_content=only_main_content,
-            )
+            try:
+                doc = extract_page(
+                    u, raw,
+                    formats=formats,
+                    include_tags=include_tags,
+                    exclude_tags=exclude_tags,
+                    only_main_content=only_main_content,
+                )
+            except Exception:
+                # one adversarial page must not kill the Spark task (and
+                # with it the whole crawl after retries) — the reference
+                # fails the single page, not the job
+                doc = empty_doc
             out["title"].append(doc["title"])
             out["user_data"].append(
                 user_transform(u, doc) if user_transform is not None else None)

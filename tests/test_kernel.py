@@ -275,6 +275,14 @@ class TestDomBackends:
         "<?php echo 1 ?><!DOCTYPE html><p>pi</p></p></notopen>",
         "<p>truncated <a href=",
         "",
+        # tolerant end-tag forms (html.parser semantics, both backends)
+        "<b>x</b extra><i>y</i>",
+        "x</br>y",
+        "</123>after",
+        "</>x",
+        "</ >x",
+        "no</p>match",
+        "<table><tr><td>a<tr><td>b</table>",
     ]
 
     def test_extract_parity_fixtures_and_edges(self):
@@ -295,6 +303,52 @@ class TestDomBackends:
             finally:
                 del os.environ["ANYCRAWL_DOM_BACKEND"]
             assert fast == std, url
+
+
+class TestParserHtmlparser2Semantics:
+    """Reference-parser (htmlparser2/cheerio) behaviors the tree builder
+    reproduces: stray </br> emits a <br>, unmatched </p> synthesizes an
+    empty <p>, implicit closes cascade (td→tr), and deep nesting is capped
+    instead of blowing the recursion limit downstream."""
+
+    def test_stray_br_end_tag_emits_br(self):
+        from anycrawl_spark.kernel.dom import parse_html, serialize
+        from anycrawl_spark.kernel.text import html_to_text
+
+        assert serialize(parse_html("x</br>y")) == "x<br>y"
+        assert html_to_text("<p>one</br>two</p>") == "one\ntwo"
+
+    def test_unmatched_p_synthesizes_empty_p(self):
+        from anycrawl_spark.kernel.dom import parse_html, serialize
+
+        assert serialize(parse_html("no</p>match")) == "no<p></p>match"
+
+    def test_implicit_close_cascades(self):
+        from anycrawl_spark.kernel.dom import parse_html, serialize
+
+        got = serialize(parse_html("<table><tr><td>a<tr><td>b</table>"))
+        assert got == "<table><tr><td>a</td></tr><tr><td>b</td></tr></table>"
+
+    def test_tolerant_end_tags(self):
+        from anycrawl_spark.kernel.dom import parse_html, serialize
+
+        assert serialize(parse_html("<b>x</b junk><i>y</i>")) == "<b>x</b><i>y</i>"
+        assert serialize(parse_html("</123>a")) == "<!--123-->a"
+        assert serialize(parse_html("</>a")) == "a"
+
+    def test_depth_bomb_capped(self):
+        import sys
+
+        from anycrawl_spark.kernel.extract import extract_page
+
+        old = sys.getrecursionlimit()
+        sys.setrecursionlimit(20_000)
+        try:
+            doc = extract_page("http://a.test/", "<div>" * 100_000 + "x",
+                               formats=("markdown", "text", "links"))
+        finally:
+            sys.setrecursionlimit(old)
+        assert doc["text"] == "x"
 
 
 class TestCanonicalProperties:
