@@ -19,7 +19,11 @@ Retry decision (errorHandler, EngineConfigurator.ts:616-708):
 
 - proxy upgrade / rotate markers → retry
 - ``Received blocked status code: 403`` → retry (session rotation)
-- timeout-like → NO retry (fail fast, noRetry=true)
+- TimeoutError NAME → NO retry (fail fast, noRetry=true). NOTE: unlike the
+  classifier, the retry decision checks isTimeoutLikeError only
+  (EngineConfigurator.ts:692 — error NAME, not message), so a message
+  containing 'timeout' with a proxy marker still retries via the proxy
+  branch — bug-for-bug reference parity.
 - temporary proxy errors → retry
 - everything else → no retry
 """

@@ -109,9 +109,12 @@ def snapshot_changes(snapshots: DataFrame,
     (SURVEY.md §2.8 M3 mapping). Rows with no change are dropped."""
     w = Window.partitionBy(*key_cols).orderBy(order_col)
     with_prev = snapshots.withColumn("prev_content", F.lag(content_col).over(w))
+    # null-safe direct inequality: sha2(NULL) is NULL, so a hash compare
+    # silently dropped transitions to NULL content (and paid two sha256
+    # evaluations for a plain equality test)
     changed = with_prev.where(
         F.col("prev_content").isNotNull()
-        & (F.sha2(F.col(content_col), 256) != F.sha2(F.col("prev_content"), 256))
+        & ~F.col(content_col).eqNullSafe(F.col("prev_content"))
     )
     return (
         changed.withColumn("diff", lcs_diff_udf(F.col("prev_content"), F.col(content_col)))
@@ -179,5 +182,6 @@ def json_field_diff(old: dict | list | None, new: dict | list | None,
             changes.append({"path": p, "change": "modified",
                             "old_value": o, "new_value": n, "delta": delta})
 
-    rec(old or {}, new or {}, path)
+    # only None coerces to {} — falsy roots (0, '', [], False) are real values
+    rec(old if old is not None else {}, new if new is not None else {}, path)
     return changes

@@ -691,7 +691,8 @@ def q_asof_join_events(spark, sf_dir):
     views = events.where(F.col("event_type") == "view").select(
         "user_id", "ts", F.col("event_id").alias("view_event_id"))
     joined = asof_join_backward(
-        purchases, views, on="user_id", right_cols=["view_event_id"])
+        purchases, views, on="user_id", right_cols=["view_event_id"],
+        right_tiebreak="view_event_id")
     return joined.select(
         "event_id", "user_id",
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),

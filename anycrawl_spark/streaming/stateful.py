@@ -141,7 +141,13 @@ def session_state_fn(key: tuple, pdfs: Iterable[pd.DataFrame],
             closed.append((start_us, last_us, n_events))
             start_us, last_us, n_events = us, us, 1
         else:
-            last_us = us
+            # events sort within a batch but a LATER batch can deliver an
+            # earlier timestamp — regressing last_us would corrupt the gap
+            # check and session_end, so late events only extend bounds
+            if us > last_us:
+                last_us = us
+            elif us < start_us:
+                start_us = us
             n_events += 1
     state.update((start_us or 0, last_us or 0, n_events))
     yield pd.DataFrame({

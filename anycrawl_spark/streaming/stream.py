@@ -113,12 +113,24 @@ def stream_crawl_jobs(spark: SparkSession, jobs_dir: str, corpus: DataFrame,
         for row in batch_df.collect():
             ckpt = os.path.join(checkpoint_root, row["job_id"])
             engine = CrawlEngine(batch_df.sparkSession, corpus, ckpt)
-            summary = engine.run(CrawlConfig(
-                job_id=row["job_id"], seed_url=row["seed_url"],
-                strategy=row["strategy"] or "same-domain",
-                max_depth=row["max_depth"] or 10,
-                limit=row["crawl_limit"] or 100,
-                respect_robots=respect_robots))
+            # batch redelivery after a kill: a job with committed rounds
+            # resumes exactly instead of destroying its checkpoint
+            resume = engine.catalog.last_round() is not None
+            try:
+                summary = engine.run(CrawlConfig(
+                    job_id=row["job_id"], seed_url=row["seed_url"],
+                    strategy=row["strategy"] or "same-domain",
+                    # explicit 0 is a legitimate value — only NULL defaults
+                    max_depth=(row["max_depth"]
+                               if row["max_depth"] is not None else 10),
+                    limit=(row["crawl_limit"]
+                           if row["crawl_limit"] is not None else 100),
+                    respect_robots=respect_robots), resume=resume)
+            finally:
+                # each engine persists its own prepared-corpus copy; without
+                # this a long-running job stream accumulates one cached copy
+                # per job on the executors
+                engine.corpus.unpersist()
             with open(os.path.join(ckpt, "_summary.json"), "w") as f:
                 json.dump(summary, f)
 

@@ -417,6 +417,69 @@ class TestAsofJoin:
         # key 2 has no right rows -> NULLs
         assert got[(2, 5)] == (None, None)
 
+    def test_null_value_in_latest_right_row_wins(self, spark):
+        """The as-of match must take ALL columns from the single latest
+        right row — a per-column last(ignorenulls) would skip a genuine
+        NULL and resurrect an older value (mixed-row output)."""
+        from anycrawl_spark.operators.relational import asof_join_backward
+
+        left = spark.createDataFrame([(1, 3)], "k long, ts long")
+        right = spark.createDataFrame(
+            [(1, 1, "old"), (1, 2, None)], "k long, ts long, rv string")
+        row = asof_join_backward(left, right, on="k",
+                                 right_cols=["rv"]).collect()[0]
+        assert row["ts_right"] == 2 and row["rv_right"] is None
+
+    def test_tiebreak_deterministic(self, spark):
+        from anycrawl_spark.operators.relational import asof_join_backward
+
+        left = spark.createDataFrame([(1, 5)], "k long, ts long")
+        right = spark.createDataFrame(
+            [(1, 5, 101), (1, 5, 107), (1, 5, 103)], "k long, ts long, rid long")
+        row = asof_join_backward(left, right, on="k", right_cols=["rid"],
+                                 right_tiebreak="rid").collect()[0]
+        assert row["rid_right"] == 107  # highest tiebreak wins, every run
+
+
+class TestSessionStateFn:
+    def test_late_event_does_not_regress_bounds(self):
+        """A later micro-batch can deliver an earlier timestamp; it must
+        extend the open session's bounds, never regress last_us (which
+        would force a premature close on the next on-time event)."""
+        import pandas as pd
+
+        from anycrawl_spark.streaming.stateful import (
+            SESSION_GAP_US,
+            session_state_fn,
+        )
+
+        class FakeState:
+            def __init__(self):
+                self.exists = False
+                self._v = None
+
+            @property
+            def get(self):
+                return self._v
+
+            def update(self, v):
+                self._v = v
+                self.exists = True
+
+        s = FakeState()
+        base = 1_000_000_000
+        list(session_state_fn(("u",), [pd.DataFrame({"ts_us": [base]})], s))
+        # late event 300s earlier arrives in the next batch
+        list(session_state_fn(("u",),
+                              [pd.DataFrame({"ts_us": [base - 300_000_000]})], s))
+        start_us, last_us, n = s.get
+        assert last_us == base                      # not regressed
+        assert start_us == base - 300_000_000       # extended backwards
+        # an event 28min after base stays IN session (gap measured from base)
+        list(session_state_fn(
+            ("u",), [pd.DataFrame({"ts_us": [base + SESSION_GAP_US - 1]})], s))
+        assert s.get[2] == 3 and s.get[1] == base + SESSION_GAP_US - 1
+
 
 class TestCandidateBoundedPairs:
     """The 100-TB dedup path scores similarity only over banded candidate
