@@ -206,8 +206,7 @@ def generate_pages(spark, num_pages: int, num_hosts: int = 40, partitions: int |
                 lang = LANGS[host_idx % len(LANGS)]
                 html = build_page_html(host_idx, num_hosts, local_idx, n_host, lang)
                 url = page_url(host, local_idx)
-                ts = EPOCH.replace(tzinfo=None)
-                ts = ts.fromtimestamp(
+                ts = EPOCH.fromtimestamp(
                     EPOCH.timestamp() + (h64(url) % (30 * 86400)), tz=timezone.utc
                 ).replace(tzinfo=None)
                 rows.append((url, ts, html.encode("utf-8"), html_to_text(html), lang))

@@ -35,6 +35,10 @@ class ImageOccurrence:
 
 
 def _skip_ws(text: str, i: int) -> int:
+    # NOTE: skipping ANY whitespace (incl. newlines) between ']' and '('
+    # diverges from CommonMark but matches the reference's skipWhitespace
+    # (MarkdownOCR.ts:25-31) — '![alt] (words)' parses as an image there
+    # too; bug-for-bug parity is the contract here.
     n = len(text)
     while i < n and text[i].isspace():
         i += 1

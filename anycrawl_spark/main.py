@@ -119,11 +119,13 @@ def cmd_map(args) -> None:
                          limit=None)
     out = domain_filter(merged, args.host,
                         include_subdomains=args.include_subdomains)
-    out = out.limit(args.limit)
     if args.search:
+        # rank BEFORE the limit — limiting first would slice an arbitrary
+        # (source_rank, url)-ordered prefix and discard relevant pages
         from anycrawl_spark.mapper import rank_by_search
 
         out = rank_by_search(out, args.search)
+    out = out.limit(args.limit)
     out.write.mode("overwrite").parquet(args.out)
     print(json.dumps({"out": args.out}))
 

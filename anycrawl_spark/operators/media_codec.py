@@ -141,6 +141,12 @@ def _decode_jpeg(b: bytes) -> dict:
         if b[i] != 0xFF:
             i += 1
             continue
+        # JPEG allows runs of 0xFF fill bytes before a marker — treating a
+        # fill 0xFF as the marker byte would read a garbage segment length
+        while i + 1 < n and b[i + 1] == 0xFF:
+            i += 1
+        if i + 3 >= n:
+            break
         marker = b[i + 1]
         if marker in (0xD8, 0xD9, 0x01) or 0xD0 <= marker <= 0xD7:
             i += 2
@@ -197,7 +203,16 @@ def _decode_mp4(b: bytes) -> dict:
     timescale = duration = width = height = 0
     for path, lo, hi in walk(0, len(b), ()):
         if path[-1] == b"mvhd" and hi - lo >= 20:
-            timescale, duration = struct.unpack(">II", b[lo + 12:lo + 20])
+            # version 1 boxes use 64-bit create/modify times and duration:
+            # timescale sits at +20 (after ver/flags + 2x8-byte times), not
+            # +12 — reading the v0 offsets lands inside the times and
+            # yields garbage durations
+            version = b[lo]
+            if version == 1 and hi - lo >= 32:
+                timescale = struct.unpack(">I", b[lo + 20:lo + 24])[0]
+                duration = struct.unpack(">Q", b[lo + 24:lo + 32])[0]
+            else:
+                timescale, duration = struct.unpack(">II", b[lo + 12:lo + 20])
         elif path[-1] == b"tkhd" and hi - lo >= 84:
             w_fp, h_fp = struct.unpack(">II", b[hi - 8:hi])
             width, height = w_fp >> 16, h_fp >> 16

@@ -645,10 +645,14 @@ def q_sessionize_events(spark, sf_dir):
     events = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev_ts = F.lag("ts").over(w)
-    secs = F.col("ts").cast("timestamp").cast("long")
-    prev_secs = prev_ts.cast("timestamp").cast("long")
+    # microsecond-exact gap: cast('long') truncates to whole seconds while
+    # the oracle's INTERVAL 30 MINUTE compares exact timestamps — a gap of
+    # 1800.3s between fractional-second events would split sessions in
+    # DuckDB but not here
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    prev_us = F.unix_micros(prev_ts.cast("timestamp"))
     new_session = F.when(
-        prev_ts.isNull() | (secs - prev_secs > 1800), 1
+        prev_ts.isNull() | (us - prev_us > 1_800_000_000), 1
     ).otherwise(0)
     sessions = (
         events.withColumn("__new", new_session)
@@ -1046,6 +1050,17 @@ def q_fingerprint(spark, sf_dir):
     )
 
 
+def _trigram_shingles_col(words):
+    """Distinct word-trigram shingles of a words array — SHARED between
+    q_ngram_jaccard_pairs (block-join oracle) and q_jaccard_over_candidates
+    (the scale path): both must shingle identically or the 'same candidates,
+    same scores' contract between them silently breaks."""
+    return F.array_distinct(F.transform(
+        F.sequence(F.lit(1), F.size(words) - 2),
+        lambda i: F.concat_ws(" ", F.slice(words, i, F.lit(3))),
+    ))
+
+
 def _minhash_digest_col():
     """Array column of per-shingle md5 digests (3-word shingles). Each
     shingle is digested ONCE; signature columns derive from this shared
@@ -1283,10 +1298,7 @@ def q_simhash16(spark, sf_dir):
 def q_ngram_jaccard_pairs(spark, sf_dir):
     documents = load_wide(spark, sf_dir, "documents")
     words = F.regexp_extract_all("text", F.lit(r"\S+"), 0)
-    shingles = F.array_distinct(F.transform(
-        F.sequence(F.lit(1), F.size(words) - 2),
-        lambda i: F.concat_ws(" ", F.slice(words, i, F.lit(3))),
-    ))
+    shingles = _trigram_shingles_col(words)
     shingled = (
         documents.where(F.size(words) >= 3)
         .select("doc_id", "lang",
@@ -1406,10 +1418,7 @@ def q_jaccard_over_candidates(spark, sf_dir):
     pairs = REGISTRY["lsh_candidate_pairs"].fn(spark, sf_dir)
     documents = load_wide(spark, sf_dir, "documents")
     words = F.regexp_extract_all("text", F.lit(r"\S+"), 0)
-    shingles = F.array_distinct(F.transform(
-        F.sequence(F.lit(1), F.size(words) - 2),
-        lambda i: F.concat_ws(" ", F.slice(words, i, F.lit(3))),
-    ))
+    shingles = _trigram_shingles_col(words)
     shingled = (
         documents.where(F.size(words) >= 3)
         .select("doc_id", shingles.alias("shingles"))

@@ -93,6 +93,28 @@ class TestMultimodal:
             for cut in (4, 10, len(b) - 1):
                 decode_media_bytes(b[:cut])
 
+    def test_codec_spec_edge_cases(self):
+        """JPEG 0xFF fill bytes before a marker and MP4 version-1 mvhd —
+        both legal per spec and common in the wild."""
+        import struct
+
+        from anycrawl_spark.operators.media_codec import decode_media_bytes
+
+        app0 = (b"\xff\xff\xff\xe0" + struct.pack(">H", 16)
+                + b"JFIF\x00" + b"\x00" * 9)
+        sof = (b"\xff\xc0" + struct.pack(">H", 11) + b"\x08"
+               + struct.pack(">HH", 480, 640) + b"\x03")
+        d = decode_media_bytes(b"\xff\xd8" + app0 + sof + b"\xff\xd9")
+        assert (d["width"], d["height"]) == (640, 480)
+
+        mvhd_body = (bytes([1, 0, 0, 0]) + b"\x00" * 16
+                     + struct.pack(">I", 1000) + struct.pack(">Q", 90000))
+        mvhd = struct.pack(">I", 8 + len(mvhd_body)) + b"mvhd" + mvhd_body
+        moov = struct.pack(">I", 8 + len(mvhd)) + b"moov" + mvhd
+        ftyp = struct.pack(">I", 16) + b"ftyp" + b"isom" + b"\x00" * 4
+        d = decode_media_bytes(ftyp + moov)
+        assert d["format"] == "mp4" and d["duration_ms"] == 90000
+
     def test_real_decode_in_spark_stage(self, spark):
         from anycrawl_spark.operators.media_codec import make_png, make_wav
         from anycrawl_spark.operators.multimodal import decode_media
