@@ -114,6 +114,18 @@ class CrawlConfig:
             raise ValueError(f"unknown strategy {self.strategy!r}")
         if self.budget_scope not in ("host", "domain"):
             raise ValueError(f"unknown budget_scope {self.budget_scope!r}")
+        from urllib.parse import urlsplit
+        parts = urlsplit(self.seed_url or "")
+        if parts.scheme not in ("http", "https") or not parts.hostname:
+            # CrawlSchema's z.string().url() rejects non-URL seeds; a
+            # scheme-less seed would otherwise canonicalize to a null-host
+            # junk row and 'complete' a one-page crawl of nothing
+            raise ValueError(f"seed_url must be an absolute http(s) URL, "
+                             f"got {self.seed_url!r}")
+        if self.politeness_budget < 0 or self.batch_size < 0:
+            raise ValueError("politeness_budget/batch_size must be >= 0")
+        if self.max_attempts < 1:
+            raise ValueError("max_attempts must be >= 1")
 
 
 def _strip_fragment(col):
@@ -147,15 +159,28 @@ def _canonical_cols(df: DataFrame, url_col: str) -> DataFrame:
     )
 
 
-def prepare_corpus(pages: DataFrame) -> DataFrame:
+def prepare_corpus(pages: DataFrame, dedup: bool = True) -> DataFrame:
     """Corpus keyed by url_hash for the fetch join. At deployment scale the
     Iceberg pages table is bucketed by this hash so the join prunes
-    partitions; html stays unread until after the join (column pruning)."""
-    return _canonical_cols(pages, "url").select(
+    partitions; html stays unread until after the join (column pruning).
+
+    ``dedup`` keeps the LATEST capture per canonical-url hash — Common-Crawl
+    style tables carry one row per (url, crawl), and a non-unique join key
+    would fan out every downstream count (done/failed/pending arithmetic)
+    and duplicate seq values in the visit log. One shuffle, paid once per
+    engine (the corpus cache materializes the deduped frame); callers with
+    an already-unique corpus can pass dedup=False."""
+    corpus = _canonical_cols(pages, "url").select(
         F.col("url_hash").alias("page_url_hash"),
         F.col("url").alias("page_url"),
         "warc_ts", "html", "lang",
     )
+    if dedup:
+        w = Window.partitionBy("page_url_hash").orderBy(
+            F.desc("warc_ts"), F.desc("page_url"))
+        corpus = (corpus.withColumn("__rn", F.row_number().over(w))
+                  .where(F.col("__rn") == 1).drop("__rn"))
+    return corpus
 
 
 class CrawlEngine:
@@ -233,6 +258,16 @@ class CrawlEngine:
             self.catalog.drop_uncommitted()
             progress = self._progress()
             round_no = progress["round"] + 1
+            # bloom geometry is baked into every checkpointed bitmap —
+            # resuming with different parameters would read wrong bit
+            # positions (false negatives or IndexError in the tester)
+            seeded = self.catalog.round_meta(0)
+            fp = seeded.get("bloom_geometry")
+            want = [cfg.bloom_num_buckets, cfg.bloom_m_bits, cfg.bloom_k]
+            if fp is not None and fp != want:
+                raise ValueError(
+                    f"resume bloom geometry mismatch: checkpoint has {fp} "
+                    f"(num_buckets, m_bits, k), config asks {want}")
         else:
             self.catalog.destroy()
             self.catalog = Catalog(self.catalog.root)
@@ -254,7 +289,9 @@ class CrawlEngine:
                                m_bits=cfg.bloom_m_bits, k=cfg.bloom_k),
                 "bloom", 0)
             progress = {"round": 0, "done": 0, "failed": 0, "enqueued": n_seed,
-                        "finalized": n_seed == 0, "phase": "seeded"}
+                        "finalized": n_seed == 0, "phase": "seeded",
+                        "bloom_geometry": [cfg.bloom_num_buckets,
+                                           cfg.bloom_m_bits, cfg.bloom_k]}
             self.catalog.commit_round(0, ["pending", "seen", "bloom"], progress)
             round_no = 1
 
@@ -594,8 +631,20 @@ class CrawlEngine:
                         pa.table({"url_hash": pa.array(hashes,
                                                        type=pa.string())}),
                         "seen", r)
+                build_hashes = hashes
+                if self._bloom_mem is None and seen is not None:
+                    # prior bloom checkpoint missing/corrupt (filter_new
+                    # degraded to the exact anti-join): REBUILD the
+                    # cumulative filter from the seen history — committing
+                    # a delta-only bitmap as 'cumulative' would bake in
+                    # permanent false negatives for every pre-corruption
+                    # URL. Bounded: driver-resident filters imply the zod
+                    # limit cap on enqueued rows.
+                    build_hashes = hashes + [
+                        row["url_hash"]
+                        for row in seen.select("url_hash").collect()]
                 delta_mem = build_segments_driver(
-                    hashes, num_buckets=cfg.bloom_num_buckets,
+                    build_hashes, num_buckets=cfg.bloom_num_buckets,
                     m_bits=cfg.bloom_m_bits, k=cfg.bloom_k)
                 self._bloom_mem = merge_into_driver(self._bloom_mem or {},
                                                     delta_mem)
@@ -617,8 +666,17 @@ class CrawlEngine:
                 delta = build_segments(new_rows,
                                        num_buckets=cfg.bloom_num_buckets,
                                        m_bits=cfg.bloom_m_bits, k=cfg.bloom_k)
-                cumulative = (merge_segments(delta.unionByName(segments))
-                              if segments is not None else delta)
+                if segments is not None:
+                    cumulative = merge_segments(delta.unionByName(segments))
+                elif seen is not None:
+                    # rebuild from the exact seen history (see driver path)
+                    cumulative = merge_segments(delta.unionByName(
+                        build_segments(seen,
+                                       num_buckets=cfg.bloom_num_buckets,
+                                       m_bits=cfg.bloom_m_bits,
+                                       k=cfg.bloom_k)))
+                else:
+                    cumulative = delta
                 self._bloom_mem = None
                 state_writes.append(writes.submit(
                     self.catalog.append_round, cumulative, "bloom", r))

@@ -509,6 +509,61 @@ class TestConfigBounds:
             CrawlConfig(job_id="b", seed_url="https://x.test/", limit=0)
         with pytest.raises(ValueError):
             CrawlConfig(job_id="b", seed_url="https://x.test/", limit=50_001)
+
+    def test_seed_url_must_be_absolute_http(self):
+        """z.string().url() rejects non-URL seeds; a scheme-less seed would
+        canonicalize to a null-host junk row and 'complete' a crawl of
+        nothing."""
+        import pytest
+
+        for bad in ("x.test/foo", "ftp://x.test/", "", "https://"):
+            with pytest.raises(ValueError):
+                CrawlConfig(job_id="b", seed_url=bad)
+        with pytest.raises(ValueError):
+            CrawlConfig(job_id="b", seed_url="https://x.test/", max_attempts=0)
+
+    def test_resume_rejects_bloom_geometry_change(self, spark, small_corpus,
+                                                  tmp_root):
+        import pytest
+
+        ckpt = os.path.join(tmp_root, "geom")
+        engine = CrawlEngine(spark, small_corpus, ckpt)
+        engine.run(CrawlConfig(job_id="g", seed_url=SEED,
+                               strategy="same-hostname", max_depth=2,
+                               limit=10, respect_robots=False, max_rounds=1))
+        resumed = CrawlEngine(spark, small_corpus, ckpt)
+        with pytest.raises(ValueError, match="bloom geometry"):
+            resumed.run(CrawlConfig(job_id="g", seed_url=SEED,
+                                    strategy="same-hostname", max_depth=2,
+                                    limit=10, respect_robots=False,
+                                    bloom_m_bits=1 << 16), resume=True)
+
+
+class TestCorpusDedup:
+    def test_duplicate_captures_do_not_fan_out(self, spark, small_corpus,
+                                               tmp_root):
+        """Two captures of the same URL in the corpus must not duplicate
+        visits/results or corrupt the done/pending arithmetic — the latest
+        warc_ts capture wins."""
+        dup = small_corpus.limit(20).withColumn(
+            "warc_ts", F.col("warc_ts") - F.expr("INTERVAL 1 DAY"))
+        doubled = small_corpus.unionByName(dup)
+
+        base_dir = os.path.join(tmp_root, "dedup_base")
+        base = CrawlEngine(spark, small_corpus, base_dir)
+        s1 = base.run(CrawlConfig(job_id="d", seed_url=SEED,
+                                  strategy="same-hostname", max_depth=4,
+                                  limit=30, respect_robots=False))
+        dbl_dir = os.path.join(tmp_root, "dedup_dbl")
+        dbl = CrawlEngine(spark, doubled, dbl_dir)
+        s2 = dbl.run(CrawlConfig(job_id="d", seed_url=SEED,
+                                 strategy="same-hostname", max_depth=4,
+                                 limit=30, respect_robots=False))
+        assert (s1["done"], s1["fetched"], s1["enqueued"]) == \
+               (s2["done"], s2["fetched"], s2["enqueued"])
+        v1 = [(r["seq"], r["url"]) for r in base.visit_order().collect()]
+        v2 = [(r["seq"], r["url"]) for r in dbl.visit_order().collect()]
+        assert v1 == v2
         with pytest.raises(ValueError):
             CrawlConfig(job_id="b", seed_url="https://x.test/",
                         strategy="same-planet")
