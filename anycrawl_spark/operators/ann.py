@@ -115,8 +115,12 @@ def ivf_topk(spark: SparkSession, index_path: str, centroids: np.ndarray,
                       F.lit(0.0), lambda acc, x: acc + x)
     nv = F.sqrt(F.aggregate(F.transform(v, lambda x: x * x),
                             F.lit(0.0), lambda acc, x: acc + x))
-    nq = float(np.linalg.norm(np.asarray(query_vec, dtype=np.float64)))
-    cos = dot / (nv * F.lit(nq))
+    # Query norm computed JVM-side with the same left-to-right accumulation
+    # as the row norms (numpy's pairwise summation can differ in the last
+    # ulp, which matters for the exact full-probe oracle's value hash).
+    nq = F.sqrt(F.aggregate(F.transform(qv, lambda x: x * x),
+                            F.lit(0.0), lambda acc, x: acc + x))
+    cos = dot / (nv * nq)
     return (
         idx.withColumn("cos_raw", cos)
         .orderBy(F.desc("cos_raw"), F.asc("vec_id"))

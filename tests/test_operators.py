@@ -841,3 +841,55 @@ class TestStreamingSessionize:
                     for r in batch.withColumn("__last", w_last)
                     .where(F.col("session_seq") != F.col("__last")).collect()}
         assert got == expected and len(got) > 1000
+
+
+class TestOracleValidator:
+    """Canary for tools/validate_oracle.py's type-aware comparison: an oracle
+    whose SUM is left uncast (DuckDB HUGEINT → Arrow decimal128) or whose
+    int width drifts must FAIL even though every value stringifies
+    identically — the simhash16 (r1) / sessionize_events (r2) driver-hash
+    failure class."""
+
+    def _spec(self, sql):
+        from anycrawl_spark.operators.queries import QuerySpec, load
+        from pyspark.sql import functions as F
+
+        def fn(spark, sf_dir):
+            return (load(spark, sf_dir, "documents")
+                    .groupBy((F.col("doc_id") % 7).alias("bucket"))
+                    .agg(F.sum("doc_id").cast("long").alias("total"))
+                    .select(F.col("bucket").cast("long").alias("bucket"),
+                            "total"))
+
+        return QuerySpec(fn, sql, "canary")
+
+    def test_uncast_hugeint_sum_fails_and_cast_passes(self, spark):
+        import sys
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "tools"))
+        from validate_oracle import compare_query, open_duckdb
+
+        sf_dir = "/root/testdata/sf0.01"
+        con = open_duckdb(sf_dir)
+        # Uncast: DuckDB SUM(BIGINT) -> HUGEINT (decimal128); values
+        # stringify identically to Spark's BIGINT sum, so only a
+        # type-aware comparison can reject it.
+        bad = self._spec(
+            "SELECT doc_id % 7 AS bucket, SUM(doc_id) AS total "
+            "FROM documents GROUP BY 1")
+        ok, msg = compare_query(spark, con, bad, sf_dir)
+        assert not ok and "TYPE mismatch" in msg and "decimal" in msg
+
+        # Int-width drift (INT vs Spark BIGINT) must also fail.
+        drift = self._spec(
+            "SELECT doc_id % 7 AS bucket, "
+            "CAST(SUM(doc_id) AS INT) AS total FROM documents GROUP BY 1")
+        ok, msg = compare_query(spark, con, drift, sf_dir)
+        assert not ok and "TYPE mismatch" in msg and "int32" in msg
+
+        good = self._spec(
+            "SELECT CAST(doc_id % 7 AS BIGINT) AS bucket, "
+            "CAST(SUM(doc_id) AS BIGINT) AS total FROM documents GROUP BY 1")
+        ok, msg = compare_query(spark, con, good, sf_dir)
+        assert ok, msg

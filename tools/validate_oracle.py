@@ -1,6 +1,14 @@
 """Local replica of the driver's correctness gate: run each registry query on
 Spark and its DuckDB oracle side-by-side at sf0.01, compare row count, sorted
-column names, and the order-insensitive multiset of values.
+column names, per-column TYPES, and the order-insensitive multiset of values.
+
+The type check exists because the driver hashes values together with their
+Arrow types: a DuckDB HUGEINT (windowed SUM of integers) or DECIMAL output
+hash-mismatches a Spark BIGINT/DOUBLE even when ``str()`` of every value
+agrees — the `simhash16` (round 1) / `sessionize_events` (round 2) failure
+class.  Both sides' schemas are canonicalized and compared per column, so an
+uncast SUM fails here before it fails in the driver (canary-tested in
+tests/test_operators.py::TestOracleValidator).
 
 Usage: python tools/validate_oracle.py [query ...]
 """
@@ -34,11 +42,121 @@ def normalize_rows(cols, rows):
     return [cols[i] for i in order], out
 
 
-def main():
+def canon_arrow_type(t) -> str:
+    """Canonical label for a pyarrow type (the driver-side hash alphabet)."""
+    import pyarrow as pa
+
+    s = str(t)
+    if s.startswith("decimal"):
+        return "decimal"          # DuckDB HUGEINT / DECIMAL — always flagged
+    if pa.types.is_integer(t):
+        return "int64" if t.bit_width == 64 else "int32"
+    if pa.types.is_floating(t):
+        return "float64" if s == "double" else "float32"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_date(t):
+        return "date"
+    if (pa.types.is_list(t) or pa.types.is_large_list(t)
+            or pa.types.is_fixed_size_list(t)):
+        return f"list<{canon_arrow_type(t.value_type)}>"
+    return s
+
+
+def canon_spark_type(t) -> str:
+    """Canonical label for a Spark DataType, same alphabet as Arrow's."""
+    from pyspark.sql import types as T
+
+    if isinstance(t, T.LongType):
+        return "int64"
+    if isinstance(t, (T.IntegerType, T.ShortType, T.ByteType)):
+        return "int32"
+    if isinstance(t, T.DoubleType):
+        return "float64"
+    if isinstance(t, T.FloatType):
+        return "float32"
+    if isinstance(t, T.BooleanType):
+        return "bool"
+    if isinstance(t, T.StringType):
+        return "string"
+    if isinstance(t, T.BinaryType):
+        return "binary"
+    if isinstance(t, (T.TimestampType, T.TimestampNTZType)):
+        return "timestamp"
+    if isinstance(t, T.DateType):
+        return "date"
+    if isinstance(t, T.DecimalType):
+        return "decimal"
+    if isinstance(t, T.ArrayType):
+        return f"list<{canon_spark_type(t.elementType)}>"
+    return t.simpleString()
+
+
+def compare_query(spark, con, spec, sf_dir=SF_DIR):
+    """Run one registry query both ways; return (ok: bool, msg: str).
+
+    Importable so the pytest canary can assert that an injected uncast
+    windowed SUM (HUGEINT) or a type-drifted oracle actually fails.
+    """
+    sdf = spec.fn(spark, sf_dir)
+    s_cols = sdf.columns
+    s_types = {f.name: canon_spark_type(f.dataType) for f in sdf.schema.fields}
+    s_rows = [tuple(r) for r in sdf.collect()]
+    rel = con.execute(spec.oracle)
+    d_cols = [d[0] for d in rel.description]
+    d_rows = rel.fetchall()
+    arrow_schema = con.execute(spec.oracle).arrow().schema
+    d_types = {f.name: canon_arrow_type(f.type) for f in arrow_schema}
+
+    type_mismatch = [
+        f"{c}: spark={s_types[c]} duckdb={d_types[c]}"
+        for c in s_types
+        if c in d_types and s_types[c] != d_types[c]
+    ]
+    if type_mismatch:
+        return False, (
+            "column TYPE mismatch (driver's type-aware hash will fail even "
+            "if values stringify identically — CAST in the oracle SQL): "
+            + "; ".join(type_mismatch))
+
+    sc, sr = normalize_rows(s_cols, s_rows)
+    dc, dr = normalize_rows(d_cols, d_rows)
+    if sc != dc:
+        return False, f"column mismatch spark={sc} duckdb={dc}"
+    if len(sr) != len(dr):
+        return False, f"row count spark={len(sr)} duckdb={len(dr)}"
+    if sr != dr:
+        n = sum(1 for a, b in zip(sr, dr) if a != b)
+        diff = [(a, b) for a, b in zip(sr, dr) if a != b][:3]
+        return False, f"value mismatch ({n} rows); first: {diff}"
+    return True, f"{len(sr)} rows match"
+
+
+def open_duckdb(sf_dir=SF_DIR):
     import duckdb
+
+    from anycrawl_spark.operators.queries import TABLES
+
+    con = duckdb.connect()
+    for t in TABLES:
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(path):
+            con.execute(
+                f"CREATE OR REPLACE VIEW {t} AS "
+                f"SELECT * FROM read_parquet('{path}')")
+    return con
+
+
+def main():
     from pyspark.sql import SparkSession
 
-    from anycrawl_spark.operators.queries import REGISTRY, TABLES
+    from anycrawl_spark.operators.queries import REGISTRY
 
     names = sys.argv[1:] or [n for n, s in REGISTRY.items() if s.oracle]
 
@@ -49,11 +167,7 @@ def main():
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
-    con = duckdb.connect()
-    for t in TABLES:
-        path = f"{SF_DIR}/{t}.parquet"
-        if os.path.exists(path):
-            con.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+    con = open_duckdb()
 
     failures = 0
     for name in names:
@@ -62,52 +176,14 @@ def main():
             print(f"  {name}: rows-only (no oracle) — skipped")
             continue
         try:
-            sdf = spec.fn(spark, SF_DIR)
-            s_cols = sdf.columns
-            s_rows = [tuple(r) for r in sdf.collect()]
-            rel = con.execute(spec.oracle)
-            d_cols = [d[0] for d in rel.description]
-            d_rows = rel.fetchall()
-            # The driver hashes values together with their (Arrow) types, so
-            # a DuckDB HUGEINT (windowed SUM of integers) or DECIMAL output
-            # hash-mismatches a Spark BIGINT/DOUBLE even when str() agrees.
-            # Surface that here instead of letting str() mask it.
-            arrow_schema = con.execute(spec.oracle).arrow().schema
-            bad_types = [
-                f"{f.name}:{f.type}"
-                for f in arrow_schema
-                if "decimal" in str(f.type)
-            ]
-            if bad_types:
-                print(
-                    f"✗ {name}: oracle emits decimal-typed columns "
-                    f"{bad_types} (DuckDB HUGEINT/DECIMAL) — the driver's "
-                    f"type-aware hash will mismatch; CAST AS BIGINT/DOUBLE "
-                    f"in the oracle SQL"
-                )
-                failures += 1
-                continue
+            ok, msg = compare_query(spark, con, spec)
         except Exception as e:  # noqa: BLE001
-            print(f"✗ {name}: EXCEPTION {type(e).__name__}: {e}")
+            ok, msg = False, f"EXCEPTION {type(e).__name__}: {e}"
+        if ok:
+            print(f"✓ {name}: {msg}")
+        else:
+            print(f"✗ {name}: {msg}")
             failures += 1
-            continue
-
-        sc, sr = normalize_rows(s_cols, s_rows)
-        dc, dr = normalize_rows(d_cols, d_rows)
-        if sc != dc:
-            print(f"✗ {name}: column mismatch spark={sc} duckdb={dc}")
-            failures += 1
-            continue
-        if len(sr) != len(dr):
-            print(f"✗ {name}: row count spark={len(sr)} duckdb={len(dr)}")
-            failures += 1
-            continue
-        if sr != dr:
-            diff = [(a, b) for a, b in zip(sr, dr) if a != b][:3]
-            print(f"✗ {name}: value mismatch ({sum(1 for a, b in zip(sr, dr) if a != b)} rows); first: {diff}")
-            failures += 1
-            continue
-        print(f"✓ {name}: {len(sr)} rows match")
 
     spark.stop()
     print(f"\n{len(names) - failures}/{len(names)} queries match")
