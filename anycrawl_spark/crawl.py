@@ -186,10 +186,13 @@ def prepare_corpus(pages: DataFrame, dedup: bool = True) -> DataFrame:
 class CrawlEngine:
     def __init__(self, spark: SparkSession, corpus: DataFrame,
                  checkpoint_dir: str, robots: DataFrame | None = None,
-                 cache_corpus: bool = True) -> None:
+                 cache_corpus: bool = True, prepared: bool = False) -> None:
+        """``prepared=True``: the caller already ran prepare_corpus (and
+        typically persisted the result) — the corpus is shared across crawl
+        jobs, as an Iceberg pages table would be at deployment."""
         self.spark = spark
-        self.corpus = prepare_corpus(corpus)
-        if cache_corpus:
+        self.corpus = corpus if prepared else prepare_corpus(corpus)
+        if cache_corpus and not prepared:
             # local/bench convenience: avoid re-scanning + re-canonicalizing
             # the corpus every round. At deployment scale the corpus is an
             # Iceberg table bucketed by url_hash instead (no cache needed —
@@ -204,6 +207,20 @@ class CrawlEngine:
         # cache is cumulative through; invalidated on resume (fresh engine).
         self._bloom_mem: dict[int, bytes] | None = None
         self._bloom_mem_round = -1
+        # -- write pipelining (see _finalize_prev) --------------------------
+        # The slow per-round parquet writes (results/visits/metrics/pending)
+        # overlap the NEXT round's compute jobs: round r submits them async
+        # and round r+1 finalizes (await -> commit -> release caches) right
+        # before submitting its own writes. Next-round reads come from
+        # in-memory state instead of committed files: _pending_mem (the
+        # frontier DataFrame), _bloom_mem (driver-resident filter), and
+        # _seen_uncommitted (paths of synchronously-written seen deltas).
+        self._prev_inflight: dict | None = None
+        self._graveyard: list = []      # caches from two rounds back
+        self._pending_mem: DataFrame | None = None
+        self._seen_uncommitted: list[tuple[int, str]] = []
+        self._bloom_uncommitted: tuple[int, str] | None = None
+        self._writes: ThreadPoolExecutor | None = None
 
     # -- state helpers ------------------------------------------------------
     def _progress(self) -> dict:
@@ -214,15 +231,71 @@ class CrawlEngine:
 
     def _latest_bloom(self, spark: SparkSession,
                       up_to_round: int) -> DataFrame | None:
-        """Newest committed bloom round ≤ ``up_to_round``. Bloom checkpoints
-        are cumulative (each round's write is the OR-merge of its delta with
+        """Newest bloom round ≤ ``up_to_round`` — committed, or the round
+        whose write this run completed synchronously but whose manifest
+        commit is still deferred (write pipelining). Bloom checkpoints are
+        cumulative (each round's write is the OR-merge of its delta with
         the prior checkpoint), so the newest round alone IS the seen filter —
         no per-round history re-merge."""
         rounds = [rr for rr in self.catalog.committed_rounds("bloom")
                   if rr <= up_to_round]
-        if not rounds:
+        best = max(rounds) if rounds else None
+        if (self._bloom_uncommitted is not None
+                and self._bloom_uncommitted[0] <= up_to_round
+                and (best is None or self._bloom_uncommitted[0] > best)):
+            return spark.read.parquet(self._bloom_uncommitted[1])
+        if best is None:
             return None
-        return self.catalog.read_round(spark, "bloom", max(rounds))
+        return self.catalog.read_round(spark, "bloom", best)
+
+    def _read_seen(self, spark: SparkSession,
+                   up_to_round: int) -> DataFrame | None:
+        """Seen-set union ≤ ``up_to_round``: committed rounds plus rounds
+        whose files this run wrote synchronously ahead of their deferred
+        manifest commit. The seen set is only ever used as an anti-join /
+        bloom-rebuild bag of hashes, so the momentary overlap between a
+        compacted in-flight round and older committed rounds is harmless
+        (duplicate hashes don't change anti-join semantics)."""
+        rounds = [rr for rr in self.catalog.committed_rounds("seen")
+                  if rr <= up_to_round]
+        paths = [self.catalog.round_path("seen", rr) for rr in rounds]
+        paths += [p for rr, p in self._seen_uncommitted
+                  if rr <= up_to_round and rr not in rounds]
+        if not paths:
+            return None
+        return spark.read.parquet(*paths)
+
+    def _finalize_prev(self) -> None:
+        """Complete the previous round's deferred tail: await its parquet
+        writes, commit its manifest entry, then release the caches retired
+        two rounds back (the previous round's in-flight writes may still
+        reference last round's cached frames through deferred/retry
+        lineage, so each round's caches live exactly one extra round)."""
+        prev = self._prev_inflight
+        self._prev_inflight = None
+        if prev is not None:
+            for fut in prev["futures"]:
+                fut.result()
+            self.catalog.commit_round(prev["round"], prev["tables"],
+                                      prev["meta"],
+                                      replace=prev["replace"] or None)
+            committed_seen = set(self.catalog.committed_rounds("seen"))
+            self._seen_uncommitted = [
+                (rr, p) for rr, p in self._seen_uncommitted
+                if rr not in committed_seen]
+            if (self._bloom_uncommitted is not None
+                    and self._bloom_uncommitted[0]
+                    in self.catalog.committed_rounds("bloom")):
+                self._bloom_uncommitted = None
+            # docs/admitted are only read by the just-awaited writes —
+            # release them now (the payload-heavy frames). new_rows backs
+            # the in-memory pending the CURRENT round's in-flight writes
+            # still read, so it waits one more finalize in the graveyard.
+            for df in prev["caches_now"]:
+                df.unpersist()
+        for df in self._graveyard:
+            df.unpersist()
+        self._graveyard = prev["caches_later"] if prev is not None else []
 
     # -- cancellation (Progress.ts:434-448) ---------------------------------
     # A marker file in the checkpoint root, so any process holding the
@@ -254,6 +327,14 @@ class CrawlEngine:
     # -- the round loop -----------------------------------------------------
     def run(self, cfg: CrawlConfig, resume: bool = False) -> dict:
         t0 = time.time()
+        # reset pipelining state: run() may be called again on one engine
+        # (resume/cancel tests); in-memory state from a prior run is stale
+        self._prev_inflight = None
+        self._graveyard = []
+        self._pending_mem = None
+        self._seen_uncommitted = []
+        self._bloom_uncommitted = None
+        self._writes = ThreadPoolExecutor(max_workers=8)
         if resume:
             self.catalog.drop_uncommitted()
             progress = self._progress()
@@ -290,6 +371,7 @@ class CrawlEngine:
                 "bloom", 0)
             progress = {"round": 0, "done": 0, "failed": 0, "enqueued": n_seed,
                         "finalized": n_seed == 0, "phase": "seeded",
+                        "pending_seq_range": [0, max(0, n_seed - 1)],
                         "bloom_geometry": [cfg.bloom_num_buckets,
                                            cfg.bloom_m_bits, cfg.bloom_k]}
             self.catalog.commit_round(0, ["pending", "seen", "bloom"], progress)
@@ -298,18 +380,29 @@ class CrawlEngine:
         extract_udf = make_extract_udf(
             formats=cfg.formats, only_main_content=cfg.only_main_content)
 
-        while round_no <= cfg.max_rounds and not progress.get("finalized"):
-            if self.is_cancelled():
-                # Progress.cancel (Progress.ts:434-448): mark finalized
-                # immediately; the limit hook skips admission when cancelled
-                # (EngineConfigurator.ts:84-99). Between-rounds is the batch
-                # equivalent of between-requests.
-                progress = {**progress, "round": round_no, "finalized": True,
-                            "cancelled": True, "phase": "cancelled"}
-                self.catalog.commit_round(round_no, [], progress)
-                break
-            progress = self._run_round(cfg, round_no, progress, extract_udf)
-            round_no += 1
+        try:
+            while round_no <= cfg.max_rounds and not progress.get("finalized"):
+                if self.is_cancelled():
+                    # Progress.cancel (Progress.ts:434-448): mark finalized
+                    # immediately; the limit hook skips admission when
+                    # cancelled (EngineConfigurator.ts:84-99). Between-rounds
+                    # is the batch equivalent of between-requests.
+                    self._finalize_prev()
+                    progress = {**progress, "round": round_no,
+                                "finalized": True, "cancelled": True,
+                                "phase": "cancelled"}
+                    self.catalog.commit_round(round_no, [], progress)
+                    break
+                progress = self._run_round(cfg, round_no, progress, extract_udf)
+                round_no += 1
+        finally:
+            # flush the deferred tail: the last round's writes + commit, then
+            # every cache still parked in the graveyard chain
+            self._finalize_prev()
+            self._finalize_prev()
+            self._pending_mem = None
+            self._writes.shutdown(wait=True)
+            self._writes = None
 
         fetched_total = progress["done"] - progress["failed"]
         return {
@@ -324,8 +417,13 @@ class CrawlEngine:
 
     def _run_round(self, cfg: CrawlConfig, r: int, progress: dict, extract_udf) -> dict:
         spark = self.spark
+        writes = self._writes
         _t0 = time.time()
-        pending = self.catalog.read_round(spark, "pending", r - 1)
+        # pending: the in-memory frontier from last round (write pipelining —
+        # its parquet write may still be in flight) or, on resume / first
+        # round, the committed checkpoint
+        pending = (self._pending_mem if self._pending_mem is not None
+                   else self.catalog.read_round(spark, "pending", r - 1))
         # drain check: the prior round's meta already counted pending rows
         # (pending_next / seed enqueued), so only fall back to a head(1)
         # probe job when the count is absent (legacy checkpoints)
@@ -337,21 +435,36 @@ class CrawlEngine:
                    or (known_pending == 0 if known_pending is not None
                        else not pending.head(1)))
         if drained:
+            self._finalize_prev()
             meta = {**progress, "round": r, "finalized": True, "phase": "drained"}
             self.catalog.commit_round(r, [], meta)
             return meta
 
         # --- politeness: per-host budget window (the host shuffle) ---------
-        admitted, deferred = apply_host_budget(
-            pending, cfg.politeness_budget, order_cols=("depth", "seq"),
-            salt_n=cfg.budget_salt_n, scope=cfg.budget_scope)
+        if not cfg.politeness_budget and not cfg.batch_size:
+            # unlimited budget: all pending admitted; a schema-only empty
+            # frame (no lineage back into pending) keeps the deferred branch
+            # out of the next round's write plans entirely
+            admitted, deferred = pending, spark.createDataFrame(
+                [], pending.schema)
+        else:
+            admitted, deferred = apply_host_budget(
+                pending, cfg.politeness_budget, order_cols=("depth", "seq"),
+                salt_n=cfg.budget_salt_n, scope=cfg.budget_scope)
         if cfg.batch_size and cfg.batch_size > 0:
             # coordinator batch semantics (crawlCoordinator.ts:33-38): take
             # the first batch_size rows in FIFO (seq) order
             batch = admitted.orderBy("seq").limit(cfg.batch_size)
             deferred = pending.join(batch.select("url_hash"), "url_hash", "left_anti")
             admitted = batch
-        admitted = admitted.cache()
+        # unlimited budget: admitted IS pending (often already a cached
+        # new_rows frame from last round) and feeds only the docs subtree,
+        # which is cached itself — an extra cache would just serialize the
+        # frontier twice. Budget/batch rounds reference admitted from
+        # several branches, so cache it there.
+        admitted_cached = bool(cfg.politeness_budget or cfg.batch_size)
+        if admitted_cached:
+            admitted = admitted.cache()
 
         # --- fetch = equi-join against the corpus --------------------------
         # The join shuffle hash-partitions on url_hash; AQE parallelismFirst
@@ -420,58 +533,22 @@ class CrawlEngine:
             # per-class retry decision (errorHandler): non-retryable classes
             # fail on their first attempt regardless of max_attempts
             final_attempt = final_attempt | ~should_retry_col(F.col("error_message"))
-        # One job: outcome counts (progress/retry math) + the admitted seq
-        # range (drives the sampling-free dense-seq bucketing below).
-        outcome_rows = (
-            docs.groupBy("status", final_attempt.alias("final"))
-            .agg(F.count("*").alias("count"),
-                 F.min("seq").alias("min_seq"), F.max("seq").alias("max_seq"))
-            .collect()
-        )
-        outcome_counts = {(row["status"], row["final"]): row["count"]
-                          for row in outcome_rows}
-        seq_lo = min((row["min_seq"] for row in outcome_rows), default=0)
-        seq_hi = max((row["max_seq"] for row in outcome_rows), default=0)
-        n_fetched = sum(v for (s_, fin), v in outcome_counts.items() if s_ == 200)
-        n_failed = sum(v for (s_, fin), v in outcome_counts.items()
-                       if s_ != 200 and fin)
-        _t_fetch = time.time()
 
-
-        # results: persistence gated by scrape_paths (F5) — links still flow;
-        # visits: complete per-round visit log (crawl-order golden surface).
-        # The docs-derived writes are independent reads of the cached docs →
-        # submitted concurrently (Spark schedules concurrent jobs fine; each
-        # write targets its own round directory).
-        writes = ThreadPoolExecutor(max_workers=3)
-        pending_writes = [
-            writes.submit(
-                self.catalog.append_round,
-                docs.where(F.col("should_scrape")).drop("links", "should_scrape"),
-                "results", r),
-            writes.submit(
-                self.catalog.append_round,
-                docs.select("job_id", "url", "url_hash", "host", "depth", "seq",
-                            "attempt", "status", "round"),
-                "visits", r),
-        ]
-
-        # per-partition lineage/metrics (north rule)
-        metrics = (
-            docs.groupBy(F.spark_partition_id().alias("partition_id"), "host")
-            .agg(F.count("*").alias("urls"),
-                 F.sum(F.when(F.col("status") == 200, 1).otherwise(0)).alias("fetched"),
-                 F.sum(F.coalesce(F.col("bytes"), F.lit(0))).alias("bytes"))
-            .withColumn("round", F.lit(r))
-            .withColumn("job_id", F.lit(cfg.job_id))
-        )
-        pending_writes.append(
-            writes.submit(self.catalog.append_round, metrics, "metrics", r))
-
-        # --- discover → filter → dedup → enqueue ---------------------------
-        new_rows = None
-        n_new = 0
+        # --- discovery subtree construction (links → filters → seen) -------
+        # Built BEFORE the outcome job so its one materialization (the
+        # eager localCheckpoint in _build_ranked) can run CONCURRENTLY with
+        # the outcome counts: both evaluate the cached docs frame (block
+        # locks serialize per-partition compute), so wall time is ~max of
+        # the two jobs instead of their sum. The width_bucket bounds come
+        # from the prior round's recorded pending seq range when available
+        # (bounds only need to COVER the admitted parents' seqs — bucket
+        # boundaries don't affect the dense numbering, which orders by
+        # bucket then (parent_seq, link_pos)); on legacy/resumed checkpoints
+        # without the range, materialization waits for the outcome job's
+        # min/max seq.
         enqueued = progress["enqueued"]
+        disc_build = None
+        disc_fut = None
         if enqueued < cfg.limit:
             links = (
                 docs.where(F.col("status") == 200)
@@ -512,42 +589,109 @@ class CrawlEngine:
                 if driver_bloom and segments is not None:
                     self._bloom_mem = segments_to_driver(segments)
                     segments = segments_from_driver(spark, self._bloom_mem)
-            seen = self.catalog.read(spark, "seen", up_to_round=r - 1)
+            seen = self._read_seen(spark, r - 1)
             links = filter_new(links, segments, seen,
                                num_buckets=cfg.bloom_num_buckets,
                                m_bits=cfg.bloom_m_bits, k=cfg.bloom_k)
 
-            # enqueue cap + dense seq (FIFO append order), scale-safe:
-            # a Window.partitionBy(job_id) would sort the whole round's
-            # discovery set in ONE task. Instead bucket by the FIFO sort key
-            # WITHOUT sampling: the admitted parent seq range [seq_lo,
-            # seq_hi] is already known driver-side (same job as the outcome
-            # counts), so width_bucket(parent_seq) yields contiguous key
-            # ranges directly — no repartitionByRange sampling pass, no
-            # second evaluation of the discovery subtree, no range shuffle
-            # (the rank window's own hash shuffle on __bucket is the only
-            # data movement). Rows sharing a parent_seq land in one bucket,
-            # so bucket index respects FIFO order between buckets and the
-            # within-bucket row_number over (parent_seq, link_pos) completes
-            # the identical dense numbering. Buckets = 4x parallelism keeps
-            # each rank task a bounded slice even when link fanout is uneven
-            # across the seq range. Buckets whose cumulative offset already
-            # exceeds the enqueue capacity are pruned before ranking.
-            capacity = cfg.limit - enqueued
             n_buckets = 4 * spark.sparkContext.defaultParallelism
-            # NOT persisted: the discovery subtree evaluates twice (counts
-            # job + rank window job) — caching it was MEASURED SLOWER (cache
-            # serialization beats the recompute: the subtree is all
-            # codegen-fused JVM exprs + one Arrow stage over link rows, no
-            # html). Revisit only if the discovery subtree grows Python-heavy.
-            ranged = (
-                links.withColumn(
-                    "__bucket",
-                    F.width_bucket(F.col("parent_seq"), F.lit(seq_lo),
-                                   F.lit(seq_hi + 1), F.lit(n_buckets)))
-            )
+
+            def disc_build(lo, hi, links=links, n_buckets=n_buckets):
+                # ONE evaluation of the discovery subtree: rank within
+                # bucket (needs no cross-bucket knowledge), eagerly
+                # localCheckpoint the ranked frame; counts and the capped
+                # new_rows both derive from the checkpointed blocks.
+                #
+                # localCheckpoint, NOT cache: the frontier delta is the
+                # round boundary — the next round's whole plan (and this
+                # round's in-flight writes) sit on top of it. A cache here
+                # nests InMemoryRelations round over round; unpersisting
+                # any mid-chain entry makes later plan lookups miss and
+                # re-derive the entire crawl history (measured: outcome-job
+                # task counts growing ~3x per round). Checkpointing
+                # truncates lineage to a LogicalRDD — no plan matching, no
+                # recompute path. Blocks are freed by the ContextCleaner
+                # once the graveyard drops the reference.
+                w_local = Window.partitionBy("__bucket").orderBy(
+                    "parent_seq", "link_pos")
+                return (
+                    links.withColumn(
+                        "__bucket",
+                        F.width_bucket(F.col("parent_seq"), F.lit(lo),
+                                       F.lit(hi + 1), F.lit(n_buckets)))
+                    .withColumn("__lrn", F.row_number().over(w_local))
+                    .select("job_id", "url", "url_hash", "host", "origin",
+                            "path", "parent_depth", "__bucket", "__lrn")
+                    .localCheckpoint()
+                )
+
+            bounds = progress.get("pending_seq_range")
+            if bounds is not None:
+                disc_fut = writes.submit(disc_build, bounds[0], bounds[1])
+
+        # One job: outcome counts (progress/retry math) + the admitted seq
+        # range (dense-seq bucketing fallback for checkpoints without a
+        # recorded pending seq range).
+        outcome_rows = (
+            docs.groupBy("status", final_attempt.alias("final"))
+            .agg(F.count("*").alias("count"),
+                 F.min("seq").alias("min_seq"), F.max("seq").alias("max_seq"))
+            .collect()
+        )
+        outcome_counts = {(row["status"], row["final"]): row["count"]
+                          for row in outcome_rows}
+        seq_lo = min((row["min_seq"] for row in outcome_rows), default=0)
+        seq_hi = max((row["max_seq"] for row in outcome_rows), default=0)
+        n_fetched = sum(v for (s_, fin), v in outcome_counts.items() if s_ == 200)
+        n_failed = sum(v for (s_, fin), v in outcome_counts.items()
+                       if s_ != 200 and fin)
+        _t_fetch = time.time()
+
+
+        # results: persistence gated by scrape_paths (F5) — links still flow;
+        # visits: complete per-round visit log (crawl-order golden surface).
+        # The docs-derived writes are independent reads of the cached docs →
+        # submitted concurrently (Spark schedules concurrent jobs fine; each
+        # write targets its own round directory). None of them is awaited in
+        # this round: _finalize_prev() awaits + commits them while the NEXT
+        # round's compute jobs run (write pipelining).
+        pending_writes = [
+            writes.submit(
+                self.catalog.append_round,
+                docs.where(F.col("should_scrape")).drop("links", "should_scrape"),
+                "results", r),
+            writes.submit(
+                self.catalog.append_round,
+                docs.select("job_id", "url", "url_hash", "host", "depth", "seq",
+                            "attempt", "status", "round"),
+                "visits", r),
+        ]
+
+        # per-partition lineage/metrics (north rule)
+        metrics = (
+            docs.groupBy(F.spark_partition_id().alias("partition_id"), "host")
+            .agg(F.count("*").alias("urls"),
+                 F.sum(F.when(F.col("status") == 200, 1).otherwise(0)).alias("fetched"),
+                 F.sum(F.coalesce(F.col("bytes"), F.lit(0))).alias("bytes"))
+            .withColumn("round", F.lit(r))
+            .withColumn("job_id", F.lit(cfg.job_id))
+        )
+        pending_writes.append(
+            writes.submit(self.catalog.append_round, metrics, "metrics", r))
+
+        # --- discover → filter → dedup → enqueue ---------------------------
+        new_rows = None
+        ranked = None
+        n_new = 0
+        if disc_build is not None:
+            capacity = cfg.limit - enqueued
+            # Buckets whose cumulative offset already exceeds the enqueue
+            # capacity are pruned before the offsets join.
+            ranked = (disc_fut.result() if disc_fut is not None
+                      else disc_build(seq_lo, seq_hi))
             counts = {row["__bucket"]: row["cnt"] for row in
-                      ranged.groupBy("__bucket").agg(F.count("*").alias("cnt")).collect()}
+                      ranked.groupBy("__bucket").agg(
+                          F.max("__lrn").alias("cnt")).collect()}
             total = sum(counts.values())
             offsets, acc = [], 0
             for b in sorted(counts):
@@ -556,24 +700,25 @@ class CrawlEngine:
             off_df = spark.createDataFrame(
                 [(b, o) for b, o in offsets if o < capacity],
                 "__bucket long, __off long")
-            w_local = Window.partitionBy("__bucket").orderBy("parent_seq", "link_pos")
             new_rows = (
-                ranged.join(F.broadcast(off_df), "__bucket")
-                .withColumn("__rn", F.col("__off") + F.row_number().over(w_local))
+                ranked.join(F.broadcast(off_df), "__bucket")
+                .withColumn("__rn", F.col("__off") + F.col("__lrn"))
                 .where(F.col("__rn") <= capacity)
                 .withColumn("depth", F.col("parent_depth") + 1)
                 .withColumn("seq", F.lit(enqueued) - 1 + F.col("__rn"))
                 .withColumn("round_added", F.lit(r))
                 .withColumn("attempt", F.lit(1))
                 .select(*FRONTIER_COLS)
-                .cache()
             )
             n_new = min(total, capacity)
         _t_discover = time.time()
 
         # --- next pending + seen/bloom appends -----------------------------
-        for fut in pending_writes:
-            fut.result()
+        # Finalize the PREVIOUS round here (await its writes — they had this
+        # whole round's compute to overlap with — commit its manifest, free
+        # caches retired two rounds back) before submitting this round's
+        # state writes.
+        self._finalize_prev()
         next_pending = deferred.select(*FRONTIER_COLS)
         if cfg.max_attempts > 1:
             retries = (
@@ -593,8 +738,26 @@ class CrawlEngine:
             )
             next_pending = next_pending.unionByName(retries)
         if new_rows is not None and n_new > 0:
-            next_pending = next_pending.unionByName(new_rows)
+            if not cfg.politeness_budget and not cfg.batch_size \
+                    and cfg.max_attempts == 1:
+                # deferred is the schema-only empty frame here — skip the
+                # union so next round's admitted is the cached new_rows
+                # frame itself (depth-1 lineage for the pipelined pending)
+                next_pending = new_rows
+            else:
+                next_pending = next_pending.unionByName(new_rows)
         state_writes = [writes.submit(self.catalog.append_round, next_pending, "pending", r)]
+        # In-memory pending for the next round is only safe when its lineage
+        # is one cached frame deep (unlimited budget, no batching, no
+        # retries): with budgets/batches the deferred branch chains through
+        # every prior round's frontier, so cut lineage by waiting for the
+        # parquet write and reading it back (commit still deferred).
+        pipeline_pending = (not cfg.politeness_budget and not cfg.batch_size
+                            and cfg.max_attempts == 1)
+        if not pipeline_pending:
+            state_writes[0].result()
+            next_pending = spark.read.parquet(
+                self.catalog.round_path("pending", r))
         compact_seen = False
         if n_new > 0:
             # seen compaction: the seen read unions every committed round's
@@ -607,11 +770,15 @@ class CrawlEngine:
             compact_seen = (
                 cfg.seen_compact_every > 0 and seen is not None
                 and len(self.catalog.committed_rounds("seen"))
+                + len(self._seen_uncommitted)
                 >= cfg.seen_compact_every)
             if compact_seen:
-                state_writes.append(writes.submit(
-                    self.catalog.append_round,
-                    seen.unionByName(new_rows.select("url_hash")), "seen", r))
+                # synchronous: the NEXT round's anti-join reads this file
+                # before its manifest commit lands (write pipelining)
+                self.catalog.append_round(
+                    seen.unionByName(new_rows.select("url_hash")), "seen", r)
+                self._seen_uncommitted.append(
+                    (r, self.catalog.round_path("seen", r)))
             # incremental checkpoint: merge this round's delta into the
             # previous cumulative segment set ONCE, write it as round r.
             # Driver-resident filters (small crawls: the per-round delta is
@@ -631,6 +798,8 @@ class CrawlEngine:
                         pa.table({"url_hash": pa.array(hashes,
                                                        type=pa.string())}),
                         "seen", r)
+                    self._seen_uncommitted.append(
+                        (r, self.catalog.round_path("seen", r)))
                 build_hashes = hashes
                 if self._bloom_mem is None and seen is not None:
                     # prior bloom checkpoint missing/corrupt (filter_new
@@ -659,10 +828,17 @@ class CrawlEngine:
                     }),
                     "bloom", r)
             else:
+                # Deployment-size filters: seen delta + cumulative bloom are
+                # written SYNCHRONOUSLY — the next round's bloom pre-filter
+                # must include this round's URLs (a stale bloom's false
+                # negatives would mark seen URLs definitely-new and enqueue
+                # duplicates), and both files are read next round ahead of
+                # their deferred manifest commit.
                 if not compact_seen:
-                    state_writes.append(writes.submit(
-                        self.catalog.append_round,
-                        new_rows.select("url_hash"), "seen", r))
+                    self.catalog.append_round(
+                        new_rows.select("url_hash"), "seen", r)
+                    self._seen_uncommitted.append(
+                        (r, self.catalog.round_path("seen", r)))
                 delta = build_segments(new_rows,
                                        num_buckets=cfg.bloom_num_buckets,
                                        m_bits=cfg.bloom_m_bits, k=cfg.bloom_k)
@@ -678,11 +854,9 @@ class CrawlEngine:
                 else:
                     cumulative = delta
                 self._bloom_mem = None
-                state_writes.append(writes.submit(
-                    self.catalog.append_round, cumulative, "bloom", r))
-        for fut in state_writes:
-            fut.result()
-        writes.shutdown(wait=True)
+                self.catalog.append_round(cumulative, "bloom", r)
+                self._bloom_uncommitted = (
+                    r, self.catalog.round_path("bloom", r))
         # next-pending count by arithmetic over aggregates this round already
         # computed — no re-read of the just-written files (which cost a
         # footer-scan Spark job per round):
@@ -708,11 +882,26 @@ class CrawlEngine:
         failed = progress["failed"] + n_failed
         enqueued_total = enqueued + n_new
         finalized = n_pending_next == 0 or done >= cfg.limit
+        # Seq range of next round's pending, by arithmetic: new rows carry
+        # seq [enqueued, enqueued + n_new - 1]; deferred/retry rows keep
+        # seqs within the prior range, so the union of ranges covers them.
+        # Drives the next round's width_bucket bounds without waiting for
+        # its outcome job (concurrent discovery materialization).
+        prev_rng = progress.get("pending_seq_range")
+        if n_new > 0:
+            rng = [enqueued, enqueued + n_new - 1]
+            if prev_rng is not None and (cfg.politeness_budget
+                                         or cfg.batch_size
+                                         or cfg.max_attempts > 1):
+                rng = [min(prev_rng[0], rng[0]), max(prev_rng[1], rng[1])]
+        else:
+            rng = prev_rng
         meta = {
             "round": r, "done": done, "failed": failed,
             "enqueued": enqueued_total, "finalized": finalized,
             "admitted": n_fetched + n_failed, "new": n_new,
             "pending_next": n_pending_next, "phase": "crawl",
+            "pending_seq_range": rng,
             # per-phase wall seconds (lineage/metrics; negligible cost)
             "timings": {
                 "fetch_extract": round(_t_fetch - _t0, 3),
@@ -730,11 +919,24 @@ class CrawlEngine:
             tables += ["seen", "bloom"]
         if compact_seen:
             replace.append("seen")
-        self.catalog.commit_round(r, tables, meta, replace=replace or None)
-        admitted.unpersist()
-        if new_rows is not None:
-            new_rows.unpersist()
-        docs.unpersist()
+        # Deferred commit (write pipelining): the manifest entry lands in
+        # _finalize_prev() during the NEXT round, after the writes complete.
+        # A crash before that resumes from the last committed round with
+        # this round's directories dropped — exact-resume is unchanged.
+        caches_now = [docs]
+        if admitted_cached:
+            caches_now.append(admitted)
+        self._prev_inflight = {
+            "round": r, "futures": pending_writes + state_writes,
+            "tables": tables, "meta": meta, "replace": replace,
+            "caches_now": caches_now,
+            # ranked is the localCheckpointed block holder; keeping the
+            # reference until the next finalize stops the ContextCleaner
+            # from reclaiming blocks that in-flight writes still read
+            # (unpersist on a checkpointed frame is a harmless no-op)
+            "caches_later": [ranked] if ranked is not None else [],
+        }
+        self._pending_mem = next_pending
         return meta
 
     # -- reads for callers --------------------------------------------------

@@ -391,22 +391,45 @@ def _fast_feed(core: "_TreeBuilder", rawdata: str) -> None:
             i = lt + 1
 
 
+def _parse_stdlib(html: str) -> Element:
+    builder = _TreeBuilder()
+    builder.feed(html or "")
+    builder.close()
+    return builder.root
+
+
+def _parse_fast(html: str) -> Element:
+    builder = _TreeBuilder()
+    _fast_feed(builder, html or "")
+    return builder.root
+
+
 def parse_html(html: str, backend: str | None = None) -> Element:
     """Parse an HTML string into a DOM rooted at a synthetic ``#root``.
 
-    ``backend``: ``fast`` (default; flat regex tokenizer) or ``stdlib``
-    (html.parser) — overridable via ``ANYCRAWL_DOM_BACKEND``. Both produce
-    identical trees (asserted by the backend-parity tests)."""
+    ``backend`` names a registered backend (kernel.backend.BACKENDS):
+    ``fast`` (default; flat regex tokenizer), ``stdlib`` (html.parser), or
+    any deployment-registered C parser adapter — overridable via
+    ``ANYCRAWL_DOM_BACKEND``. All backends must produce identical trees
+    (node contract + conformance suite in kernel/backend.py)."""
     import os
 
-    backend = backend or os.environ.get("ANYCRAWL_DOM_BACKEND", "fast")
-    builder = _TreeBuilder()
-    if backend == "stdlib":
-        builder.feed(html or "")
-        builder.close()
-    else:
-        _fast_feed(builder, html or "")
-    return builder.root
+    from anycrawl_spark.kernel.backend import BACKENDS
+
+    name = backend or os.environ.get("ANYCRAWL_DOM_BACKEND", "fast")
+    parse = BACKENDS.get(name)
+    if parse is None:
+        raise ValueError(
+            f"unknown DOM backend {name!r}; registered: {sorted(BACKENDS)}")
+    return parse(html)
+
+
+# register the built-in backends (import-order safe: backend.py holds only
+# the registry; dom.py registers into it at import)
+from anycrawl_spark.kernel.backend import register_backend  # noqa: E402
+
+register_backend("fast", _parse_fast)
+register_backend("stdlib", _parse_stdlib)
 
 
 # ---------------------------------------------------------------------------

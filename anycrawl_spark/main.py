@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -29,6 +30,11 @@ def build_session(app: str):
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "8000")
+        # local-CLI default; spark-submit --driver-memory overrides. The
+        # engine keeps up to two rounds of cached extraction output alive
+        # (write pipelining), which outgrows the 1g JVM default.
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "4g"))
         .getOrCreate()
     )
 

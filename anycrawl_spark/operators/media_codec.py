@@ -79,6 +79,64 @@ def make_wav(sample_rate: int, n_samples: int) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+def make_bmp(width: int, height: int) -> bytes:
+    """BMP file header + BITMAPINFOHEADER (24-bit, no compression); pixel
+    data omitted (header-only fixture, like the GIF encoder)."""
+    dib = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, 0,
+                      2835, 2835, 0, 0)
+    return b"BM" + struct.pack("<IHHI", 14 + 40, 0, 0, 54) + dib
+
+
+def make_webp(width: int, height: int, variant: str = "vp8") -> bytes:
+    """WebP RIFF container in one of its three bitstream flavours:
+
+    - ``vp8``  — lossy: keyframe tag + 0x9D012A start code + 14-bit dims
+    - ``vp8l`` — lossless: 0x2F signature + (w-1, h-1) packed LE bitfield
+    - ``vp8x`` — extended: canvas (w-1, h-1) as 24-bit LE fields
+    """
+    if variant == "vp8":
+        body = (bytes(3) + b"\x9d\x01\x2a"
+                + struct.pack("<HH", width & 0x3FFF, height & 0x3FFF))
+        tag = b"VP8 "
+    elif variant == "vp8l":
+        bits = (width - 1) | ((height - 1) << 14)
+        body = b"\x2f" + struct.pack("<I", bits)
+        tag = b"VP8L"
+    elif variant == "vp8x":
+        body = (bytes(4)
+                + (width - 1).to_bytes(3, "little")
+                + (height - 1).to_bytes(3, "little"))
+        tag = b"VP8X"
+    else:
+        raise ValueError(f"unknown webp variant {variant!r}")
+    chunk = tag + struct.pack("<I", len(body)) + body
+    if len(body) & 1:
+        chunk += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+# MPEG1 Layer III constants (frame header tables)
+_MP3_BITRATES = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224,
+                 256, 320]
+_MP3_RATES = [44100, 48000, 32000]
+
+
+def make_mp3(sample_rate: int, n_frames: int, with_id3: bool = False) -> bytes:
+    """``n_frames`` silent MPEG1 Layer III frames at 128 kbit/s (bitrate
+    index 9), optionally behind an ID3v2.4 tag (syncsafe size + padding)."""
+    sr_idx = _MP3_RATES.index(sample_rate)
+    frame_len = 144 * 128_000 // sample_rate
+    header = bytes([0xFF, 0xFB, (9 << 4) | (sr_idx << 2), 0])
+    frames = (header + bytes(frame_len - 4)) * n_frames
+    if with_id3:
+        body = bytes(32)
+        sz = len(body)
+        syncsafe = bytes([(sz >> 21) & 0x7F, (sz >> 14) & 0x7F,
+                          (sz >> 7) & 0x7F, sz & 0x7F])
+        return b"ID3\x04\x00\x00" + syncsafe + body + frames
+    return frames
+
+
 def _box(tag: bytes, body: bytes) -> bytes:
     return struct.pack(">I", len(body) + 8) + tag + body
 
@@ -221,6 +279,72 @@ def _decode_mp4(b: bytes) -> dict:
             "duration_ms": dur_ms, "sample_rate": 0}
 
 
+def _decode_bmp(b: bytes) -> dict:
+    if len(b) < 26:
+        return dict(_EMPTY, format="bmp")
+    w, h = struct.unpack("<ii", b[18:26])
+    # negative height = top-down DIB; dimension is its magnitude
+    return {"format": "bmp", "width": abs(w), "height": abs(h),
+            "duration_ms": 0, "sample_rate": 0}
+
+
+def _decode_webp(b: bytes) -> dict:
+    # RIFF chunk walk after the 12-byte RIFF/WEBP header; dimensions live in
+    # whichever bitstream chunk comes first (VP8 / VP8L / VP8X).
+    i, n = 12, len(b)
+    while i + 8 <= n:
+        tag = b[i:i + 4]
+        size = struct.unpack("<I", b[i + 4:i + 8])[0]
+        lo = i + 8
+        if tag == b"VP8 " and lo + 10 <= n and b[lo + 3:lo + 6] == b"\x9d\x01\x2a":
+            w, h = struct.unpack("<HH", b[lo + 6:lo + 10])
+            return {"format": "webp", "width": w & 0x3FFF,
+                    "height": h & 0x3FFF, "duration_ms": 0, "sample_rate": 0}
+        if tag == b"VP8L" and lo + 5 <= n and b[lo] == 0x2F:
+            bits = struct.unpack("<I", b[lo + 1:lo + 5])[0]
+            return {"format": "webp", "width": (bits & 0x3FFF) + 1,
+                    "height": ((bits >> 14) & 0x3FFF) + 1,
+                    "duration_ms": 0, "sample_rate": 0}
+        if tag == b"VP8X" and lo + 10 <= n:
+            w = 1 + int.from_bytes(b[lo + 4:lo + 7], "little")
+            h = 1 + int.from_bytes(b[lo + 7:lo + 10], "little")
+            return {"format": "webp", "width": w, "height": h,
+                    "duration_ms": 0, "sample_rate": 0}
+        i = lo + size + (size & 1)
+    return dict(_EMPTY, format="webp")
+
+
+def _decode_mp3(b: bytes) -> dict:
+    i = 0
+    if b.startswith(b"ID3") and len(b) >= 10:
+        sz = (b[6] << 21) | (b[7] << 14) | (b[8] << 7) | b[9]
+        i = 10 + sz + (10 if b[5] & 0x10 else 0)  # +footer when flagged
+    n = len(b)
+    frames = samples = sr = 0
+    while i + 4 <= n:
+        if b[i] != 0xFF or (b[i + 1] & 0xE0) != 0xE0:
+            break
+        version = (b[i + 1] >> 3) & 3
+        layer = (b[i + 1] >> 1) & 3
+        if version != 3 or layer != 1:   # MPEG1 Layer III only
+            break
+        br_idx = b[i + 2] >> 4
+        sr_idx = (b[i + 2] >> 2) & 3
+        pad = (b[i + 2] >> 1) & 1
+        if br_idx in (0, 15) or sr_idx == 3:
+            break
+        sr = _MP3_RATES[sr_idx]
+        flen = 144 * _MP3_BITRATES[br_idx] * 1000 // sr + pad
+        if flen < 4:
+            break
+        frames += 1
+        samples += 1152                  # MPEG1 Layer III samples/frame
+        i += flen
+    dur = samples * 1000 // sr if sr else 0
+    return {"format": "mp3", "width": 0, "height": 0,
+            "duration_ms": dur, "sample_rate": sr}
+
+
 def decode_media_bytes(payload: bytes) -> dict:
     """Sniff the container by magic bytes and parse its header. Returns
     {format, width, height, duration_ms, sample_rate}; format='unknown'
@@ -234,6 +358,13 @@ def decode_media_bytes(payload: bytes) -> dict:
         return _decode_jpeg(b)
     if b.startswith(b"RIFF") and b[8:12] == b"WAVE":
         return _decode_wav(b)
+    if b.startswith(b"RIFF") and b[8:12] == b"WEBP":
+        return _decode_webp(b)
+    if b.startswith(b"BM") and len(b) >= 26:
+        return _decode_bmp(b)
     if len(b) >= 12 and b[4:8] == b"ftyp":
         return _decode_mp4(b)
+    if (b.startswith(b"ID3")
+            or (len(b) >= 2 and b[0] == 0xFF and (b[1] & 0xE0) == 0xE0)):
+        return _decode_mp3(b)
     return dict(_EMPTY)

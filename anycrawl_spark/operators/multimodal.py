@@ -20,11 +20,14 @@ from pyspark.sql import DataFrame, functions as F
 
 from anycrawl_spark.operators.media_codec import (
     decode_media_bytes,
+    make_bmp,
     make_gif,
     make_jpeg,
+    make_mp3,
     make_mp4,
     make_png,
     make_wav,
+    make_webp,
 )
 
 MEDIA_META_SCHEMA = (
@@ -144,10 +147,16 @@ def synthesize_media(documents: DataFrame) -> DataFrame:
     what header decode must return.
 
     Parameter map (mirrored by the media_decode_meta oracle SQL):
-      doc_id % 3 == 0 → image, format = [png,gif,jpeg][(doc_id//3) % 3],
+      doc_id % 3 == 0 → image, format = [png,gif,jpeg,webp,bmp][(doc_id//3) % 5]
+                        (webp bitstream variant = [vp8,vp8l,vp8x][(doc_id//15) % 3]
+                         — all decode to format='webp'),
                         width = 16 + doc_id % 320, height = 16 + (7*doc_id) % 200
-      doc_id % 3 == 1 → audio wav, sample_rate = 8000 + 4000*(doc_id % 5),
-                        n_samples = 100*(1 + doc_id % 16)
+      doc_id % 3 == 1 → audio, format = [wav,mp3][(doc_id//3) % 2]
+                        wav: sample_rate = 8000 + 4000*(doc_id % 5),
+                             n_samples = 100*(1 + doc_id % 16)
+                        mp3: sample_rate = [32000,44100,48000][(doc_id//6) % 3],
+                             n_frames = 1 + doc_id % 8 (1152 samples/frame),
+                             ID3v2 tag prepended when (doc_id//6) % 2 == 1
       doc_id % 3 == 2 → video mp4, width = 160 + 16*(doc_id % 60),
                         height = 120 + 8*(doc_id % 90),
                         duration_units = 500*(1 + doc_id % 20) @ timescale 600
@@ -162,14 +171,27 @@ def synthesize_media(documents: DataFrame) -> DataFrame:
                 m = d % 3
                 if m == 0:
                     w, h = 16 + d % 320, 16 + (7 * d) % 200
-                    fmt = (d // 3) % 3
-                    payload = (make_png(w, h) if fmt == 0
-                               else make_gif(w, h) if fmt == 1
-                               else make_jpeg(w, h))
+                    fmt = (d // 3) % 5
+                    if fmt == 0:
+                        payload = make_png(w, h)
+                    elif fmt == 1:
+                        payload = make_gif(w, h)
+                    elif fmt == 2:
+                        payload = make_jpeg(w, h)
+                    elif fmt == 3:
+                        payload = make_webp(
+                            w, h, ("vp8", "vp8l", "vp8x")[(d // 15) % 3])
+                    else:
+                        payload = make_bmp(w, h)
                     modality = "image"
                 elif m == 1:
-                    payload = make_wav(8000 + 4000 * (d % 5),
-                                       100 * (1 + d % 16))
+                    if (d // 3) % 2 == 0:
+                        payload = make_wav(8000 + 4000 * (d % 5),
+                                           100 * (1 + d % 16))
+                    else:
+                        payload = make_mp3(
+                            (32000, 44100, 48000)[(d // 6) % 3],
+                            1 + d % 8, with_id3=(d // 6) % 2 == 1)
                     modality = "audio"
                 else:
                     payload = make_mp4(160 + 16 * (d % 60),

@@ -1669,8 +1669,10 @@ def q_multimodal_meta(spark, sf_dir):
                    WHEN doc_id % 3 = 1 THEN 'audio'
                    ELSE 'video' END AS modality,
               CASE WHEN doc_id % 3 = 0
-                     THEN (['png', 'gif', 'jpeg'])[CAST((doc_id // 3) % 3 AS INT) + 1]
-                   WHEN doc_id % 3 = 1 THEN 'wav'
+                     THEN (['png', 'gif', 'jpeg', 'webp', 'bmp'])
+                          [CAST((doc_id // 3) % 5 AS INT) + 1]
+                   WHEN doc_id % 3 = 1
+                     THEN (['wav', 'mp3'])[CAST((doc_id // 3) % 2 AS INT) + 1]
                    ELSE 'mp4' END AS format,
               CAST(CASE WHEN doc_id % 3 = 0 THEN 16 + doc_id % 320
                         WHEN doc_id % 3 = 2 THEN 160 + 16 * (doc_id % 60)
@@ -1678,17 +1680,27 @@ def q_multimodal_meta(spark, sf_dir):
               CAST(CASE WHEN doc_id % 3 = 0 THEN 16 + (7 * doc_id) % 200
                         WHEN doc_id % 3 = 2 THEN 120 + 8 * (doc_id % 90)
                         ELSE 0 END AS INT) AS height,
-              CAST(CASE WHEN doc_id % 3 = 1
+              CAST(CASE WHEN doc_id % 3 = 1 AND (doc_id // 3) % 2 = 0
                           THEN (100 * (1 + doc_id % 16) * 1000)
                                // (8000 + 4000 * (doc_id % 5))
+                        WHEN doc_id % 3 = 1
+                          THEN ((1 + doc_id % 8) * 1152 * 1000)
+                               // ([32000, 44100, 48000]
+                                   [CAST((doc_id // 6) % 3 AS INT) + 1])
                         WHEN doc_id % 3 = 2
                           THEN (500 * (1 + doc_id % 20) * 1000) // 600
                         ELSE 0 END AS INT) AS duration_ms,
-              CAST(CASE WHEN doc_id % 3 = 1 THEN 8000 + 4000 * (doc_id % 5)
+              CAST(CASE WHEN doc_id % 3 = 1 AND (doc_id // 3) % 2 = 0
+                          THEN 8000 + 4000 * (doc_id % 5)
+                        WHEN doc_id % 3 = 1
+                          THEN ([32000, 44100, 48000]
+                                [CAST((doc_id // 6) % 3 AS INT) + 1])
                         ELSE 0 END AS INT) AS sample_rate
        FROM documents""",
-    "Real multimodal decode: synthesize a valid container file per doc "
-    "(PNG/GIF/JPEG/WAV/MP4, header params pure arithmetic in doc_id), then "
+    "Real multimodal decode over 8 container formats: synthesize a valid "
+    "file per doc (PNG/GIF/JPEG/WebP-vp8|vp8l|vp8x/BMP images, WAV/MP3 "
+    "audio incl. ID3v2 skip, MP4 video; header params pure arithmetic in "
+    "doc_id), then "
     "parse the headers back with the pure-Python codec (mapInPandas, Arrow "
     "batches). The oracle predicts every width/height/duration/sample_rate "
     "independently from the doc_id parameter map, so encoder+decoder "

@@ -630,3 +630,91 @@ class TestAutoEngine:
             assert row["s"] == want["score"], page[:80]
             expect_engine = "playwright" if want["js_required"] else "cheerio"
             assert row["e"] == expect_engine
+
+
+class TestBackendConformance:
+    """Conformance suite for the DOM-backend protocol (kernel/backend.py):
+    every registered backend — the two built-ins today, a C parser adapter
+    at deployment — must (a) produce byte-identical extraction output and
+    (b) honor the node contract the kernel walks rely on. This is the
+    guarantee that makes the lxml/selectolax swap-in parity-safe."""
+
+    def _cases(self):
+        from anycrawl_spark.corpus import build_page_html
+
+        cases = [(f"https://site00{h}.test/p/{i}",
+                  build_page_html(h, 6, i, 30, "en"))
+                 for h in range(3) for i in range(20)]
+        cases += [(f"https://e.test/{j}", h)
+                  for j, h in enumerate(TestDomBackends.EDGES)]
+        return cases
+
+    def test_registry_has_builtins(self):
+        from anycrawl_spark.kernel.backend import available_backends
+
+        names = available_backends()
+        assert "fast" in names and "stdlib" in names
+
+    def test_extraction_parity_across_all_backends(self):
+        import os
+
+        from anycrawl_spark.kernel.backend import available_backends
+        from anycrawl_spark.kernel.extract import extract_page
+
+        cases = self._cases()
+        for url, html in cases:
+            outputs = {}
+            for name in available_backends():
+                os.environ["ANYCRAWL_DOM_BACKEND"] = name
+                try:
+                    outputs[name] = extract_page(url, html)
+                finally:
+                    del os.environ["ANYCRAWL_DOM_BACKEND"]
+            base = outputs["fast"]
+            for name, out in outputs.items():
+                assert out == base, (name, url)
+
+    def test_node_contract(self):
+        from anycrawl_spark.kernel.backend import BACKENDS, available_backends
+        from anycrawl_spark.kernel.dom import (
+            VOID_ELEMENTS, Comment, Element, Text, serialize)
+
+        html = ('<div CLASS="A b" Data-X=1 novalue><p>t &amp; u<br>v'
+                '<img SRC=x.png></p><!-- c --><script>a<b</script></div>')
+        for name in available_backends():
+            root = BACKENDS[name](html)
+            assert isinstance(root, Element) and root.tag == "#root"
+            seen_comment = seen_text = False
+            stack = [root]
+            while stack:
+                node = stack.pop()
+                for child in getattr(node, "children", []):
+                    # parent pointers consistent, document order preserved
+                    assert child.parent is node, name
+                    stack.append(child)
+                if isinstance(node, Element) and node is not root:
+                    assert node.tag == node.tag.lower(), name
+                    assert all(k == k.lower() for k in node.attrs), name
+                    if node.tag in VOID_ELEMENTS:
+                        assert node.children == [], name
+                elif isinstance(node, Comment):
+                    seen_comment = True
+                elif isinstance(node, Text):
+                    seen_text = True
+                    assert "&amp;" not in node.data, name  # entity-decoded
+            assert seen_comment and seen_text, name
+            # attrs: lowercase keys, valueless -> ""
+            div = next(root.iter())
+            assert div.get("class") == "A b" and div.get("novalue") == "", name
+            # serialize(parse(x)) is a fixed point: parse(serialize) == same
+            once = serialize(root)
+            again = serialize(BACKENDS[name](once))
+            assert once == again, name
+
+    def test_unknown_backend_rejected(self):
+        import pytest as _pytest
+
+        from anycrawl_spark.kernel.dom import parse_html
+
+        with _pytest.raises(ValueError, match="unknown DOM backend"):
+            parse_html("<p>x</p>", backend="no-such-parser")
