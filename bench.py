@@ -175,25 +175,34 @@ def bfs_crawl(spark, corpus_path: str, limit: int,
     return best, done
 
 
-def skew_probe(spark, corpus_path: str, budget: int = 100) -> dict:
+def skew_probe(spark, corpus_path: str, budget: int = 100,
+               amplify: int = 20) -> dict:
     """Skew-stress evidence (SURVEY §7.4 risk #4): one host owning ~90% of
     the frontier serializes the naive per-host budget window into a single
     task; the two-stage salted top-k (politeness.apply_host_budget
     salt_n>1) must bound that round's wall time near the uniform-corpus
-    case. Records {uniform, hot_salt0, hot_salt8} wall seconds + the
-    hot/uniform ratio for the salted path."""
+    case. The corpus frontier is amplified ``amplify``x (distinct seqs) so
+    the hot host holds millions of rows — the regime where a single-task
+    window sort actually hurts. Records {uniform, hot_salt0, hot_salt8}
+    wall seconds + the hot/uniform ratio for the salted path."""
     from pyspark.sql import functions as F
 
     from anycrawl_spark.crawl import _canonical_cols
     from anycrawl_spark.politeness import apply_host_budget
 
     pages = spark.read.parquet(corpus_path)
-    frontier = (
+    base = (
         _canonical_cols(pages.select("url"), "url")
         .withColumn("depth", F.lit(0))
-        .withColumn("seq", F.pmod(
+        .withColumn("__s", F.pmod(
             F.conv(F.substring("url_hash", 1, 12), 16, 10).cast("long"),
             F.lit(1_000_000_000)))
+    )
+    frontier = (
+        base.select(
+            "*", F.explode(F.sequence(F.lit(0), F.lit(amplify - 1))).alias("__i"))
+        .withColumn("seq", F.col("__s") * amplify + F.col("__i"))
+        .drop("__s", "__i")
         .localCheckpoint()   # freeze inputs so each variant times only the window
     )
     # hot corpus: ~90% of rows rewritten onto one host
