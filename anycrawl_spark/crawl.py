@@ -252,15 +252,23 @@ class CrawlEngine:
                    up_to_round: int) -> DataFrame | None:
         """Seen-set union ≤ ``up_to_round``: committed rounds plus rounds
         whose files this run wrote synchronously ahead of their deferred
-        manifest commit. The seen set is only ever used as an anti-join /
-        bloom-rebuild bag of hashes, so the momentary overlap between a
-        compacted in-flight round and older committed rounds is harmless
-        (duplicate hashes don't change anti-join semantics)."""
+        manifest commit. An uncommitted COMPACTED round holds the full
+        cumulative hash set, so every older round is excluded from the
+        plan — not merely as an optimization: the compaction's deferred
+        commit (replace=['seen']) deletes those superseded directories,
+        and a plan still referencing them would hit FileNotFound when
+        evaluated after _finalize_prev (e.g. a back-to-back compaction or
+        a bloom rebuild with seen_compact_every=1)."""
+        compacted = [rr for rr, _p, comp in self._seen_uncommitted
+                     if comp and rr <= up_to_round]
+        floor = max(compacted) if compacted else None
         rounds = [rr for rr in self.catalog.committed_rounds("seen")
-                  if rr <= up_to_round]
+                  if rr <= up_to_round
+                  and (floor is None or rr > floor)]
         paths = [self.catalog.round_path("seen", rr) for rr in rounds]
-        paths += [p for rr, p in self._seen_uncommitted
-                  if rr <= up_to_round and rr not in rounds]
+        paths += [p for rr, p, _comp in self._seen_uncommitted
+                  if rr <= up_to_round and rr not in rounds
+                  and (floor is None or rr >= floor)]
         if not paths:
             return None
         return spark.read.parquet(*paths)
@@ -281,7 +289,7 @@ class CrawlEngine:
                                       replace=prev["replace"] or None)
             committed_seen = set(self.catalog.committed_rounds("seen"))
             self._seen_uncommitted = [
-                (rr, p) for rr, p in self._seen_uncommitted
+                (rr, p, comp) for rr, p, comp in self._seen_uncommitted
                 if rr not in committed_seen]
             if (self._bloom_uncommitted is not None
                     and self._bloom_uncommitted[0]
@@ -335,6 +343,22 @@ class CrawlEngine:
         self._seen_uncommitted = []
         self._bloom_uncommitted = None
         self._writes = ThreadPoolExecutor(max_workers=8)
+        try:
+            return self._run_loop(cfg, resume, t0)
+        finally:
+            # flush the deferred tail even when resume validation / seeding
+            # throws: the last round's writes + commit, then every cache
+            # still parked in the graveyard chain; always release the
+            # executor (a leaked pool accumulates 8 threads per failed call)
+            try:
+                self._finalize_prev()
+                self._finalize_prev()
+            finally:
+                self._pending_mem = None
+                self._writes.shutdown(wait=True)
+                self._writes = None
+
+    def _run_loop(self, cfg: CrawlConfig, resume: bool, t0: float) -> dict:
         if resume:
             self.catalog.drop_uncommitted()
             progress = self._progress()
@@ -380,29 +404,25 @@ class CrawlEngine:
         extract_udf = make_extract_udf(
             formats=cfg.formats, only_main_content=cfg.only_main_content)
 
-        try:
-            while round_no <= cfg.max_rounds and not progress.get("finalized"):
-                if self.is_cancelled():
-                    # Progress.cancel (Progress.ts:434-448): mark finalized
-                    # immediately; the limit hook skips admission when
-                    # cancelled (EngineConfigurator.ts:84-99). Between-rounds
-                    # is the batch equivalent of between-requests.
-                    self._finalize_prev()
-                    progress = {**progress, "round": round_no,
-                                "finalized": True, "cancelled": True,
-                                "phase": "cancelled"}
-                    self.catalog.commit_round(round_no, [], progress)
-                    break
-                progress = self._run_round(cfg, round_no, progress, extract_udf)
-                round_no += 1
-        finally:
-            # flush the deferred tail: the last round's writes + commit, then
-            # every cache still parked in the graveyard chain
-            self._finalize_prev()
-            self._finalize_prev()
-            self._pending_mem = None
-            self._writes.shutdown(wait=True)
-            self._writes = None
+        while round_no <= cfg.max_rounds and not progress.get("finalized"):
+            if self.is_cancelled():
+                # Progress.cancel (Progress.ts:434-448): mark finalized
+                # immediately; the limit hook skips admission when
+                # cancelled (EngineConfigurator.ts:84-99). Between-rounds
+                # is the batch equivalent of between-requests.
+                self._finalize_prev()
+                progress = {**progress, "round": round_no,
+                            "finalized": True, "cancelled": True,
+                            "phase": "cancelled"}
+                self.catalog.commit_round(round_no, [], progress)
+                break
+            progress = self._run_round(cfg, round_no, progress, extract_udf)
+            round_no += 1
+
+        # the caller's finally flushes the deferred tail; flush HERE too so
+        # the returned summary reflects a fully committed checkpoint
+        self._finalize_prev()
+        self._finalize_prev()
 
         fetched_total = progress["done"] - progress["failed"]
         return {
@@ -778,7 +798,7 @@ class CrawlEngine:
                 self.catalog.append_round(
                     seen.unionByName(new_rows.select("url_hash")), "seen", r)
                 self._seen_uncommitted.append(
-                    (r, self.catalog.round_path("seen", r)))
+                    (r, self.catalog.round_path("seen", r), True))
             # incremental checkpoint: merge this round's delta into the
             # previous cumulative segment set ONCE, write it as round r.
             # Driver-resident filters (small crawls: the per-round delta is
@@ -799,7 +819,7 @@ class CrawlEngine:
                                                        type=pa.string())}),
                         "seen", r)
                     self._seen_uncommitted.append(
-                        (r, self.catalog.round_path("seen", r)))
+                        (r, self.catalog.round_path("seen", r), False))
                 build_hashes = hashes
                 if self._bloom_mem is None and seen is not None:
                     # prior bloom checkpoint missing/corrupt (filter_new
@@ -838,7 +858,7 @@ class CrawlEngine:
                     self.catalog.append_round(
                         new_rows.select("url_hash"), "seen", r)
                     self._seen_uncommitted.append(
-                        (r, self.catalog.round_path("seen", r)))
+                        (r, self.catalog.round_path("seen", r), False))
                 delta = build_segments(new_rows,
                                        num_buckets=cfg.bloom_num_buckets,
                                        m_bits=cfg.bloom_m_bits, k=cfg.bloom_k)

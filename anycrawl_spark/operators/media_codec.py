@@ -280,8 +280,18 @@ def _decode_mp4(b: bytes) -> dict:
 
 
 def _decode_bmp(b: bytes) -> dict:
+    # 'BM' alone is too weak a magic (ordinary text can start with it);
+    # require a known DIB header size at offset 14 before trusting the
+    # dimension fields. Unrecognized -> the caller's 'unknown' stub path.
     if len(b) < 26:
-        return dict(_EMPTY, format="bmp")
+        return dict(_EMPTY)
+    dib = struct.unpack("<I", b[14:18])[0]
+    if dib not in (12, 40, 52, 56, 64, 108, 124):
+        return dict(_EMPTY)
+    if dib == 12:  # BITMAPCOREHEADER: 16-bit dims
+        w, h = struct.unpack("<HH", b[18:22])
+        return {"format": "bmp", "width": w, "height": h,
+                "duration_ms": 0, "sample_rate": 0}
     w, h = struct.unpack("<ii", b[18:26])
     # negative height = top-down DIB; dimension is its magnitude
     return {"format": "bmp", "width": abs(w), "height": abs(h),
@@ -340,7 +350,11 @@ def _decode_mp3(b: bytes) -> dict:
         frames += 1
         samples += 1152                  # MPEG1 Layer III samples/frame
         i += flen
-    dur = samples * 1000 // sr if sr else 0
+    if frames == 0:
+        # 'ID3'/sync-byte prefixes occur in ordinary text; without at least
+        # one valid MPEG frame this is not an MP3 — unknown-stub path
+        return dict(_EMPTY)
+    dur = samples * 1000 // sr
     return {"format": "mp3", "width": 0, "height": 0,
             "duration_ms": dur, "sample_rate": sr}
 

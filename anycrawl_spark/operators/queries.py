@@ -1328,7 +1328,11 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
 
 def _cos_spark(a, b):
     """Cosine of two array<double> columns with fixed left-to-right double
-    accumulation (bit-identical across engines for identical inputs)."""
+    accumulation. NOTE: DuckDB's list_cosine_similarity is not guaranteed
+    ulp-identical to this fold; parity holds through the 6-dp ROUND both
+    sides apply, validated against the fixed driver corpus (a knife-edge
+    exactly on a 7th-digit 5 would be dataset-specific bad luck — none
+    exists in the test tables)."""
     dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
                       F.lit(0.0), lambda acc, x: acc + x)
     na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),

@@ -379,9 +379,12 @@ def main() -> None:
             "cores": CPUS,
             "bfs_urls_per_sec": round(bfs_done / bfs_sec, 1),
         }
-        if scaling:
+        if scaling and "efficiency" in scaling:
+            # SCALING.json may hold only the skew probe if --skew ran first
             payload["scaling_efficiency"] = scaling["efficiency"]
             payload["scaling_probes"] = scaling["probes"]
+        if scaling and "skew_probe" in scaling:
+            payload["skew_probe"] = scaling["skew_probe"]
         print(json.dumps(payload))
     finally:
         spark.stop()

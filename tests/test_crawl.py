@@ -570,3 +570,84 @@ class TestCorpusDedup:
         with pytest.raises(ValueError):
             CrawlConfig(job_id="b", seed_url="https://x.test/",
                         budget_scope="continent")
+
+
+class TestPipelinedCheckpointing:
+    """Regression tests for the round-4 write pipelining: deferred commits,
+    back-to-back seen compaction over in-flight files, and resume from a
+    checkpoint whose newest round's writes landed but whose manifest commit
+    never did (the crash window pipelining introduces)."""
+
+    def test_compact_every_round_matches_default(self, spark, small_corpus, tmp_root):
+        kw = dict(seed_url=SEED, strategy="same-hostname", max_depth=5,
+                  limit=40, respect_robots=False)
+
+        base_dir = os.path.join(tmp_root, "pc_base")
+        engine_base = CrawlEngine(spark, small_corpus, base_dir)
+        engine_base.run(CrawlConfig(job_id="pc", **kw))
+        base_visits = [(r["seq"], r["url"]) for r in
+                       engine_base.visit_order().collect()]
+
+        # seen_compact_every=1: every seen-writing round compacts; the
+        # compaction write reads the PREVIOUS round's uncommitted compacted
+        # file after the prior commit deleted the superseded delta dirs —
+        # this crashed with FileNotFound before _read_seen learned to drop
+        # superseded rounds from the plan.
+        c_dir = os.path.join(tmp_root, "pc_compact1")
+        engine_c = CrawlEngine(spark, small_corpus, c_dir)
+        engine_c.run(CrawlConfig(job_id="pc", seen_compact_every=1, **kw))
+        c_visits = [(r["seq"], r["url"]) for r in
+                    engine_c.visit_order().collect()]
+        assert c_visits == base_visits
+        # compaction keeps the committed seen table at one directory
+        assert len(engine_c.catalog.committed_rounds("seen")) == 1
+
+    def test_resume_after_uncommitted_tail(self, spark, small_corpus, tmp_root):
+        import json
+        import shutil
+
+        kw = dict(seed_url=SEED, strategy="same-hostname", max_depth=5,
+                  limit=40, respect_robots=False)
+
+        full_dir = os.path.join(tmp_root, "pc_full")
+        engine_full = CrawlEngine(spark, small_corpus, full_dir)
+        engine_full.run(CrawlConfig(job_id="pc", **kw))
+        full_visits = [(r["seq"], r["url"], r["depth"], r["status"]) for r in
+                       engine_full.visit_order().collect()]
+
+        # simulate the pipelining crash window: round N's files are on disk
+        # but its manifest commit never happened — rewind the manifest by
+        # one round and leave the directories in place
+        part_dir = os.path.join(tmp_root, "pc_part")
+        engine_part = CrawlEngine(spark, small_corpus, part_dir)
+        engine_part.run(CrawlConfig(job_id="pc", **kw))
+        mpath = os.path.join(part_dir, "_manifest.json")
+        with open(mpath) as f:
+            manifest = json.load(f)
+        last = max(int(k) for k in manifest["meta"])
+        victims = [r for r in range(last - 1, last + 1)]  # drop final 2 rounds
+        for table, rounds in manifest["tables"].items():
+            manifest["tables"][table] = [r for r in rounds if r not in victims]
+        for v in victims:
+            manifest["meta"].pop(str(v), None)
+        with open(mpath, "w") as f:
+            json.dump(manifest, f)
+
+        engine_resumed = CrawlEngine(spark, small_corpus, part_dir)
+        engine_resumed.run(CrawlConfig(job_id="pc", **kw), resume=True)
+        resumed_visits = [(r["seq"], r["url"], r["depth"], r["status"]) for r in
+                          engine_resumed.visit_order().collect()]
+        assert resumed_visits == full_visits
+
+    def test_run_failure_releases_executor(self, spark, small_corpus, tmp_root):
+        # resume-validation failure path: executor must not leak
+        d = os.path.join(tmp_root, "pc_geom")
+        engine = CrawlEngine(spark, small_corpus, d)
+        engine.run(CrawlConfig(job_id="pc", seed_url=SEED, limit=5,
+                               respect_robots=False))
+        engine2 = CrawlEngine(spark, small_corpus, d)
+        with pytest.raises(ValueError, match="bloom geometry"):
+            engine2.run(CrawlConfig(job_id="pc", seed_url=SEED, limit=5,
+                                    respect_robots=False,
+                                    bloom_num_buckets=8), resume=True)
+        assert engine2._writes is None

@@ -108,11 +108,11 @@ def compare_query(spark, con, spec, sf_dir=SF_DIR):
     s_cols = sdf.columns
     s_types = {f.name: canon_spark_type(f.dataType) for f in sdf.schema.fields}
     s_rows = [tuple(r) for r in sdf.collect()]
-    rel = con.execute(spec.oracle)
-    d_cols = [d[0] for d in rel.description]
-    d_rows = rel.fetchall()
-    arrow_schema = con.execute(spec.oracle).arrow().schema
-    d_types = {f.name: canon_arrow_type(f.type) for f in arrow_schema}
+    # one DuckDB execution: the Arrow table carries both schema and rows
+    tbl = con.execute(spec.oracle).arrow()
+    d_cols = list(tbl.schema.names)
+    d_rows = list(zip(*[c.to_pylist() for c in tbl.columns])) if tbl.num_columns else []
+    d_types = {f.name: canon_arrow_type(f.type) for f in tbl.schema}
 
     type_mismatch = [
         f"{c}: spark={s_types[c]} duckdb={d_types[c]}"
