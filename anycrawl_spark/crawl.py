@@ -651,20 +651,25 @@ class CrawlEngine:
 
         # One job: outcome counts (progress/retry math) + the admitted seq
         # range (dense-seq bucketing fallback for checkpoints without a
-        # recorded pending seq range).
-        outcome_rows = (
-            docs.groupBy("status", final_attempt.alias("final"))
-            .agg(F.count("*").alias("count"),
-                 F.min("seq").alias("min_seq"), F.max("seq").alias("max_seq"))
-            .collect()
-        )
-        outcome_counts = {(row["status"], row["final"]): row["count"]
-                          for row in outcome_rows}
-        seq_lo = min((row["min_seq"] for row in outcome_rows), default=0)
-        seq_hi = max((row["max_seq"] for row in outcome_rows), default=0)
-        n_fetched = sum(v for (s_, fin), v in outcome_counts.items() if s_ == 200)
-        n_failed = sum(v for (s_, fin), v in outcome_counts.items()
-                       if s_ != 200 and fin)
+        # recorded pending seq range). Submitted ASYNC: nothing in the round
+        # needs the result before meta-build time — the drain check subsumes
+        # `done >= limit` (done counts admitted rows, which are capped by
+        # the enqueue limit, so done can only reach the limit when pending
+        # also empties), capacity uses the driver-known `enqueued`, and the
+        # width_bucket bounds come from pending_seq_range. The job runs
+        # concurrently with the discovery checkpoint and the doc writes
+        # (block-level cache locks make the shared docs materialization
+        # single-compute). The no-bounds fallback resolves it early.
+        def _outcome_job():
+            return (
+                docs.groupBy("status", final_attempt.alias("final"))
+                .agg(F.count("*").alias("count"),
+                     F.min("seq").alias("min_seq"),
+                     F.max("seq").alias("max_seq"))
+                .collect()
+            )
+
+        outcome_fut = writes.submit(_outcome_job)
         _t_fetch = time.time()
 
 
@@ -707,8 +712,18 @@ class CrawlEngine:
             capacity = cfg.limit - enqueued
             # Buckets whose cumulative offset already exceeds the enqueue
             # capacity are pruned before the offsets join.
-            ranked = (disc_fut.result() if disc_fut is not None
-                      else disc_build(seq_lo, seq_hi))
+            if disc_fut is not None:
+                ranked = disc_fut.result()
+            else:
+                # no recorded pending_seq_range (resume/legacy checkpoint):
+                # the outcome job's min/max seq supplies the bounds
+                outcome_rows = outcome_fut.result()
+                outcome_fut = None
+                seq_lo = min((row["min_seq"] for row in outcome_rows),
+                             default=0)
+                seq_hi = max((row["max_seq"] for row in outcome_rows),
+                             default=0)
+                ranked = disc_build(seq_lo, seq_hi)
             counts = {row["__bucket"]: row["cnt"] for row in
                       ranked.groupBy("__bucket").agg(
                           F.max("__lrn").alias("cnt")).collect()}
@@ -885,6 +900,14 @@ class CrawlEngine:
         # pending(r-1) is the prior round's recorded pending_next (the seed
         # round records it as `enqueued` = seed count); legacy checkpoints
         # without either fall back to counting the read DataFrame.
+        if outcome_fut is not None:
+            outcome_rows = outcome_fut.result()
+        outcome_counts = {(row["status"], row["final"]): row["count"]
+                          for row in outcome_rows}
+        n_fetched = sum(v for (s_, fin), v in outcome_counts.items()
+                        if s_ == 200)
+        n_failed = sum(v for (s_, fin), v in outcome_counts.items()
+                       if s_ != 200 and fin)
         n_pending_prev = (known_pending if known_pending is not None
                           else pending.count())
         n_admitted = sum(outcome_counts.values())
