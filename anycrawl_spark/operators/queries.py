@@ -2460,6 +2460,83 @@ def q_glob_path_filter(spark, sf_dir):
     return df.where(path_filter_cond(F.col("url"), ["**/p/*"], ["**/blog/**"]))
 
 
+
+
+@register(
+    "webhook_match",
+    """WITH subs AS (
+         SELECT doc_id AS sub_id,
+                'https://hooks.test/' || doc_id::VARCHAR AS webhook_url,
+                doc_id % 5 != 0 AS is_active,
+                CASE CAST(doc_id % 4 AS INT)
+                  WHEN 0 THEN ['crawl.completed']
+                  WHEN 1 THEN ['crawl.started', 'crawl.completed']
+                  WHEN 2 THEN ['scrape.completed']
+                  ELSE ['crawl.completed', 'crawl.failed', 'search.completed']
+                END AS event_types,
+                CASE WHEN doc_id % 3 = 0 THEN 'all' ELSE 'specific' END AS scope,
+                ['job-' || (doc_id % 10)::VARCHAR] AS specific_task_ids,
+                CASE WHEN doc_id % 2 = 0 THEN NULL
+                     ELSE CAST(5 AS INT) END AS max_retries
+         FROM documents WHERE doc_id < 32),
+       events AS (
+         SELECT doc_id AS event_id,
+                (['crawl.started', 'crawl.completed', 'crawl.failed',
+                  'scrape.completed', 'search.completed'])
+                [CAST(doc_id % 5 AS INT) + 1] AS event_type,
+                'job-' || (doc_id % 25)::VARCHAR AS event_source_id
+         FROM documents WHERE doc_id >= 100 AND doc_id < 300)
+       SELECT e.event_id, s.sub_id, e.event_type, e.event_source_id,
+              s.webhook_url AS request_url,
+              'pending' AS status,
+              CAST(1 AS INT) AS attempt_number,
+              CAST(coalesce(s.max_retries, 3) AS INT) AS max_attempts
+       FROM events e JOIN subs s
+         ON s.is_active
+        AND list_contains(s.event_types, e.event_type)
+        AND (s.scope = 'all'
+             OR list_contains(s.specific_task_ids, e.event_source_id))""",
+    "S10 webhook pipeline (Webhook.ts:88-167): active-subscription match "
+    "(event-type containment + all/specific scope) -> one pending delivery "
+    "record per (event, subscription); broadcast subscription dimension, no "
+    "event-stream shuffle. HMAC signing (generateSignature parity) is "
+    "pytest-verified (no SQL HMAC); HTTP POST/retry worker = live seam.",
+)
+def q_webhook_match(spark, sf_dir):
+    from anycrawl_spark.webhooks import match_deliveries
+
+    documents = load(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    subs = documents.where(d < 32).select(
+        d.alias("sub_id"),
+        F.concat(F.lit("https://hooks.test/"), d.cast("string")).alias("webhook_url"),
+        F.lit("s3cr3t").alias("webhook_secret"),
+        (d % 5 != 0).alias("is_active"),
+        F.when(d % 4 == 0, F.array(F.lit("crawl.completed")))
+        .when(d % 4 == 1, F.array(F.lit("crawl.started"), F.lit("crawl.completed")))
+        .when(d % 4 == 2, F.array(F.lit("scrape.completed")))
+        .otherwise(F.array(F.lit("crawl.completed"), F.lit("crawl.failed"),
+                           F.lit("search.completed"))).alias("event_types"),
+        F.when(d % 3 == 0, "all").otherwise("specific").alias("scope"),
+        F.array(F.concat(F.lit("job-"), (d % 10).cast("string"))).alias("specific_task_ids"),
+        F.when(d % 2 == 0, F.lit(None)).otherwise(F.lit(5)).cast("int").alias("max_retries"),
+    )
+    etype = F.element_at(
+        F.array(F.lit("crawl.started"), F.lit("crawl.completed"),
+                F.lit("crawl.failed"), F.lit("scrape.completed"),
+                F.lit("search.completed")), (d % 5).cast("int") + 1)
+    events = documents.where((d >= 100) & (d < 300)).select(
+        d.alias("event_id"),
+        etype.alias("event_type"),
+        F.split(etype, "\\.")[0].alias("event_source"),
+        F.concat(F.lit("job-"), (d % 25).cast("string")).alias("event_source_id"),
+        F.to_json(F.struct(d.alias("id"))).alias("payload"),
+    )
+    return match_deliveries(events, subs).select(
+        "event_id", "sub_id", "event_type", "event_source_id", "request_url",
+        "status", "attempt_number", "max_attempts")
+
+
 # ===========================================================================
 # Driver-visible ordering
 # ===========================================================================
@@ -2480,7 +2557,7 @@ DRIVER_ORDER: list[str] = [
     # URL kernel + filters (§2.7, F-family)
     "canonicalize", "url_hash", "base_domain", "kv_key_base64",
     "robots_spec_filter", "sitemap_parse", "strategy_filter",
-    "glob_path_filter", "failure_classify", "frontier_order",
+    "glob_path_filter", "failure_classify", "webhook_match",
     # Crawl rounds + extraction parity
     "fetch_join", "crawl_e2e", "extraction_text_parity", "link_explode",
     # SERP + map
@@ -2503,6 +2580,10 @@ DRIVER_ORDER: list[str] = [
     "tpch_q3_revenue", "minhash_signature", "dedup_clusters", "simhash16",
     "ngram_jaccard_pairs", "embed_cosine_pairs", "ann_ivf_topk",
     "multimodal_meta", "extract_markdown", "gopher_repetition",
+    # frontier_order demoted for webhook_match: BFS priority-queue ordering
+    # stays driver-checked through crawl_e2e (recursive-CTE visit-order
+    # oracle) and perhost_topk (keyed ordering window)
+    "frontier_order",
 ]
 
 

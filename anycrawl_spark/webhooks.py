@@ -1,0 +1,154 @@
+"""Webhook event pipeline (SURVEY §2 S10): the replayable core of the
+reference's WebhookManager — event emission, subscription matching, delivery
+record construction, HMAC signing — re-expressed as DataFrame operators.
+
+Reference parity (packages/scrape/src/managers/Webhook.ts):
+
+- ``triggerEvent`` (:88-124): find active subscriptions whose
+  ``event_types`` JSON array contains the event type, filtered by scope
+  (``all`` or the event source id ∈ ``specific_task_ids``) →
+  ``match_deliveries`` as an equi-free conditional join, all JVM
+  expressions (arrays_contains), broadcast subscriptions (a dimension
+  table: thousands of rows vs billions of events).
+- ``enqueueDelivery`` (:126-167): one delivery record per (event,
+  subscription) with status='pending', attempt_number=1, max_attempts =
+  subscription.max_retries || 3, request_method='POST'.
+- ``generateSignature`` (:370-374): ``sha256=<hex HMAC-SHA256(secret,
+  JSON.stringify(payload))>`` → ``sign_deliveries``, an Arrow-batched
+  pandas UDF over the canonical JSON payload (Spark has no HMAC builtin;
+  signing runs once per delivery record, not per crawled page).
+- Event catalogue (packages/libs/src/types/WebhookEvents.ts): the
+  ``<source>.<created|started|completed|failed|cancelled>`` job families +
+  task/monitor/test events.
+- The HTTP POST + retry worker (:169-330) is live-infrastructure and out
+  of corpus-replay scope; ``deliveries`` is the queue those workers drain.
+
+``job_events_from_summary`` derives the crawl-job lifecycle events
+(crawl.created/started/completed|failed|cancelled with totals) from the
+engine's run summary / round metas — the batch analogue of Progress.ts
+calling triggerEvent at job transitions.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import hmac as hmac_mod
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+# WebhookEvents.ts WebhookEventType values (verbatim-by-spec constants)
+WEBHOOK_EVENT_TYPES = [
+    "scrape.created", "scrape.started", "scrape.completed", "scrape.failed",
+    "scrape.cancelled",
+    "crawl.created", "crawl.started", "crawl.completed", "crawl.failed",
+    "crawl.cancelled",
+    "search.created", "search.started", "search.completed", "search.failed",
+    "map.created", "map.started", "map.completed", "map.failed",
+    "task.executed", "task.failed", "task.paused", "task.resumed",
+    "monitor.check.completed", "monitor.changed", "monitor.price.changed",
+    "monitor.error",
+    "webhook.test",
+]
+
+SUBSCRIPTION_SCHEMA = (
+    "sub_id long, webhook_url string, webhook_secret string, "
+    "is_active boolean, event_types array<string>, scope string, "
+    "specific_task_ids array<string>, max_retries int"
+)
+
+EVENT_SCHEMA = (
+    "event_id long, event_type string, event_source string, "
+    "event_source_id string, payload string"
+)
+
+
+def match_deliveries(events: DataFrame,
+                     subscriptions: DataFrame) -> DataFrame:
+    """One pending delivery per (event, matching subscription) —
+    Webhook.ts:88-167 semantics: subscription active, event type
+    subscribed, and scope 'all' or the event source id listed.
+
+    Subscriptions are a broadcast dimension (the reference loads them all
+    per trigger from Postgres); events scale with the crawl, so the join
+    must not shuffle the event stream."""
+    sub = F.broadcast(
+        subscriptions.where(F.col("is_active"))
+        .select("sub_id", "webhook_url", "webhook_secret", "event_types",
+                "scope", "specific_task_ids", "max_retries"))
+    cond = (
+        F.array_contains(sub["event_types"], events["event_type"])
+        & ((sub["scope"] == "all")
+           | F.array_contains(F.coalesce(sub["specific_task_ids"],
+                                         F.array().cast("array<string>")),
+                              events["event_source_id"]))
+    )
+    return (
+        events.join(sub, cond)
+        .select(
+            "event_id", "sub_id", "event_type", "event_source",
+            "event_source_id",
+            F.col("webhook_url").alias("request_url"),
+            F.lit("POST").alias("request_method"),
+            F.col("payload").alias("request_body"),
+            "webhook_secret",
+            F.lit("pending").alias("status"),
+            F.lit(1).alias("attempt_number"),
+            F.coalesce("max_retries", F.lit(3)).alias("max_attempts"),
+        )
+    )
+
+
+def sign_deliveries(deliveries: DataFrame,
+                    body_col: str = "request_body",
+                    secret_col: str = "webhook_secret") -> DataFrame:
+    """Attach the reference's delivery signature:
+    ``sha256=<hex HMAC-SHA256(secret, body)>`` (Webhook.ts:370-374 —
+    the body is the already-JSON-stringified payload). Arrow-batched;
+    drops the secret column from the output (it never leaves the signer,
+    like the reference's header builder)."""
+
+    @F.pandas_udf("string")
+    def _sign(body: pd.Series, secret: pd.Series) -> pd.Series:
+        return pd.Series([
+            "sha256=" + hmac_mod.new(
+                (s or "").encode(), (b or "").encode(),
+                hashlib.sha256).hexdigest()
+            for b, s in zip(body, secret)
+        ])
+
+    return (deliveries
+            .withColumn("signature", _sign(F.col(body_col), F.col(secret_col)))
+            .drop(secret_col))
+
+
+def job_events_from_summary(spark: SparkSession, summary: dict,
+                            seed_url: str,
+                            created_at: str = "1970-01-01T00:00:00Z",
+                            source: str = "crawl") -> DataFrame:
+    """Crawl-job lifecycle events from an engine run summary — the batch
+    analogue of Progress.ts firing triggerEvent on job transitions.
+    Payload field order matches JobEventPayload (WebhookEvents.ts:56-67)
+    so the signature input is reproducible."""
+    import json
+
+    job_id = summary["job_id"]
+    terminal = ("cancelled" if summary.get("cancelled")
+                else "failed" if summary.get("done", 0) == 0
+                else "completed")
+
+    def payload(status, with_totals):
+        body = {"job_id": job_id, "status": status, "url": seed_url}
+        if with_totals:
+            body["total"] = summary["done"]
+            body["completed"] = summary["fetched"]
+            body["failed"] = summary["failed"]
+        body["created_at"] = created_at
+        return json.dumps(body, separators=(",", ":"))
+
+    rows = [
+        (0, f"{source}.created", source, job_id, payload("created", False)),
+        (1, f"{source}.started", source, job_id, payload("started", False)),
+        (2, f"{source}.{terminal}", source, job_id, payload(terminal, True)),
+    ]
+    return spark.createDataFrame(rows, EVENT_SCHEMA)

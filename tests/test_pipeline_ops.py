@@ -543,3 +543,78 @@ class TestCandidateBoundedPairs:
         if strong:
             recall = len(strong & cand.keys()) / len(strong)
             assert recall >= 0.8, (recall, len(strong))
+
+
+class TestWebhooks:
+    """S10 webhook pipeline (Webhook.ts parity): subscription matching,
+    delivery records, and the HMAC delivery signature."""
+
+    def _subs(self, spark):
+        from anycrawl_spark.webhooks import SUBSCRIPTION_SCHEMA
+
+        return spark.createDataFrame([
+            (1, "https://h.test/1", "secret-1", True,
+             ["crawl.completed"], "all", ["job-x"], None),
+            (2, "https://h.test/2", "secret-2", True,
+             ["crawl.completed", "crawl.failed"], "specific", ["job-a"], 5),
+            (3, "https://h.test/3", "secret-3", False,          # inactive
+             ["crawl.completed"], "all", None, None),
+            (4, "https://h.test/4", "secret-4", True,
+             ["scrape.completed"], "all", None, None),          # wrong event
+        ], SUBSCRIPTION_SCHEMA)
+
+    def test_matching_scope_and_activity(self, spark):
+        from anycrawl_spark.webhooks import EVENT_SCHEMA, match_deliveries
+
+        events = spark.createDataFrame([
+            (10, "crawl.completed", "crawl", "job-a", '{"id":10}'),
+            (11, "crawl.completed", "crawl", "job-b", '{"id":11}'),
+        ], EVENT_SCHEMA)
+        rows = {(r["event_id"], r["sub_id"]): r
+                for r in match_deliveries(events, self._subs(spark)).collect()}
+        # sub 1 (scope all) matches both; sub 2 (specific job-a) only job-a;
+        # sub 3 inactive, sub 4 wrong event type -> absent
+        assert set(rows) == {(10, 1), (11, 1), (10, 2)}
+        r = rows[(10, 2)]
+        assert r["status"] == "pending" and r["attempt_number"] == 1
+        assert r["max_attempts"] == 5                      # sub override
+        assert rows[(10, 1)]["max_attempts"] == 3          # default || 3
+        assert r["request_method"] == "POST"
+        assert r["request_url"] == "https://h.test/2"
+
+    def test_signature_known_answer(self, spark):
+        import hashlib
+        import hmac as hmac_mod
+
+        from anycrawl_spark.webhooks import EVENT_SCHEMA, match_deliveries, sign_deliveries
+
+        events = spark.createDataFrame(
+            [(10, "crawl.completed", "crawl", "job-a", '{"job_id":"job-a","status":"completed"}')],
+            EVENT_SCHEMA)
+        out = sign_deliveries(match_deliveries(events, self._subs(spark)))
+        rows = {r["sub_id"]: r for r in out.collect()}
+        # generateSignature parity: sha256=<hex hmac_sha256(secret, body)>
+        expect = "sha256=" + hmac_mod.new(
+            b"secret-1", b'{"job_id":"job-a","status":"completed"}',
+            hashlib.sha256).hexdigest()
+        assert rows[1]["signature"] == expect
+        assert "webhook_secret" not in out.columns          # never leaves signer
+
+    def test_job_lifecycle_events(self, spark):
+        import json
+
+        from anycrawl_spark.webhooks import job_events_from_summary
+
+        summary = {"job_id": "j1", "done": 40, "fetched": 35, "failed": 5}
+        ev = job_events_from_summary(spark, summary, "https://s.test/")
+        rows = [r.asDict() for r in ev.orderBy("event_id").collect()]
+        assert [r["event_type"] for r in rows] == [
+            "crawl.created", "crawl.started", "crawl.completed"]
+        body = json.loads(rows[2]["payload"])
+        assert (body["total"], body["completed"], body["failed"]) == (40, 35, 5)
+        # JobEventPayload field order is stable (signature reproducibility)
+        assert list(body) == ["job_id", "status", "url", "total",
+                              "completed", "failed", "created_at"]
+        cancelled = job_events_from_summary(
+            spark, {**summary, "cancelled": True}, "https://s.test/")
+        assert cancelled.orderBy("event_id").collect()[2]["event_type"] == "crawl.cancelled"
