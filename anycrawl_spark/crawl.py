@@ -214,11 +214,13 @@ class CrawlEngine:
         # before submitting its own writes. Next-round reads come from
         # in-memory state instead of committed files: _pending_mem (the
         # frontier DataFrame), _bloom_mem (driver-resident filter), and
-        # _seen_uncommitted (paths of synchronously-written seen deltas).
+        # _seen_uncommitted (synchronously-written seen files as
+        # (round, path, compacted) — compacted entries supersede every
+        # earlier round in _read_seen).
         self._prev_inflight: dict | None = None
         self._graveyard: list = []      # caches from two rounds back
         self._pending_mem: DataFrame | None = None
-        self._seen_uncommitted: list[tuple[int, str]] = []
+        self._seen_uncommitted: list[tuple[int, str, bool]] = []
         self._bloom_uncommitted: tuple[int, str] | None = None
         self._writes: ThreadPoolExecutor | None = None
 
@@ -418,11 +420,6 @@ class CrawlEngine:
                 break
             progress = self._run_round(cfg, round_no, progress, extract_udf)
             round_no += 1
-
-        # the caller's finally flushes the deferred tail; flush HERE too so
-        # the returned summary reflects a fully committed checkpoint
-        self._finalize_prev()
-        self._finalize_prev()
 
         fetched_total = progress["done"] - progress["failed"]
         return {
@@ -945,10 +942,13 @@ class CrawlEngine:
             "admitted": n_fetched + n_failed, "new": n_new,
             "pending_next": n_pending_next, "phase": "crawl",
             "pending_seq_range": rng,
-            # per-phase wall seconds (lineage/metrics; negligible cost)
+            # per-phase wall seconds (lineage/metrics; negligible cost).
+            # Since the round-4 pipelining the outcome (fetch/extract) job
+            # and the discovery checkpoint run CONCURRENTLY, so they share
+            # one "compute" phase — attributing the old fetch_extract /
+            # discover_enqueue split would misread plan-build time as work.
             "timings": {
-                "fetch_extract": round(_t_fetch - _t0, 3),
-                "discover_enqueue": round(_t_discover - _t_fetch, 3),
+                "compute": round(_t_discover - _t0, 3),
                 "state_writes": round(_t_writes - _t_discover, 3),
             },
         }

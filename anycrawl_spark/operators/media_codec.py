@@ -283,15 +283,17 @@ def _decode_bmp(b: bytes) -> dict:
     # 'BM' alone is too weak a magic (ordinary text can start with it);
     # require a known DIB header size at offset 14 before trusting the
     # dimension fields. Unrecognized -> the caller's 'unknown' stub path.
-    if len(b) < 26:
+    if len(b) < 22:
         return dict(_EMPTY)
     dib = struct.unpack("<I", b[14:18])[0]
-    if dib not in (12, 40, 52, 56, 64, 108, 124):
+    if dib not in (12, 16, 40, 52, 56, 64, 108, 124):
         return dict(_EMPTY)
     if dib == 12:  # BITMAPCOREHEADER: 16-bit dims
         w, h = struct.unpack("<HH", b[18:22])
         return {"format": "bmp", "width": w, "height": h,
                 "duration_ms": 0, "sample_rate": 0}
+    if len(b) < 26:  # dib >= 16 carries 4-byte signed dims at offset 18
+        return dict(_EMPTY)
     w, h = struct.unpack("<ii", b[18:26])
     # negative height = top-down DIB; dimension is its magnitude
     return {"format": "bmp", "width": abs(w), "height": abs(h),
@@ -374,7 +376,7 @@ def decode_media_bytes(payload: bytes) -> dict:
         return _decode_wav(b)
     if b.startswith(b"RIFF") and b[8:12] == b"WEBP":
         return _decode_webp(b)
-    if b.startswith(b"BM") and len(b) >= 26:
+    if b.startswith(b"BM") and len(b) >= 22:
         return _decode_bmp(b)
     if len(b) >= 12 and b[4:8] == b"ftyp":
         return _decode_mp4(b)

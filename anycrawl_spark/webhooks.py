@@ -110,10 +110,11 @@ def sign_deliveries(deliveries: DataFrame,
 
     @F.pandas_udf("string")
     def _sign(body: pd.Series, secret: pd.Series) -> pd.Series:
+        # a NULL secret yields a NULL signature — an empty-key HMAC would
+        # look signed while being unverifiable, hiding the data problem
         return pd.Series([
-            "sha256=" + hmac_mod.new(
-                (s or "").encode(), (b or "").encode(),
-                hashlib.sha256).hexdigest()
+            None if s is None else "sha256=" + hmac_mod.new(
+                s.encode(), (b or "").encode(), hashlib.sha256).hexdigest()
             for b, s in zip(body, secret)
         ])
 

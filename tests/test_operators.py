@@ -906,7 +906,11 @@ class TestDocsRegistryDrift:
         repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         with open(os.path.join(repo, "COVERAGE.md")) as f:
             coverage = f.read()
-        missing = [n for n in REGISTRY if n not in coverage]
+        # word-boundary match: 'robots_filter' must not be satisfied by a
+        # 'robots_spec_filter' citation
+        missing = [n for n in REGISTRY
+                   if not re.search(rf"(?<![A-Za-z0-9_]){re.escape(n)}(?![A-Za-z0-9_])",
+                                    coverage)]
         assert not missing, f"COVERAGE.md lacks registry queries: {missing}"
         # ordered_registry() itself asserts DRIVER_ORDER is a permutation;
         # additionally: every window entry is oracled
