@@ -206,6 +206,19 @@ def main() -> None:
     ))
     assert "NestedLoop" not in p, "as-of join must not plan a nested loop"
 
+    # 9b. webhook match: broadcast dimension, event stream un-shuffled
+    p = plan_of(REGISTRY["webhook_match"].fn(spark, "/root/testdata/sf0.01"))
+    sections.append((
+        "webhook_match: broadcast-dim conditional join (S10)",
+        p,
+        {
+            "subscriptions broadcast (non-equi array_contains condition)":
+                r"BroadcastNestedLoopJoin",
+            "no cartesian product": r"^(?!.*CartesianProduct)",
+        },
+    ))
+    assert "CartesianProduct" not in p, "webhook match must broadcast, not cartesian"
+
     # 10. interval join: bucket-expanded equi-join
     p = plan_of(REGISTRY["range_join_events"].fn(spark, "/root/testdata/sf0.01"))
     sections.append((
