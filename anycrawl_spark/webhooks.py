@@ -153,3 +153,37 @@ def job_events_from_summary(spark: SparkSession, summary: dict,
         (2, f"{source}.{terminal}", source, job_id, payload(terminal, True)),
     ]
     return spark.createDataFrame(rows, EVENT_SCHEMA)
+
+
+def monitor_events(changes: DataFrame, monitors: DataFrame,
+                   change_type_col: str = "change_type",
+                   captured_at_col: str = "captured_at") -> DataFrame:
+    """Per-change monitor webhook events (MonitorPostProcessor.ts:322-352):
+    price_up/price_down changes fire ``monitor.price.changed``, everything
+    else ``monitor.changed``; the payload carries the change content inline
+    (MonitorEventPayload field order) so consumers act without a callback
+    fetch. ``monitors`` is the (monitor_id, monitor_name, monitor_type)
+    dimension — broadcast, like the subscription table.
+
+    event_id is a deterministic hash of (monitor_id, url, captured_at) so
+    replays produce identical delivery records."""
+    etype = F.when(
+        F.col(change_type_col).isin("price_up", "price_down"),
+        "monitor.price.changed").otherwise("monitor.changed")
+    payload = F.to_json(F.struct(
+        F.col("monitor_id"), F.col("monitor_name"), F.col("monitor_type"),
+        F.col("url"), F.col(change_type_col).alias("change_type"),
+        F.col("diff_text"),
+        F.col(captured_at_col).cast("string").alias("captured_at"),
+    ))
+    return (
+        changes.join(F.broadcast(monitors), "monitor_id")
+        .select(
+            F.xxhash64("monitor_id", "url", F.col(captured_at_col).cast("string"))
+            .alias("event_id"),
+            etype.alias("event_type"),
+            F.lit("monitor").alias("event_source"),
+            F.col("monitor_id").cast("string").alias("event_source_id"),
+            payload.alias("payload"),
+        )
+    )

@@ -618,3 +618,154 @@ class TestWebhooks:
         cancelled = job_events_from_summary(
             spark, {**summary, "cancelled": True}, "https://s.test/")
         assert cancelled.orderBy("event_id").collect()[2]["event_type"] == "crawl.cancelled"
+
+
+class TestCodecProperties:
+    """Property-based hardening of the media codecs: every encoder's output
+    must decode back to exactly the parameters it was built with, across
+    the full parameter ranges the synthesizer can emit, and the decoder
+    must never raise on arbitrary byte prefixes."""
+
+    def test_image_roundtrip_properties(self):
+        from hypothesis import given, settings, strategies as st
+
+        from anycrawl_spark.operators.media_codec import (
+            decode_media_bytes, make_bmp, make_gif, make_jpeg, make_png,
+            make_webp)
+
+        @settings(max_examples=150, deadline=None)
+        @given(st.integers(1, 16383), st.integers(1, 16383),
+               st.sampled_from(["png", "gif", "jpeg", "bmp",
+                                "webp:vp8", "webp:vp8l", "webp:vp8x"]))
+        def check(w, h, fmt):
+            if fmt in ("gif", "jpeg") and (w > 65535 or h > 65535):
+                return
+            if fmt == "gif":
+                payload, name = make_gif(w & 0xFFFF, h & 0xFFFF), "gif"
+                w2, h2 = w & 0xFFFF, h & 0xFFFF
+            elif fmt == "png":
+                payload, name, w2, h2 = make_png(w, h), "png", w, h
+            elif fmt == "jpeg":
+                payload, name, w2, h2 = make_jpeg(w, h), "jpeg", w, h
+            elif fmt == "bmp":
+                payload, name, w2, h2 = make_bmp(w, h), "bmp", w, h
+            else:
+                payload = make_webp(w, h, fmt.split(":")[1])
+                name, w2, h2 = "webp", w, h
+            d = decode_media_bytes(payload)
+            assert (d["format"], d["width"], d["height"]) == (name, w2, h2)
+
+        check()
+
+    def test_audio_video_roundtrip_properties(self):
+        from hypothesis import given, settings, strategies as st
+
+        from anycrawl_spark.operators.media_codec import (
+            decode_media_bytes, make_mp3, make_mp4, make_wav)
+
+        @settings(max_examples=100, deadline=None)
+        @given(st.sampled_from([8000, 16000, 22050, 44100, 48000]),
+               st.integers(1, 50_000))
+        def check_wav(sr, n):
+            d = decode_media_bytes(make_wav(sr, n))
+            assert d["format"] == "wav" and d["sample_rate"] == sr
+            assert d["duration_ms"] == (2 * n) * 1000 // (sr * 2)
+
+        @settings(max_examples=60, deadline=None)
+        @given(st.sampled_from([32000, 44100, 48000]), st.integers(1, 40),
+               st.booleans())
+        def check_mp3(sr, frames, id3):
+            d = decode_media_bytes(make_mp3(sr, frames, with_id3=id3))
+            assert d["format"] == "mp3" and d["sample_rate"] == sr
+            assert d["duration_ms"] == frames * 1152 * 1000 // sr
+
+        @settings(max_examples=60, deadline=None)
+        @given(st.integers(1, 4096), st.integers(1, 4096),
+               st.integers(0, 10_000_000), st.integers(1, 90_000))
+        def check_mp4(w, h, dur, ts):
+            d = decode_media_bytes(make_mp4(w, h, dur, timescale=ts))
+            assert (d["format"], d["width"], d["height"]) == ("mp4", w, h)
+            assert d["duration_ms"] == dur * 1000 // ts
+
+        check_wav()
+        check_mp3()
+        check_mp4()
+
+    def test_decoder_total_on_arbitrary_prefixes(self):
+        from hypothesis import given, settings, strategies as st
+
+        from anycrawl_spark.operators.media_codec import (
+            decode_media_bytes, make_mp4, make_png, make_webp)
+
+        samples = [make_png(9, 9), make_webp(9, 9, "vp8l"), make_mp4(9, 9, 60)]
+
+        @settings(max_examples=200, deadline=None)
+        @given(st.integers(0, 2), st.integers(0, 60), st.binary(max_size=24))
+        def check(i, cut, garbage):
+            # truncated real container + garbage tail: decode must return a
+            # dict, never raise (the Arrow batch must survive any payload)
+            out = decode_media_bytes(samples[i][:cut] + garbage)
+            assert set(out) == {"format", "width", "height", "duration_ms",
+                                "sample_rate"}
+
+        check()
+
+
+class TestMonitorWebhookIntegration:
+    """M-family → S10 composition (MonitorPostProcessor.ts:322-352): LCS
+    snapshot diffs become monitor.changed / monitor.price.changed events
+    whose payload carries the diff inline, then flow through the same
+    subscription-match + signing pipeline as job events."""
+
+    def test_changes_to_signed_deliveries(self, spark):
+        import json
+
+        from anycrawl_spark.monitor import snapshot_changes
+        from anycrawl_spark.webhooks import (
+            SUBSCRIPTION_SCHEMA, match_deliveries, monitor_events,
+            sign_deliveries)
+
+        snaps = spark.createDataFrame(
+            [(1, "https://m.test/a", "line1\nline2", "2026-01-01T00:00:00"),
+             (1, "https://m.test/a", "line1\nline2b", "2026-01-02T00:00:00"),
+             (1, "https://m.test/b", "same", "2026-01-01T00:00:00"),
+             (1, "https://m.test/b", "same", "2026-01-02T00:00:00")],
+            schema="monitor_id long, url string, content string, captured_at string")
+        changes = (snapshot_changes(snaps)
+                   .withColumn("change_type", F.lit("content"))
+                   .withColumn("diff_text",
+                               F.concat(F.lit("+"), F.col("lines_added").cast("string"),
+                                        F.lit("/-"), F.col("lines_removed").cast("string"))))
+        monitors = spark.createDataFrame(
+            [(1, "price watch", "content")],
+            schema="monitor_id long, monitor_name string, monitor_type string")
+        events = monitor_events(changes, monitors)
+        ev = events.collect()
+        assert len(ev) == 1 and ev[0]["event_type"] == "monitor.changed"
+        body = json.loads(ev[0]["payload"])
+        # MonitorEventPayload field order (signature reproducibility)
+        assert list(body) == ["monitor_id", "monitor_name", "monitor_type",
+                              "url", "change_type", "diff_text", "captured_at"]
+        assert body["url"] == "https://m.test/a"
+
+        subs = spark.createDataFrame(
+            [(1, "https://h.test/m", "sec", True,
+              ["monitor.changed", "monitor.price.changed"], "all", None, None)],
+            SUBSCRIPTION_SCHEMA)
+        out = sign_deliveries(match_deliveries(events, subs)).collect()
+        assert len(out) == 1
+        assert out[0]["signature"].startswith("sha256=")
+        assert out[0]["event_source"] == "monitor"
+
+    def test_price_change_event_type(self, spark):
+        from anycrawl_spark.webhooks import monitor_events
+
+        changes = spark.createDataFrame(
+            [(1, "https://m.test/p", "price_up", "-", "2026-01-02")],
+            schema="monitor_id long, url string, change_type string, "
+                   "diff_text string, captured_at string")
+        monitors = spark.createDataFrame(
+            [(1, "m", "price")],
+            schema="monitor_id long, monitor_name string, monitor_type string")
+        rows = monitor_events(changes, monitors).collect()
+        assert rows[0]["event_type"] == "monitor.price.changed"
