@@ -284,19 +284,30 @@ class CrawlEngine:
         prev = self._prev_inflight
         self._prev_inflight = None
         if prev is not None:
-            for fut in prev["futures"]:
-                fut.result()
-            self.catalog.commit_round(prev["round"], prev["tables"],
-                                      prev["meta"],
-                                      replace=prev["replace"] or None)
-            committed_seen = set(self.catalog.committed_rounds("seen"))
-            self._seen_uncommitted = [
-                (rr, p, comp) for rr, p, comp in self._seen_uncommitted
-                if rr not in committed_seen]
-            if (self._bloom_uncommitted is not None
-                    and self._bloom_uncommitted[0]
-                    in self.catalog.committed_rounds("bloom")):
-                self._bloom_uncommitted = None
+            try:
+                for fut in prev["futures"]:
+                    fut.result()
+                self.catalog.commit_round(prev["round"], prev["tables"],
+                                          prev["meta"],
+                                          replace=prev["replace"] or None)
+                committed_seen = set(self.catalog.committed_rounds("seen"))
+                self._seen_uncommitted = [
+                    (rr, p, comp) for rr, p, comp in self._seen_uncommitted
+                    if rr not in committed_seen]
+                if (self._bloom_uncommitted is not None
+                        and self._bloom_uncommitted[0]
+                        in self.catalog.committed_rounds("bloom")):
+                    self._bloom_uncommitted = None
+            except BaseException:
+                # a failed write/commit aborts the run — release EVERY
+                # cached frame (this round's, the deferred tail's, and the
+                # graveyard's) so the Spark session doesn't leak persisted
+                # DataFrames past the failure
+                for df in (prev["caches_now"] + prev["caches_later"]
+                           + self._graveyard):
+                    df.unpersist()
+                self._graveyard = []
+                raise
             # docs/admitted are only read by the just-awaited writes —
             # release them now (the payload-heavy frames). new_rows backs
             # the in-memory pending the CURRENT round's in-flight writes

@@ -121,10 +121,12 @@ def ivf_topk(spark: SparkSession, index_path: str, centroids: np.ndarray,
     nq = F.sqrt(F.aggregate(F.transform(qv, lambda x: x * x),
                             F.lit(0.0), lambda acc, x: acc + x))
     cos = dot / (nv * nq)
+    # Sort by the 6-dp ROUNDED cosine (the value the oracle hash compares):
+    # ordering by the raw float could select/order near-ties differently
+    # across engines while the compared values still round equal.
     return (
-        idx.withColumn("cos_raw", cos)
-        .orderBy(F.desc("cos_raw"), F.asc("vec_id"))
+        idx.withColumn("cosine", F.round(cos, 6))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(k)
-        .select("vec_id", F.round(F.col("cos_raw"), 6).alias("cosine"),
-                F.col("cell").cast("long").alias("cell"))
+        .select("vec_id", "cosine", F.col("cell").cast("long").alias("cell"))
     )

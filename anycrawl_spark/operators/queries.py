@@ -1540,7 +1540,7 @@ def q_cosine_over_candidates(spark, sf_dir):
          q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
        SELECT e.vec_id, ROUND(list_cosine_similarity(e.v, q.qv), 6) AS cosine
        FROM e, q WHERE e.vec_id != 0
-       ORDER BY list_cosine_similarity(e.v, q.qv) DESC, e.vec_id
+       ORDER BY ROUND(list_cosine_similarity(e.v, q.qv), 6) DESC, e.vec_id
        LIMIT 10""",
     "ANN baseline: brute-force cosine top-k against a query vector "
     "(broadcast query, full scan — the exact-recall reference path)",
@@ -1558,13 +1558,16 @@ def q_ann_bruteforce_topk(spark, sf_dir):
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v"))
     q = e.where(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
     cos = _cos_spark(F.col("v"), F.col("qv"))
+    # order by the 6-dp rounded cosine — the same value the oracle hash
+    # compares — so near-ties at the top-k boundary can't order/select
+    # differently across engines
     return (
         e.where(F.col("vec_id") != 0)
         .crossJoin(F.broadcast(q))
-        .withColumn("cos_raw", cos)
-        .orderBy(F.desc("cos_raw"), F.asc("vec_id"))
+        .withColumn("cosine", F.round(cos, 6))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(10)
-        .select("vec_id", F.round(F.col("cos_raw"), 6).alias("cosine"))
+        .select("vec_id", "cosine")
     )
 
 
@@ -1574,7 +1577,7 @@ def q_ann_bruteforce_topk(spark, sf_dir):
          q AS (SELECT label AS qlabel, v AS qv FROM e WHERE vec_id = 0)
        SELECT e.vec_id, ROUND(list_cosine_similarity(e.v, q.qv), 6) AS cosine
        FROM e JOIN q ON e.label = q.qlabel WHERE e.vec_id != 0
-       ORDER BY list_cosine_similarity(e.v, q.qv) DESC, e.vec_id
+       ORDER BY ROUND(list_cosine_similarity(e.v, q.qv), 6) DESC, e.vec_id
        LIMIT 5""",
     "ANN scale path (IVF-style): probe only the query's cluster partition "
     "(labels stand in for coarse-quantizer cells); top-k within the cell",
@@ -1593,10 +1596,10 @@ def q_ann_ivf_topk(spark, sf_dir):
     return (
         e.join(F.broadcast(q), e["label"] == F.col("qlabel"))
         .where(F.col("vec_id") != 0)
-        .withColumn("cos_raw", cos)
-        .orderBy(F.desc("cos_raw"), F.asc("vec_id"))
+        .withColumn("cosine", F.round(cos, 6))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(5)
-        .select("vec_id", F.round(F.col("cos_raw"), 6).alias("cosine"))
+        .select("vec_id", "cosine")
     )
 
 
@@ -1606,7 +1609,7 @@ def q_ann_ivf_topk(spark, sf_dir):
          q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
        SELECT e.vec_id, ROUND(list_cosine_similarity(e.v, q.qv), 6) AS cosine
        FROM e, q WHERE e.vec_id != 0
-       ORDER BY list_cosine_similarity(e.v, q.qv) DESC, e.vec_id
+       ORDER BY ROUND(list_cosine_similarity(e.v, q.qv), 6) DESC, e.vec_id
        LIMIT 10""",
     "ANN real IVF, full-probe exactness oracle: Lloyd's k-means centroids "
     "(driver, deterministic init) → cell assignment (one Arrow matmul per "
@@ -2475,8 +2478,11 @@ def q_glob_path_filter(spark, sf_dir):
                   ELSE ['crawl.completed', 'crawl.failed', 'search.completed']
                 END AS event_types,
                 CASE WHEN doc_id % 3 = 0 THEN 'all' ELSE 'specific' END AS scope,
-                ['job-' || (doc_id % 10)::VARCHAR] AS specific_task_ids,
-                CASE WHEN doc_id % 2 = 0 THEN NULL
+                CASE WHEN doc_id % 7 = 0 THEN NULL
+                     ELSE ['job-' || (doc_id % 10)::VARCHAR] END
+                  AS specific_task_ids,
+                CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN NULL
+                     WHEN 1 THEN CAST(0 AS INT)
                      ELSE CAST(5 AS INT) END AS max_retries
          FROM documents WHERE doc_id < 32),
        events AS (
@@ -2490,11 +2496,13 @@ def q_glob_path_filter(spark, sf_dir):
               s.webhook_url AS request_url,
               'pending' AS status,
               CAST(1 AS INT) AS attempt_number,
-              CAST(coalesce(s.max_retries, 3) AS INT) AS max_attempts
+              CAST(CASE WHEN s.max_retries IS NULL OR s.max_retries = 0
+                        THEN 3 ELSE s.max_retries END AS INT) AS max_attempts
        FROM events e JOIN subs s
          ON s.is_active
         AND list_contains(s.event_types, e.event_type)
         AND (s.scope = 'all'
+             OR s.specific_task_ids IS NULL
              OR list_contains(s.specific_task_ids, e.event_source_id))""",
     "S10 webhook pipeline (Webhook.ts:88-167): active-subscription match "
     "(event-type containment + all/specific scope) -> one pending delivery "
@@ -2518,8 +2526,14 @@ def q_webhook_match(spark, sf_dir):
         .otherwise(F.array(F.lit("crawl.completed"), F.lit("crawl.failed"),
                            F.lit("search.completed"))).alias("event_types"),
         F.when(d % 3 == 0, "all").otherwise("specific").alias("scope"),
-        F.array(F.concat(F.lit("job-"), (d % 10).cast("string"))).alias("specific_task_ids"),
-        F.when(d % 2 == 0, F.lit(None)).otherwise(F.lit(5)).cast("int").alias("max_retries"),
+        # doc_id%7==0 subs carry NULL specific_task_ids: scope='specific'
+        # with no task list must still deliver (Webhook.ts:110-116)
+        F.when(d % 7 == 0, F.lit(None).cast("array<string>"))
+        .otherwise(F.array(F.concat(F.lit("job-"), (d % 10).cast("string"))))
+        .alias("specific_task_ids"),
+        # NULL / 0 / 5 — both NULL and 0 must map to max_attempts=3
+        F.when(d % 3 == 0, F.lit(None)).when(d % 3 == 1, F.lit(0))
+        .otherwise(F.lit(5)).cast("int").alias("max_retries"),
     )
     etype = F.element_at(
         F.array(F.lit("crawl.started"), F.lit("crawl.completed"),

@@ -76,11 +76,15 @@ def match_deliveries(events: DataFrame,
         subscriptions.where(F.col("is_active"))
         .select("sub_id", "webhook_url", "webhook_secret", "event_types",
                 "scope", "specific_task_ids", "max_retries"))
+    # Webhook.ts:110-116: the scope filter only applies when
+    # specificTaskIds is set — `scope !== "all" && specificTaskIds` guards
+    # the includes() check, so scope='specific' with NULL task ids still
+    # delivers.
     cond = (
         F.array_contains(sub["event_types"], events["event_type"])
         & ((sub["scope"] == "all")
-           | F.array_contains(F.coalesce(sub["specific_task_ids"],
-                                         F.array().cast("array<string>")),
+           | sub["specific_task_ids"].isNull()
+           | F.array_contains(sub["specific_task_ids"],
                               events["event_source_id"]))
     )
     return (
@@ -94,7 +98,11 @@ def match_deliveries(events: DataFrame,
             "webhook_secret",
             F.lit("pending").alias("status"),
             F.lit(1).alias("attempt_number"),
-            F.coalesce("max_retries", F.lit(3)).alias("max_attempts"),
+            # JS `maxRetries || 3` (Webhook.ts:144): 0 is falsy, so a
+            # subscription with max_retries=0 still gets 3 attempts
+            F.when(F.col("max_retries").isNull() | (F.col("max_retries") == 0),
+                   F.lit(3)).otherwise(F.col("max_retries"))
+            .alias("max_attempts"),
         )
     )
 

@@ -561,6 +561,11 @@ class TestWebhooks:
              ["crawl.completed"], "all", None, None),
             (4, "https://h.test/4", "secret-4", True,
              ["scrape.completed"], "all", None, None),          # wrong event
+            # scope='specific' but NULL task ids: Webhook.ts:110-116 only
+            # applies the scope filter when specificTaskIds is set, so this
+            # sub still delivers; maxRetries||3 maps its 0 to 3
+            (5, "https://h.test/5", "secret-5", True,
+             ["crawl.completed"], "specific", None, 0),
         ], SUBSCRIPTION_SCHEMA)
 
     def test_matching_scope_and_activity(self, spark):
@@ -573,12 +578,14 @@ class TestWebhooks:
         rows = {(r["event_id"], r["sub_id"]): r
                 for r in match_deliveries(events, self._subs(spark)).collect()}
         # sub 1 (scope all) matches both; sub 2 (specific job-a) only job-a;
-        # sub 3 inactive, sub 4 wrong event type -> absent
-        assert set(rows) == {(10, 1), (11, 1), (10, 2)}
+        # sub 3 inactive, sub 4 wrong event type -> absent; sub 5
+        # (specific + NULL task ids) matches both per Webhook.ts:110-116
+        assert set(rows) == {(10, 1), (11, 1), (10, 2), (10, 5), (11, 5)}
         r = rows[(10, 2)]
         assert r["status"] == "pending" and r["attempt_number"] == 1
         assert r["max_attempts"] == 5                      # sub override
         assert rows[(10, 1)]["max_attempts"] == 3          # default || 3
+        assert rows[(10, 5)]["max_attempts"] == 3          # 0 is falsy -> 3
         assert r["request_method"] == "POST"
         assert r["request_url"] == "https://h.test/2"
 
