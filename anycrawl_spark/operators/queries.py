@@ -2551,6 +2551,242 @@ def q_webhook_match(spark, sf_dir):
         "status", "attempt_number", "max_attempts")
 
 
+@register(
+    "scheduled_runs",
+    """WITH tasks AS (
+         SELECT 'task-' || doc_id::VARCHAR AS task_uuid,
+                CAST(doc_id % 8 AS INT) AS cat,
+                CASE CAST(doc_id % 3 AS INT)
+                  WHEN 0 THEN 0 WHEN 1 THEN 8 ELSE -5 END AS tz_hours
+         FROM documents WHERE doc_id < 24 AND doc_id % 11 != 0),
+       mins AS (
+         SELECT unnest(generate_series(TIMESTAMP '2026-03-01 00:00:00',
+                                       TIMESTAMP '2026-03-07 23:59:00',
+                                       INTERVAL 1 MINUTE)) AS ts),
+       grid AS (
+         SELECT t.task_uuid, t.cat, m.ts,
+                m.ts + to_hours(t.tz_hours) AS lt
+         FROM tasks t, mins m)
+       SELECT task_uuid,
+              strftime(ts, '%Y-%m-%dT%H:%M:%S.000Z') AS scheduled_for,
+              task_uuid || '-' || strftime(ts, '%Y-%m-%dT%H:%M:%S.000Z')
+                  AS idempotency_key
+       FROM grid
+       WHERE CASE cat
+         WHEN 0 THEN minute(lt) % 15 = 0
+         WHEN 1 THEN minute(lt) = 0
+         WHEN 2 THEN minute(lt) = 30 AND hour(lt) = 2
+         WHEN 3 THEN minute(lt) = 0 AND hour(lt) = 9
+                     AND dayofweek(lt) BETWEEN 1 AND 5
+         WHEN 4 THEN minute(lt) = 5 AND hour(lt) = 0 AND dayofmonth(lt) = 1
+         WHEN 5 THEN minute(lt) = 0 AND hour(lt) = 12 AND dayofweek(lt) = 0
+         WHEN 6 THEN minute(lt) % 20 = 0 AND hour(lt) BETWEEN 6 AND 18
+         ELSE minute(lt) = 0 AND hour(lt) = 0
+              AND (dayofmonth(lt) = 1 OR dayofweek(lt) = 1)
+       END""",
+    "Scheduler recurrence (Scheduler.ts:18,222,880 cron-parser core): "
+    "5-field cron x timezone x window -> scheduled-run slots with the "
+    "reference idempotency key {uuid}-{ISO} (Scheduler.ts:44-48). The "
+    "oracle restates each fixture cron as an explicit field predicate over "
+    "a DuckDB minute series (fixed-offset timezones; IANA-DST edges are "
+    "pytest-covered). Cat 3 exercises dow names (MON-FRI), cat 7 the "
+    "Vixie dom-OR-dow rule.",
+)
+def q_scheduled_runs(spark, sf_dir):
+    from anycrawl_spark.scheduler import scheduled_run_slots
+
+    documents = load(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    crons = F.element_at(F.array(
+        F.lit("*/15 * * * *"), F.lit("0 * * * *"), F.lit("30 2 * * *"),
+        F.lit("0 9 * * MON-FRI"), F.lit("5 0 1 * *"), F.lit("0 12 * * 0"),
+        F.lit("*/20 6-18 * * *"), F.lit("0 0 1 * 1")), (d % 8).cast("int") + 1)
+    tz = (F.when(d % 3 == 0, "UTC").when(d % 3 == 1, "+08:00")
+          .otherwise("-05:00"))
+    tasks = documents.where(d < 24).select(
+        F.concat(F.lit("task-"), d.cast("string")).alias("task_uuid"),
+        crons.alias("cron_expression"), tz.alias("timezone"),
+        (d % 11 == 0).alias("is_paused"))
+    return scheduled_run_slots(tasks, "2026-03-01T00:00:00",
+                               "2026-03-08T00:00:00")
+
+
+@register(
+    "webhook_retry_schedule",
+    """WITH d AS (
+         SELECT doc_id,
+                CAST(doc_id % 3 + 2 AS INT) AS max_attempts,
+                CAST(CASE CAST(doc_id % 4 AS INT)
+                     WHEN 0 THEN 2 WHEN 1 THEN 2 WHEN 2 THEN 3
+                     ELSE 5 END AS INT) AS mult,
+                CAST(doc_id % (doc_id % 3 + 2) + 1 AS INT) AS n_attempts,
+                doc_id % 5 = 0 AS delivered
+         FROM documents WHERE doc_id < 400)
+       SELECT doc_id AS delivery_id,
+              CASE WHEN delivered THEN 'delivered'
+                   WHEN n_attempts < max_attempts THEN 'retrying'
+                   ELSE 'failed' END AS status,
+              CAST(CASE WHEN delivered THEN n_attempts
+                        WHEN n_attempts < max_attempts THEN n_attempts + 1
+                        ELSE n_attempts END AS INT) AS attempt_number,
+              CASE WHEN NOT delivered AND n_attempts < max_attempts
+                   THEN 1700000000 + (doc_id * 7 + n_attempts * 13) * 60
+                        + CAST(pow(mult, n_attempts) AS BIGINT) * 60
+              END AS next_retry_epoch
+       FROM d""",
+    "Webhook delivery retry ladder (Webhook.ts:284-345): fold an "
+    "attempt-outcome log to final delivery state — delivered on success, "
+    "retrying with next_retry_at = attempted_at + pow(backoff||2, "
+    "failed_attempt) minutes while attempts remain, terminal failed at "
+    "max_attempts. The oracle computes each delivery's final state "
+    "analytically from the same deterministic log parameters; the HTTP "
+    "POST worker producing real outcomes is the live seam.",
+)
+def q_webhook_retry_schedule(spark, sf_dir):
+    from anycrawl_spark.webhooks import retry_schedule
+
+    documents = load(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    max_att = (d % 3 + 2).cast("int")
+    mult = (F.when(d % 4 == 0, F.lit(None)).when(d % 4 == 1, 2)
+            .when(d % 4 == 2, 3).otherwise(5)).cast("int")
+    n_att = (d % max_att + 1).cast("int")
+    deliveries = documents.where(d < 400).select(
+        d.alias("delivery_id"), max_att.alias("max_attempts"),
+        mult.alias("retry_backoff_multiplier"), n_att.alias("n_attempts"),
+        (d % 5 == 0).alias("delivered"))
+    attempts = deliveries.select(
+        "*", F.explode(F.sequence(F.lit(1), F.col("n_attempts")))
+        .alias("attempt_number"))
+    log = attempts.select(
+        "delivery_id",
+        F.col("attempt_number").cast("int").alias("attempt_number"),
+        F.timestamp_seconds(
+            F.lit(1700000000) + (F.col("delivery_id") * 7
+                                 + F.col("attempt_number") * 13) * 60)
+        .alias("attempted_at"),
+        (F.col("delivered")
+         & (F.col("attempt_number") == F.col("n_attempts"))).alias("success"),
+        "max_attempts", "retry_backoff_multiplier")
+    return retry_schedule(log)
+
+
+@register(
+    "credit_rollup",
+    """WITH raw AS (
+         SELECT 'job-' || (doc_id % 8)::VARCHAR AS job_id,
+                CAST(doc_id // 8 + 1 AS INT) AS done,
+                doc_id % 7 != 0 AS was_success,
+                CASE WHEN doc_id % 2 = 0 THEN CAST(40 AS INT) END AS job_limit,
+                CASE WHEN doc_id % 5 = 0 THEN 'stealth' ELSE 'base' END AS proxy,
+                doc_id % 4 = 0 AS has_json,
+                CASE WHEN doc_id % 8 = 0 THEN 'html' END AS extract_source,
+                CASE WHEN doc_id % 4 = 0 AND doc_id % 6 = 0
+                       THEN ['markdown', 'json', 'summary']
+                     WHEN doc_id % 4 = 0 THEN ['markdown', 'json']
+                     WHEN doc_id % 6 = 0 THEN ['markdown', 'summary']
+                     ELSE ['markdown'] END AS formats
+         FROM documents WHERE doc_id < 320),
+       deduped AS (SELECT DISTINCT * FROM raw),
+       gated AS (
+         SELECT *,
+                was_success AND (job_limit IS NULL OR done <= job_limit)
+                  AND done > 1 AS charged,
+                1 + CASE WHEN proxy = 'stealth' THEN 2 ELSE 0 END
+                  + CASE WHEN has_json AND list_contains(formats, 'json')
+                         THEN CASE WHEN extract_source = 'html'
+                                   THEN 2 ELSE 1 END ELSE 0 END
+                  + CASE WHEN list_contains(formats, 'summary')
+                         THEN 1 ELSE 0 END AS cost
+         FROM deduped)
+       SELECT job_id,
+              CAST(SUM(CASE WHEN charged THEN 1 ELSE 0 END) AS BIGINT)
+                  AS pages_charged,
+              CAST(SUM(CASE WHEN charged THEN cost ELSE 0 END) AS BIGINT)
+                  AS credits_used,
+              COUNT(*) AS pages_seen,
+              CAST(SUM(CASE WHEN charged THEN 0 ELSE 1 END) AS BIGINT)
+                  AS pages_skipped
+       FROM gated GROUP BY job_id""",
+    "A10 credit rollup (credits.ts buildCrawlPageChargeDetails:191-204 + "
+    "Progress.ts:182-309 deduction gates): per-page cost = 1 + stealth(2) "
+    "+ json(1, x2 for html source) + summary(1), charged only for "
+    "successful pages within the job limit and past page 1, deduped by "
+    "the crawl:page-success:{job}:{done} idempotency key (duplicated "
+    "doc_id%10 events must charge once).",
+)
+def q_credit_rollup(spark, sf_dir):
+    from anycrawl_spark.billing import credit_rollup
+
+    documents = load(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+
+    def page_events(rows):
+        return rows.select(
+            F.concat(F.lit("job-"), (d % 8).cast("string")).alias("job_id"),
+            (F.floor(d / 8) + 1).cast("int").alias("done"),
+            (d % 7 != 0).alias("was_success"),
+            F.when(d % 2 == 0, 40).cast("int").alias("job_limit"),
+            F.when(d % 5 == 0, "stealth").otherwise("base").alias("proxy"),
+            (d % 4 == 0).alias("has_json"),
+            F.when(d % 8 == 0, "html").cast("string").alias("extract_source"),
+            F.when((d % 4 == 0) & (d % 6 == 0),
+                   F.array(F.lit("markdown"), F.lit("json"),
+                           F.lit("summary")))
+            .when(d % 4 == 0, F.array(F.lit("markdown"), F.lit("json")))
+            .when(d % 6 == 0, F.array(F.lit("markdown"), F.lit("summary")))
+            .otherwise(F.array(F.lit("markdown"))).alias("formats"))
+
+    # replayed page events: doc_id%10 rows appear twice in the log; the
+    # idempotency-key dedup must charge them once
+    replayed = page_events(documents.where(d < 320)).unionByName(
+        page_events(documents.where((d < 320) & (d % 10 == 0))))
+    return credit_rollup(replayed, json_credits=1, summary_credits=1)
+
+
+@register(
+    "extraction_markdown_parity",
+    """SELECT COUNT(*) AS pages, 0 AS mismatches FROM documents""",
+    "T10-T13 per-row invariant: pipeline markdown byte-equals an "
+    "ANALYTIC golden built by JVM string templating from the document "
+    "fields (title/h1/paragraph/link-list shapes of the corpus pages) — "
+    "independent of the Python markdown kernel, so a turndown-parity "
+    "regression flips the mismatch count. Oracle states the expectation: "
+    "zero mismatches over all pages.",
+)
+def q_extraction_markdown_parity(spark, sf_dir):
+    from anycrawl_spark.corpus import pages_from_documents
+    from anycrawl_spark.udfs import make_extract_udf
+
+    docs = load(spark, sf_dir, "documents")
+    n = docs.count()
+    d = F.col("doc_id")
+    children = F.filter(
+        F.array(d * 3 + 1, d * 3 + 2, d * 3 + 3), lambda c: c < F.lit(n))
+    links_md = F.concat_ws(
+        "\n", F.transform(children, lambda c: F.concat(
+            F.lit("-   [doc "), c.cast("string"),
+            F.lit("](https://docs.test/d/"), c.cast("string"), F.lit(")"))))
+    golden = F.concat(
+        F.lit("Doc "), d.cast("string"), F.lit("\n\n# Document "),
+        d.cast("string"), F.lit("\n\n"), F.col("text"),
+        F.when(F.size(children) > 0,
+               F.concat(F.lit("\n\n"), links_md)).otherwise(F.lit("")))
+    expected = docs.select(
+        F.concat(F.lit("https://docs.test/d/"), d.cast("string")).alias("url"),
+        golden.alias("golden_markdown"))
+    extract = make_extract_udf(formats=("markdown",))
+    actual = pages_from_documents(docs).select(
+        "url",
+        extract(F.col("url"), F.col("html")).getField("markdown")
+        .alias("markdown"))
+    return (actual.join(expected, "url")
+            .agg(F.count("*").cast("long").alias("pages"),
+                 F.sum(F.when(F.col("markdown") != F.col("golden_markdown"),
+                              1).otherwise(0)).cast("int")
+                 .alias("mismatches")))
+
+
 # ===========================================================================
 # Driver-visible ordering
 # ===========================================================================
@@ -2569,16 +2805,20 @@ DRIVER_ORDER: list[str] = [
     "seen_antijoin", "bloom_seen_filter", "perhost_topk", "cache_ttl_tiers",
     "limit_admission", "progress_agg", "status_classify", "bandwidth_rollup",
     # URL kernel + filters (§2.7, F-family)
-    "canonicalize", "url_hash", "base_domain", "kv_key_base64",
+    "canonicalize", "url_hash", "base_domain",
     "robots_spec_filter", "sitemap_parse", "strategy_filter",
-    "glob_path_filter", "failure_classify", "webhook_match",
+    "glob_path_filter", "failure_classify",
+    # Webhook / scheduler / billing subsystems (S10, Scheduler.ts, A10)
+    "webhook_match", "webhook_retry_schedule", "scheduled_runs",
+    "credit_rollup",
     # Crawl rounds + extraction parity
-    "fetch_join", "crawl_e2e", "extraction_text_parity", "link_explode",
+    "fetch_join", "crawl_e2e", "extraction_text_parity",
+    "extraction_markdown_parity", "link_explode",
     # SERP + map
     "serp_parse", "searxng_parse", "ac_engine_parse", "auto_engine_decision",
-    "serp_scrape_merge", "map_union_dedup", "map_search_rank",
+    "serp_scrape_merge", "map_union_dedup",
     # LLM-data pipeline: text quality + fingerprints
-    "dedup_exact", "token_count", "quality_score", "lang_id",
+    "dedup_exact", "token_count", "lang_id",
     "gopher_quality", "c4_filters", "fingerprint", "winnow_fingerprints",
     # Dedup/similarity scale paths
     "lsh_candidate_pairs", "dedup_clusters_two_star", "simhash_near_pairs",
@@ -2587,16 +2827,25 @@ DRIVER_ORDER: list[str] = [
     "ann_bruteforce_topk", "ann_ivf_real", "media_decode_meta",
     # Time-series / relational
     "sessionize_events", "asof_join_events", "range_join_events",
-    "hypertable_rollup", "tpch_q5_region",
+    "hypertable_rollup",
     # --- driver cutoff: first 50 above are the correctness-gate window ---
+    # r5 swaps (rationale in COVERAGE.md): promoted webhook_retry_schedule,
+    # scheduled_runs, credit_rollup, extraction_markdown_parity; demoted
+    # the named twins below — kv_key_base64 (§2.7 stays covered by
+    # url_hash/canonicalize/base_domain/fingerprint), map_search_rank
+    # (A4 covered by map_union_dedup + perhost_topk ordering),
+    # quality_score (text-quality family covered by gopher_quality +
+    # c4_filters), tpch_q5_region (generic TPC-H shape, not a reference
+    # operator; q1/q3 twins already demoted).
+    "kv_key_base64", "map_search_rank", "quality_score", "tpch_q5_region",
     "cache_newest", "robots_filter", "windowed_events",
     "supplier_region_rollup", "part_brand_stats", "tpch_q1_pricing",
     "tpch_q3_revenue", "minhash_signature", "dedup_clusters", "simhash16",
     "ngram_jaccard_pairs", "embed_cosine_pairs", "ann_ivf_topk",
     "multimodal_meta", "extract_markdown", "gopher_repetition",
-    # frontier_order demoted for webhook_match: BFS priority-queue ordering
-    # stays driver-checked through crawl_e2e (recursive-CTE visit-order
-    # oracle) and perhost_topk (keyed ordering window)
+    # frontier_order demoted for webhook_match (r4): BFS priority-queue
+    # ordering stays driver-checked through crawl_e2e (recursive-CTE
+    # visit-order oracle) and perhost_topk (keyed ordering window)
     "frontier_order",
 ]
 

@@ -1,0 +1,207 @@
+"""Scheduled-task recurrence (SURVEY §2 stretch; reference
+packages/scrape/src/managers/Scheduler.ts): the deterministic core of the
+reference's BullMQ scheduler — 5-field cron expression + IANA timezone →
+scheduled-run slots over a time window, each with the reference's
+idempotency key — re-expressed as a batch operator.
+
+Reference parity:
+
+- Scheduler.ts:18,222,880: cron parsing via ``cron-parser`` with
+  ``tz: task.timezone || "UTC"``; 5-field Vixie cron (minute hour
+  day-of-month month day-of-week), names (JAN-DEC / SUN-SAT), steps,
+  ranges, lists; when BOTH day fields are restricted the slot fires if
+  EITHER matches (standard Vixie OR rule, kept by cron-parser).
+- Scheduler.ts:44-48 (``buildScheduledExecutionIdempotencyKey``): the slot
+  key is ```${taskUuid}-${scheduledFor.toISOString()}`` — a JS Date ISO
+  string (millisecond precision, ``Z`` suffix); `:585` uses it to dedup
+  scheduled runs (manual triggers use a different key family and are
+  out of replay scope).
+- DST semantics (cron-parser on luxon): local wall-clock times that do
+  not exist on a spring-forward day produce no slot; ambiguous fall-back
+  times fire ONCE at the first (earlier-offset) UTC instant.
+
+Architecture: tasks are a dimension table (the reference loads them all
+from Postgres per scheduler tick). The window is chunked into UTC days;
+(task × day-chunk) rows fan out through one Arrow-batched
+``mapInPandas`` that expands each chunk to its matching UTC minutes
+using the parsed cron field sets and ``zoneinfo`` local conversion —
+session-timezone independent, fully parallel across chunks. A final
+``groupBy(task, local_minute).min(utc)`` enforces the fire-once rule for
+ambiguous fall-back wall-clocks (the only cross-chunk interaction).
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta, timezone
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+TASK_SCHEMA = ("task_uuid string, cron_expression string, timezone string, "
+               "is_paused boolean")
+
+_MONTH_NAMES = {n: i + 1 for i, n in enumerate(
+    ["JAN", "FEB", "MAR", "APR", "MAY", "JUN",
+     "JUL", "AUG", "SEP", "OCT", "NOV", "DEC"])}
+_DOW_NAMES = {n: i for i, n in enumerate(
+    ["SUN", "MON", "TUE", "WED", "THU", "FRI", "SAT"])}
+
+_FIELD_RANGES = [(0, 59), (0, 23), (1, 31), (1, 12), (0, 7)]
+
+
+def _parse_field(spec: str, lo: int, hi: int, names: dict[str, int],
+                 is_dow: bool) -> tuple[frozenset[int], bool]:
+    """One cron field → (set of matching values, restricted?). Vixie
+    grammar: ``*``, ``*/step``, ``a``, ``a-b``, ``a-b/step``, comma lists,
+    and 3-letter names; dow 7 is an alias for 0 (Sunday)."""
+    values: set[int] = set()
+    for part in spec.split(","):
+        step = 1
+        if "/" in part:
+            part, step_s = part.split("/", 1)
+            step = int(step_s)
+            if step < 1:
+                raise ValueError(f"cron step must be >= 1: {spec!r}")
+        if part == "*":
+            a, b = lo, hi
+        elif "-" in part[1:]:  # [1:] tolerates a leading minus never valid in cron
+            a_s, b_s = part.split("-", 1)
+            a, b = _num(a_s, names), _num(b_s, names)
+        else:
+            a = b = _num(part, names)
+        if not (lo <= a <= hi and lo <= b <= hi and a <= b):
+            raise ValueError(f"cron field out of range: {spec!r}")
+        values.update(range(a, b + 1, step))
+    if is_dow and 7 in values:          # 7 == Sunday == 0
+        values.discard(7)
+        values.add(0)
+    # Vixie rule: a field is "restricted" for the dom/dow OR unless it
+    # starts with '*' (so '*' and '*/n' are both unrestricted)
+    return frozenset(values), not spec.startswith("*")
+
+
+def _num(tok: str, names: dict[str, int]) -> int:
+    t = tok.strip().upper()
+    if t in names:
+        return names[t]
+    return int(t)
+
+
+def parse_cron(expr: str) -> dict:
+    """5-field cron → field sets. Raises ValueError on malformed input
+    (the reference auto-pauses such tasks — Scheduler.ts:886-905)."""
+    fields = expr.split()
+    if len(fields) != 5:
+        raise ValueError(f"expected 5 cron fields, got {len(fields)}: {expr!r}")
+    out, keys = {}, ["minutes", "hours", "doms", "months", "dows"]
+    for key, spec, (lo, hi) in zip(keys, fields, _FIELD_RANGES):
+        names = _MONTH_NAMES if key == "months" else (
+            _DOW_NAMES if key == "dows" else {})
+        vals, restricted = _parse_field(spec, lo, hi, names, key == "dows")
+        out[key] = vals
+        out[key + "_restricted"] = restricted
+    return out
+
+
+def cron_matches_local(cron: dict, local: datetime) -> bool:
+    """Does a local wall-clock minute match the parsed cron? dow: Monday=1
+    … Sunday=0 (datetime.weekday(): Monday=0 … Sunday=6)."""
+    dow = (local.weekday() + 1) % 7
+    if local.minute not in cron["minutes"] or local.hour not in cron["hours"]:
+        return False
+    if local.month not in cron["months"]:
+        return False
+    dom_m, dow_m = local.day in cron["doms"], dow in cron["dows"]
+    if cron["doms_restricted"] and cron["dows_restricted"]:
+        return dom_m or dow_m          # Vixie OR rule
+    return dom_m and dow_m
+
+
+_SLOT_SCHEMA = ("task_uuid string, scheduled_for string, local_minute string")
+
+
+def scheduled_run_slots(tasks: DataFrame, window_start: str,
+                        window_end: str) -> DataFrame:
+    """All scheduled-run slots for every active task in
+    ``[window_start, window_end)`` (UTC ISO-ish strings, minute
+    granularity). Output: one row per fired slot with the reference's
+    idempotency key ``{task_uuid}-{YYYY-MM-DDTHH:MM:SS.000Z}``.
+
+    Scale shape: |tasks| × |days| chunk rows fan out over executors; each
+    chunk scans its 1440 minutes vectorized in pandas. A 10k-task,
+    one-year window is 3.65M chunk rows — an ordinary shuffle-free map
+    plus one aggregation keyed by (task, local_minute).
+    """
+    spark = tasks.sparkSession
+    start = datetime.fromisoformat(window_start)
+    end = datetime.fromisoformat(window_end)
+    if start.tzinfo is not None:
+        start = start.astimezone(timezone.utc).replace(tzinfo=None)
+        end = end.astimezone(timezone.utc).replace(tzinfo=None)
+
+    day0 = start.replace(hour=0, minute=0, second=0, microsecond=0)
+    n_days = (end - day0 + timedelta(days=1) - timedelta(minutes=1)).days
+    chunks = spark.range(n_days).select(
+        F.col("id").cast("int").alias("day_index"))
+
+    grid = (tasks
+            .where(~F.coalesce(F.col("is_paused"), F.lit(False)))
+            .select("task_uuid", "cron_expression",
+                    F.coalesce("timezone", F.lit("UTC")).alias("timezone"))
+            .crossJoin(chunks))
+
+    day0_iso, start_iso = day0.isoformat(), start.isoformat()
+    end_iso = end.isoformat()
+
+    def expand(iterator):
+        from zoneinfo import ZoneInfo
+
+        d0 = datetime.fromisoformat(day0_iso).replace(tzinfo=timezone.utc)
+        w_start = datetime.fromisoformat(start_iso).replace(tzinfo=timezone.utc)
+        w_end = datetime.fromisoformat(end_iso).replace(tzinfo=timezone.utc)
+        cron_cache: dict[str, dict] = {}
+        tz_cache: dict[str, ZoneInfo] = {}
+        for pdf in iterator:
+            rows = []
+            for uuid, expr, tz_name, day_index in zip(
+                    pdf["task_uuid"], pdf["cron_expression"],
+                    pdf["timezone"], pdf["day_index"]):
+                cron = cron_cache.get(expr)
+                if cron is None:
+                    cron = cron_cache[expr] = parse_cron(expr)
+                tz = tz_cache.get(tz_name)
+                if tz is None:
+                    # fixed offsets like '+08:00' ride through zoneinfo
+                    # via datetime.strptime-style parsing fallback
+                    if tz_name and (tz_name[0] in "+-"):
+                        sign = 1 if tz_name[0] == "+" else -1
+                        hh, mm = tz_name[1:].split(":")
+                        tz = timezone(sign * timedelta(hours=int(hh),
+                                                       minutes=int(mm)))
+                    else:
+                        tz = ZoneInfo(tz_name or "UTC")
+                    tz_cache[tz_name] = tz
+                base = d0 + timedelta(days=int(day_index))
+                for m in range(1440):
+                    utc = base + timedelta(minutes=m)
+                    if utc < w_start or utc >= w_end:
+                        continue
+                    local = utc.astimezone(tz)
+                    if cron_matches_local(cron, local):
+                        rows.append((
+                            uuid,
+                            utc.strftime("%Y-%m-%dT%H:%M:%S.000Z"),
+                            local.strftime("%Y-%m-%d %H:%M"),
+                        ))
+            yield pd.DataFrame(
+                rows, columns=["task_uuid", "scheduled_for", "local_minute"])
+
+    slots = grid.mapInPandas(expand, schema=_SLOT_SCHEMA)
+    # fire-once on ambiguous fall-back wall-clocks: keep the earliest UTC
+    # instant per (task, local wall-clock minute) — cron-parser semantics
+    fired = (slots.groupBy("task_uuid", "local_minute")
+             .agg(F.min("scheduled_for").alias("scheduled_for")))
+    return fired.select(
+        "task_uuid", "scheduled_for",
+        F.concat(F.col("task_uuid"), F.lit("-"), F.col("scheduled_for"))
+        .alias("idempotency_key"))

@@ -131,6 +131,64 @@ def sign_deliveries(deliveries: DataFrame,
             .drop(secret_col))
 
 
+ATTEMPT_SCHEMA = ("delivery_id long, attempt_number int, attempted_at "
+                  "timestamp, success boolean, max_attempts int, "
+                  "retry_backoff_multiplier int")
+
+
+def retry_schedule(attempts: DataFrame) -> DataFrame:
+    """Fold a delivery-attempt outcome log into each delivery's resulting
+    state — the deterministic core of the reference's retry worker
+    (Webhook.ts:284-345, ``handleDeliveryFailure``):
+
+    - a successful attempt → status ``delivered`` at that attempt number;
+    - a failed attempt with ``attempt_number < max_attempts`` → status
+      ``retrying``, ``attempt_number + 1``, and ``next_retry_at =
+      attempted_at + pow(retry_backoff_multiplier || 2, attempt_number)
+      minutes`` (base 60000 ms, exponent = the attempt that just failed);
+    - a failed attempt at ``attempt_number >= max_attempts`` → terminal
+      ``failed``, no next retry.
+
+    The HTTP POST that produces each outcome is the live seam; this
+    operator replays the recorded outcomes. One hash aggregation per
+    delivery — no window, no shuffle beyond the groupBy. Attempts after
+    the first success are ignored (they cannot exist in a faithful log;
+    replays of merged logs stay idempotent).
+
+    ``next_retry_epoch`` is epoch seconds (bigint) so the result hashes
+    identically across engines."""
+    a = attempts.select(
+        "delivery_id", "attempt_number", "success", "max_attempts",
+        F.coalesce("retry_backoff_multiplier", F.lit(2)).alias("mult"),
+        F.col("attempted_at").cast("timestamp").cast("long").alias("at_epoch"),
+    )
+    per = a.groupBy("delivery_id").agg(
+        F.min(F.when(F.col("success"), F.col("attempt_number")))
+        .alias("first_success"),
+        F.max("max_attempts").alias("max_attempts"),
+        F.max("mult").alias("mult"),
+        F.max(F.when(~F.col("success"),
+                     F.struct("attempt_number", "at_epoch")))
+        .alias("last_fail_row"),
+    )
+    fail_n = F.col("last_fail_row.attempt_number")
+    fail_at = F.col("last_fail_row.at_epoch")
+    delivered = F.col("first_success").isNotNull()
+    retrying = ~delivered & (fail_n < F.col("max_attempts"))
+    backoff_sec = (F.pow(F.col("mult"), fail_n) * 60).cast("long")
+    return per.select(
+        "delivery_id",
+        F.when(delivered, "delivered")
+        .when(retrying, "retrying")
+        .otherwise("failed").alias("status"),
+        F.when(delivered, F.col("first_success"))
+        .when(retrying, fail_n + 1)
+        .otherwise(fail_n).cast("int").alias("attempt_number"),
+        F.when(retrying, fail_at + backoff_sec)
+        .cast("long").alias("next_retry_epoch"),
+    )
+
+
 def job_events_from_summary(spark: SparkSession, summary: dict,
                             seed_url: str,
                             created_at: str = "1970-01-01T00:00:00Z",

@@ -545,6 +545,161 @@ class TestCandidateBoundedPairs:
             assert recall >= 0.8, (recall, len(strong))
 
 
+class TestScheduler:
+    """Scheduled-task recurrence (Scheduler.ts cron core): parser grammar,
+    the reference idempotency-key format, and the IANA-DST edges the
+    fixed-offset oracle can't reach."""
+
+    def test_parse_cron_grammar(self):
+        from anycrawl_spark.scheduler import parse_cron
+
+        c = parse_cron("*/15 9-17 1,15 MAR-MAY MON-FRI")
+        assert c["minutes"] == frozenset(range(0, 60, 15))
+        assert c["hours"] == frozenset(range(9, 18))
+        assert c["doms"] == frozenset({1, 15})
+        assert c["months"] == frozenset({3, 4, 5})
+        assert c["dows"] == frozenset({1, 2, 3, 4, 5})
+        assert c["doms_restricted"] and c["dows_restricted"]
+        # dow 7 aliases Sunday=0; '*' and '*/n' are unrestricted (Vixie)
+        assert parse_cron("0 0 * * 7")["dows"] == frozenset({0})
+        assert not parse_cron("*/5 * * * *")["minutes_restricted"]
+        import pytest
+        with pytest.raises(ValueError):
+            parse_cron("0 0 * *")            # 4 fields
+        with pytest.raises(ValueError):
+            parse_cron("61 0 * * *")         # out of range
+
+    def _slots(self, spark, cron, tz, start, end):
+        from anycrawl_spark.scheduler import TASK_SCHEMA, scheduled_run_slots
+
+        tasks = spark.createDataFrame(
+            [("t1", cron, tz, False)], TASK_SCHEMA)
+        return sorted(r["scheduled_for"] for r in
+                      scheduled_run_slots(tasks, start, end).collect())
+
+    def test_idempotency_key_format(self, spark):
+        # Scheduler.lifecycle.test.ts:83-89: "task-1-2026-05-28T01:00:00.000Z"
+        from anycrawl_spark.scheduler import TASK_SCHEMA, scheduled_run_slots
+
+        tasks = spark.createDataFrame(
+            [("task-1", "0 1 28 5 *", "UTC", False)], TASK_SCHEMA)
+        rows = scheduled_run_slots(
+            tasks, "2026-05-28T00:00:00", "2026-05-29T00:00:00").collect()
+        assert [r["idempotency_key"] for r in rows] == [
+            "task-1-2026-05-28T01:00:00.000Z"]
+
+    def test_dst_spring_forward_skips(self, spark):
+        # America/New_York 2026-03-08: 02:00-03:00 local doesn't exist;
+        # cron-parser produces no slot that day for '30 2 * * *'
+        got = self._slots(spark, "30 2 * * *", "America/New_York",
+                          "2026-03-07T00:00:00", "2026-03-10T00:00:00")
+        assert got == ["2026-03-07T07:30:00.000Z",   # EST (UTC-5)
+                       "2026-03-09T06:30:00.000Z"]   # EDT (UTC-4), no Mar 8
+
+    def test_dst_fall_back_fires_once(self, spark):
+        # America/New_York 2026-11-01: 01:30 local occurs twice (EDT then
+        # EST); the slot fires ONCE at the first (earlier-offset) instant
+        got = self._slots(spark, "30 1 * * *", "America/New_York",
+                          "2026-11-01T00:00:00", "2026-11-02T00:00:00")
+        assert got == ["2026-11-01T05:30:00.000Z"]   # 01:30 EDT, not 06:30
+
+    def test_dom_dow_or_rule_and_pause(self, spark):
+        from anycrawl_spark.scheduler import TASK_SCHEMA, scheduled_run_slots
+
+        # dom=1 OR Monday (both restricted): 2026-03-01 is Sunday (dom),
+        # 2026-03-02 is Monday (dow)
+        tasks = spark.createDataFrame(
+            [("t1", "0 0 1 * 1", "UTC", False),
+             ("t2", "0 0 1 * 1", "UTC", True)],     # paused → no slots
+            TASK_SCHEMA)
+        rows = scheduled_run_slots(
+            tasks, "2026-03-01T00:00:00", "2026-03-08T00:00:00").collect()
+        assert sorted((r["task_uuid"], r["scheduled_for"]) for r in rows) == [
+            ("t1", "2026-03-01T00:00:00.000Z"),
+            ("t1", "2026-03-02T00:00:00.000Z")]
+
+
+class TestRetrySchedule:
+    """Webhook delivery retry ladder (Webhook.ts:284-345)."""
+
+    def test_ladder_states(self, spark):
+        from anycrawl_spark.webhooks import ATTEMPT_SCHEMA, retry_schedule
+
+        t0 = 1700000000
+
+        def ts(epoch):
+            from datetime import datetime, timezone
+            return datetime.fromtimestamp(epoch, tz=timezone.utc).replace(
+                tzinfo=None)
+
+        attempts = spark.createDataFrame([
+            # d1: fail@1 then success@2 → delivered at attempt 2
+            (1, 1, ts(t0), False, 3, None),
+            (1, 2, ts(t0 + 600), True, 3, None),
+            # d2: fail@1 of 3 → retrying, attempt 2, backoff 2^1 min (mult||2)
+            (2, 1, ts(t0), False, 3, None),
+            # d3: fail@2 of 2 → terminal failed
+            (3, 1, ts(t0), False, 2, 2),
+            (3, 2, ts(t0 + 120), False, 2, 2),
+            # d4: fail@2 of 4, mult 5 → retrying, next = at + 5^2 min
+            (4, 1, ts(t0), False, 4, 5),
+            (4, 2, ts(t0 + 60), False, 4, 5),
+        ], ATTEMPT_SCHEMA)
+        rows = {r["delivery_id"]: r for r in retry_schedule(attempts).collect()}
+        assert (rows[1]["status"], rows[1]["attempt_number"],
+                rows[1]["next_retry_epoch"]) == ("delivered", 2, None)
+        assert (rows[2]["status"], rows[2]["attempt_number"],
+                rows[2]["next_retry_epoch"]) == ("retrying", 2, t0 + 120)
+        assert (rows[3]["status"], rows[3]["attempt_number"],
+                rows[3]["next_retry_epoch"]) == ("failed", 2, None)
+        assert (rows[4]["status"], rows[4]["attempt_number"],
+                rows[4]["next_retry_epoch"]) == ("retrying", 3,
+                                                 t0 + 60 + 25 * 60)
+
+
+class TestBilling:
+    """A10 credit rollup (credits.ts + Progress.ts deduction gates)."""
+
+    def test_gates_costs_and_idempotency(self, spark):
+        from anycrawl_spark.billing import PAGE_EVENT_SCHEMA, credit_rollup
+
+        ev = spark.createDataFrame([
+            # j1: page 1 success (skipped — initial fee), page 2 base,
+            # page 3 stealth+json(html x2)+summary, page 4 failed (skip),
+            # page 5 over limit=4 (skip), page 2 replayed (dedup)
+            ("j1", 1, True, 4, "base", False, None, ["markdown"]),
+            ("j1", 2, True, 4, "base", False, None, ["markdown"]),
+            ("j1", 3, True, 4, "stealth", True, "html",
+             ["markdown", "json", "summary"]),
+            ("j1", 4, False, 4, "base", False, None, ["markdown"]),
+            ("j1", 5, True, 4, "base", False, None, ["markdown"]),
+            ("j1", 2, True, 4, "base", False, None, ["markdown"]),
+            # j2: no limit, json without 'json' in formats → no json charge
+            ("j2", 2, True, None, "base", True, None, ["markdown"]),
+        ], PAGE_EVENT_SCHEMA)
+        rows = {r["job_id"]: r for r in
+                credit_rollup(ev, json_credits=1, summary_credits=1).collect()}
+        j1 = rows["j1"]
+        # charged pages: 2 (cost 1) and 3 (1 + 2 stealth + 2 json-html + 1
+        # summary = 6); seen 5 after dedup
+        assert (j1["pages_charged"], j1["credits_used"],
+                j1["pages_seen"], j1["pages_skipped"]) == (2, 7, 5, 3)
+        assert (rows["j2"]["pages_charged"],
+                rows["j2"]["credits_used"]) == (1, 1)
+
+    def test_default_env_credits(self, spark):
+        # with reference env defaults (json=0, summary=0) only base+stealth
+        # bite — normalizeChargeItem drops zero items (credits.ts:62-79)
+        from anycrawl_spark.billing import PAGE_EVENT_SCHEMA, credit_rollup
+
+        ev = spark.createDataFrame([
+            ("j", 2, True, None, "stealth", True, "html",
+             ["markdown", "json", "summary"]),
+        ], PAGE_EVENT_SCHEMA)
+        row = credit_rollup(ev).collect()[0]
+        assert row["credits_used"] == 3     # 1 base + 2 stealth
+
+
 class TestWebhooks:
     """S10 webhook pipeline (Webhook.ts parity): subscription matching,
     delivery records, and the HMAC delivery signature."""
