@@ -114,7 +114,13 @@ def resolve_url(base_url: str, href: str) -> str | None:
     elif fixed.startswith("https:/") and not fixed.startswith("https://"):
         fixed = "https://" + fixed[7:]
     try:
-        resolved = urljoin(base_url, fixed)
+        # absolute http(s) hrefs: urljoin is the identity (same-scheme with
+        # netloc → ref wins; different scheme → ref returned unchanged), so
+        # skip straight to the normalization split
+        if fixed.startswith("https://") or fixed.startswith("http://"):
+            resolved = fixed
+        else:
+            resolved = urljoin(base_url, fixed)
         parts = urlsplit(resolved)
         if not parts.scheme:
             return href

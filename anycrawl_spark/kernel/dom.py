@@ -64,7 +64,7 @@ class Text(Node):
     __slots__ = ("data",)
 
     def __init__(self, data: str) -> None:
-        super().__init__()
+        self.parent = None      # inlined Node.__init__ (hot allocation path)
         self.data = data
 
     def __repr__(self) -> str:  # pragma: no cover
@@ -75,7 +75,7 @@ class Comment(Node):
     __slots__ = ("data",)
 
     def __init__(self, data: str) -> None:
-        super().__init__()
+        self.parent = None
         self.data = data
 
     def __repr__(self) -> str:  # pragma: no cover
@@ -86,9 +86,9 @@ class Element(Node):
     __slots__ = ("tag", "attrs", "children")
 
     def __init__(self, tag: str, attrs: dict[str, str] | None = None) -> None:
-        super().__init__()
+        self.parent = None      # inlined Node.__init__ (hot allocation path)
         self.tag = tag
-        self.attrs: dict[str, str] = attrs or {}
+        self.attrs: dict[str, str] = attrs if attrs is not None else {}
         self.children: list[Node] = []
 
     # -- tree ops -----------------------------------------------------------
@@ -301,6 +301,21 @@ def _fast_feed(core: "_TreeBuilder", rawdata: str) -> None:
             # attrs built as the final dict directly (first occurrence wins,
             # mirroring handle_starttag's list→dict conversion)
             attrs: dict[str, str] = {}
+            if rawdata.startswith(">", k):      # attr-less tag fast path
+                core.start_fast(tag, attrs)
+                i = k + 1
+                if tag in _RAWTEXT:
+                    em = _RAW_END[tag].search(rawdata, i)
+                    if em:
+                        if em.start() > i:
+                            handle_data(rawdata[i:em.start()])
+                        core.end_fast(tag)
+                        i = em.end()
+                    else:
+                        if i < n:
+                            handle_data(rawdata[i:])
+                        break
+                continue
             while k < n:
                 am = _attrfind.match(rawdata, k)
                 if not am:

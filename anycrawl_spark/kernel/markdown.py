@@ -57,10 +57,14 @@ _TC_CACHE: dict[int, str] = {}
 
 
 def _tc(node: Node) -> str:
-    """Memoized textContent — the tree is static during rule evaluation."""
-    if isinstance(node, Text):
+    """Memoized textContent — the tree is static during rule evaluation.
+    Identity class checks throughout these helpers: the backend contract
+    (kernel/backend.py) requires every parser to emit dom.Element/Text/
+    Comment instances, so no subclass can appear."""
+    cls = node.__class__
+    if cls is Text:
         return node.data
-    if not isinstance(node, Element):
+    if cls is not Element:
         return ""
     key = id(node)
     cached = _TC_CACHE.get(key)
@@ -74,7 +78,7 @@ def _has_block_descendant(el: Element, tags: frozenset) -> bool:
     stack = list(el.children)
     while stack:
         n = stack.pop()
-        if isinstance(n, Element):
+        if n.__class__ is Element:
             if n.tag in tags:
                 return True
             stack.extend(n.children)
@@ -88,16 +92,16 @@ _SECTION_BLOCK_TAGS = frozenset(
 
 
 def _is_block(node: Node) -> bool:
-    return isinstance(node, Element) and node.tag in BLOCK_ELEMENTS
+    return node.__class__ is Element and node.tag in BLOCK_ELEMENTS
 
 
 def _is_void(node: Node) -> bool:
-    return isinstance(node, Element) and node.tag in VOID
+    return node.__class__ is Element and node.tag in VOID
 
 
 def _is_pre_or_code(node: Node) -> bool:
     # preformattedCode: true → CODE content is treated as preformatted
-    return isinstance(node, Element) and node.tag in ("pre", "code")
+    return node.__class__ is Element and node.tag in ("pre", "code")
 
 
 _BLANK_DISQUALIFIERS = VOID | MEANINGFUL_WHEN_BLANK
@@ -122,11 +126,12 @@ def _has_disq_descendant(el: Element) -> bool:
 
 def _is_blank(node: Node) -> bool:
     """Turndown isBlank: drives the blank-replacement rule."""
-    if not isinstance(node, Element):
+    if node.__class__ is not Element:
         return False
     if _is_void(node) or node.tag in MEANINGFUL_WHEN_BLANK:
         return False
-    if (_tc(node) or "").strip():
+    tc = _tc(node)
+    if tc and not tc.isspace():     # == bool(tc.strip()), no allocation
         return False
     if _has_disq_descendant(node):
         return False
@@ -136,7 +141,7 @@ def _is_blank(node: Node) -> bool:
 def _in_code(node: Node) -> bool:
     cur: Node | None = node
     while cur is not None:
-        if isinstance(cur, Element) and cur.tag == "code":
+        if cur.__class__ is Element and cur.tag == "code":
             return True
         cur = cur.parent
     return False
@@ -145,7 +150,7 @@ def _in_code(node: Node) -> bool:
 def _in_anchor(node: Node) -> bool:
     cur: Node | None = node
     while cur is not None:
-        if isinstance(cur, Element) and cur.tag == "a":
+        if cur.__class__ is Element and cur.tag == "a":
             return True
         cur = cur.parent
     return False
@@ -156,31 +161,51 @@ def _in_anchor(node: Node) -> bool:
 # ---------------------------------------------------------------------------
 
 def _collapse_whitespace(root: Element) -> None:
+    # Positional rendition of turndown's collapse.js traversal
+    # (`current.firstChild || current.nextSibling || current.parentNode`).
+    # The pointer-chasing original resolved every sibling step through
+    # next_sibling() — an O(siblings) children.index() scan, quadratic on
+    # wide nodes — so this walk carries an explicit (parent, child-index)
+    # frame stack instead. Visit order and flag updates are identical:
+    # every node gets an enter visit; an element whose children were
+    # entered also gets an exit visit (turndown's climb returns the parent
+    # node itself, re-running the element branch — a closing block resets
+    # prevText/keep_leading_ws; skipping that revisit leaks a leading
+    # space into text after a closed block, e.g. '<div><p>a</p> x</div>').
+    # pre/code subtrees are never entered; root gets no exit visit.
     if not root.children:
         return
 
-    def _next(prev: Node | None, current: Node) -> Node | None:
-        # identical traversal contract to turndown's collapse.js `next()`:
-        # `current.firstChild || current.nextSibling || current.parentNode`.
-        # Climbing returns the PARENT node itself, which the main loop then
-        # re-processes through the element branch — a closing block resets
-        # prevText/keep_leading_ws exactly as in turndown (skipping the
-        # ancestor revisit leaks a leading space into text after a closed
-        # block, e.g. '<div><p>a</p> x</div>').
-        if (prev is not None and prev.parent is current) or _is_pre_or_code(current):
-            sib = next_sibling(current)
-            return sib if sib is not None else current.parent
-        if isinstance(current, Element) and current.children:
-            return current.children[0]
-        sib = next_sibling(current)
-        return sib if sib is not None else current.parent
-
     prev_text: Text | None = None
     keep_leading_ws = False
-    prev: Node | None = None
-    node = _next(prev, root)
-    while node is not root and node is not None:
-        if isinstance(node, Text):
+    stack: list[list] = [[root, 0]]
+
+    def element_visit(node: Element) -> None:
+        nonlocal prev_text, keep_leading_ws
+        if _is_block(node) or node.tag == "br":
+            if prev_text is not None and prev_text.data.endswith(" "):
+                prev_text.data = prev_text.data[:-1]
+            prev_text = None
+            keep_leading_ws = False
+        elif _is_void(node) or _is_pre_or_code(node):
+            prev_text = None
+            keep_leading_ws = True
+        elif prev_text is not None:
+            keep_leading_ws = False
+
+    while stack:
+        frame = stack[-1]
+        parent, i = frame
+        children = parent.children
+        if i >= len(children):
+            stack.pop()
+            if parent is root:
+                break
+            element_visit(parent)            # exit visit (climb revisit)
+            continue
+        node = children[i]
+        cls = node.__class__
+        if cls is Text:
             text = _WS_RUN.sub(" ", node.data)
             if (
                 (prev_text is None or prev_text.data.endswith(" "))
@@ -189,36 +214,20 @@ def _collapse_whitespace(root: Element) -> None:
             ):
                 text = text[1:]
             if not text:
-                parent = node.parent
-                nxt = next_sibling(node) or (parent if parent is not root else root)
-                parent.remove_child(node)
-                prev_kept = prev
-                node = nxt if nxt is not None else root
-                prev = prev_kept
+                del children[i]               # next candidate slides into i
+                node.parent = None
                 continue
             node.data = text
             prev_text = node
-        elif isinstance(node, Element):
-            if _is_block(node) or node.tag == "br":
-                if prev_text is not None:
-                    if prev_text.data.endswith(" "):
-                        prev_text.data = prev_text.data[:-1]
-                prev_text = None
-                keep_leading_ws = False
-            elif _is_void(node) or _is_pre_or_code(node):
-                prev_text = None
-                keep_leading_ws = True
-            elif prev_text is not None:
-                keep_leading_ws = False
+            frame[1] = i + 1
+        elif cls is Element:
+            element_visit(node)               # enter visit
+            frame[1] = i + 1
+            if node.children and not (node.tag == "pre" or node.tag == "code"):
+                stack.append([node, 0])
         else:  # comment — turndown removes non-text/element nodes here
-            parent = node.parent
-            nxt = next_sibling(node) or (parent if parent is not root else root)
-            parent.remove_child(node)
-            node = nxt if nxt is not None else root
-            continue
-        next_node = _next(prev, node)
-        prev = node
-        node = next_node if next_node is not None else root
+            del children[i]
+            node.parent = None
     if prev_text is not None:
         if prev_text.data.endswith(" "):
             prev_text.data = prev_text.data[:-1]
@@ -290,10 +299,18 @@ def _escape(text: str) -> str:
 _EDGE_RE = re.compile(r"^(([ \t\r\n]*)(\s*))(?:(?=\S)[\s\S]*\S)?((\s*?)([ \t\r\n]*))$")
 
 
+_WS_CHAR = re.compile(r"\s")
+
+
 def _flanking(node: Element) -> tuple[str, str]:
     if _is_block(node) or node.tag == "code":
         return "", ""
-    m = _EDGE_RE.match(_tc(node) or "")
+    tc = _tc(node) or ""
+    # fast gate: no edge whitespace (the dominant case) → no flanking;
+    # single-char \s probes match the regex's own whitespace class exactly
+    if tc and not _WS_CHAR.match(tc[0]) and not _WS_CHAR.match(tc[-1]):
+        return "", ""
+    m = _EDGE_RE.match(tc)
     if not m:
         return "", ""
     leading, leading_ascii = m.group(1), m.group(2)
@@ -350,7 +367,11 @@ class _Converter:
         self._by_tag: dict[str, list[tuple]] = {}
         for prio, (filt, repl) in enumerate(self.rules):
             for tag in getattr(filt, "_tags", ()):
-                self._by_tag.setdefault(tag, []).append((prio, filt, repl))
+                # bare tag filters are True by construction when dispatched
+                # through their own tag key — stored as cond=None so
+                # rule_for skips the call
+                cond = None if getattr(filt, "_pure_tag", False) else filt
+                self._by_tag.setdefault(tag, []).append((prio, filt, repl, cond))
         for lst in self._by_tag.values():
             lst.sort(key=lambda t: t[0])
 
@@ -366,6 +387,7 @@ class _Converter:
                 return n.tag in tagset
 
             filt._tags = tagset
+            filt._pure_tag = True
             return filt
 
         def hint(filt, *tags):
@@ -432,8 +454,10 @@ class _Converter:
             return repr(x)
 
         def list_item_repl(content: str, node: Element) -> str:
-            content = re.sub(r"^\n+", "", content)
-            content = re.sub(r"\n+$", "\n", content)
+            content = content.lstrip("\n")            # == sub(r'^\n+', '')
+            stripped = content.rstrip("\n")
+            if stripped != content:                   # == sub(r'\n+$', '\n')
+                content = stripped + "\n"
             content = content.replace("\n", "\n    ")
             prefix = "-   "
             parent = node.parent
@@ -758,9 +782,11 @@ class _Converter:
     def rule_for(self, node: Element):
         if _is_blank(node):
             return None, _blank_repl
-        for _prio, filt, repl in self._by_tag.get(node.tag, ()):
+        for _prio, filt, repl, cond in self._by_tag.get(node.tag, ()):
+            if cond is None:            # bare tag filter: True by dispatch
+                return filt, repl
             try:
-                if filt(node):
+                if cond(node):
                     return filt, repl
             except Exception:
                 continue
@@ -772,11 +798,23 @@ class _Converter:
         # keep the accumulated string as (parts with no trailing newlines,
         # tail = trailing-newline count). Avoids re-copying the whole output
         # per child (the fold is O(n^2) on wide nodes).
+        # rules never mutate the tree during processing, so iterate the
+        # child list directly; every Text child shares the parent's
+        # in-code status, so the ancestor climb runs once per parent
+        parent_in_code = _in_code(parent)
+        children = parent.children
+        # leaf fast path (single newline-free text child — the dominant
+        # shape: a/li/p/hN after collapse): the fold below reduces to the
+        # escaped text itself (sep=0, no trailing newlines)
+        if len(children) == 1:
+            only = children[0]
+            if only.__class__ is Text and "\n" not in only.data:
+                return only.data if parent_in_code else _escape(only.data)
         parts: list[str] = []
         tail = 0
-        for node in list(parent.children):
+        for node in children:
             if node.__class__ is Text:
-                piece = node.data if _in_code(node) else _escape(node.data)
+                piece = node.data if parent_in_code else _escape(node.data)
             elif node.__class__ is Element:
                 piece = self.replacement_for(node)
             else:

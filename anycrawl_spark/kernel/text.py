@@ -25,6 +25,9 @@ from __future__ import annotations
 import re
 
 _WS_ANY = re.compile(r"\s+")
+# a \s+ collapse only changes the string if there is a 2+ whitespace run or
+# a whitespace char that isn't a plain space
+_WS_RUN_PROBE = re.compile(r"\s\s|[^\S ]")
 _SPACES = re.compile(r"[ \t]+")
 
 from .dom import Comment, Element, Node, Text, parse_html
@@ -63,11 +66,18 @@ class _Renderer:
 
     # -- inline rendering ---------------------------------------------------
     def _inline(self, node: Node) -> str:
-        if isinstance(node, Text):
-            return _WS_ANY.sub(" ", node.data)
-        if isinstance(node, Comment):
+        # identity class checks: backends must emit dom node classes
+        # (kernel/backend.py node contract)
+        cls = node.__class__
+        if cls is Text:
+            data = node.data
+            # collapse only when a run can exist (single spaces dominate);
+            # search() uses the same \s class the sub would
+            if _WS_RUN_PROBE.search(data):
+                return _WS_ANY.sub(" ", data)
+            return data
+        if cls is Comment:
             return ""
-        assert isinstance(node, Element)
         tag = node.tag
         if tag in _SKIP:
             return ""
@@ -130,13 +140,15 @@ class _Renderer:
                 self.blocks.append("\n".join(_wrap(text)))
 
         for child in el.children:
-            if isinstance(child, Element) and (child.tag in _BLOCK or child.tag in ("li", "tr")):
-                flush()
-                self.render_block(child)
-            elif isinstance(child, Element) and child.tag in _SKIP:
-                continue
-            else:
-                inline_buf.append(self._inline(child))
+            if child.__class__ is Element:
+                tag = child.tag
+                if tag in _BLOCK or tag == "li" or tag == "tr":
+                    flush()
+                    self.render_block(child)
+                    continue
+                if tag in _SKIP:
+                    continue
+            inline_buf.append(self._inline(child))
         flush()
 
     def render_block(self, el: Element) -> None:

@@ -83,7 +83,7 @@ def _remove_non_main(root: Element) -> None:
     def visit(el: Element) -> bool:
         found = False
         for c in el.children:
-            if isinstance(c, Element):
+            if c.__class__ is Element:
                 child_found = visit(c)
                 if child_found or _FORCE_INDEX.matches(c):
                     found = True
@@ -94,7 +94,7 @@ def _remove_non_main(root: Element) -> None:
 
     def sweep(el: Element) -> None:
         for c in list(el.children):
-            if not isinstance(c, Element):
+            if c.__class__ is not Element:
                 continue
             if _EXCLUDE_INDEX.matches(c) and not contains_force[id(c)]:
                 el.remove_child(c)
@@ -166,7 +166,7 @@ def _transform_relative_urls(root: Element, base_url: str) -> None:
     stack = list(root.children)
     while stack:
         n = stack.pop()
-        if not isinstance(n, Element):
+        if n.__class__ is not Element:
             continue
         if n.tag == "img":
             if "srcset" in n.attrs:
