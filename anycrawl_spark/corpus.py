@@ -40,10 +40,13 @@ def host_name(k: int) -> str:
     return f"site{k:03d}.test"
 
 
-def host_plan(num_pages: int, num_hosts: int) -> np.ndarray:
-    """Pages per host, Zipf(s=1.2), deterministic; returns cumulative bounds."""
+def host_plan(num_pages: int, num_hosts: int,
+              zipf_s: float = 1.2) -> np.ndarray:
+    """Pages per host, Zipf(s), deterministic; returns cumulative bounds.
+    s=1.2 is the default mixed-skew corpus; s>=4 concentrates ~90% of pages
+    on host 0 (the hot-host regime for skew probes)."""
     ranks = np.arange(1, num_hosts + 1, dtype=np.float64)
-    weights = ranks ** -1.2
+    weights = ranks ** -zipf_s
     weights /= weights.sum()
     counts = np.maximum(1, np.floor(weights * num_pages)).astype(np.int64)
     # distribute the remainder to the largest hosts
@@ -185,11 +188,12 @@ def build_page_html(host_idx: int, num_hosts: int, local_idx: int,
 PAGES_SCHEMA = "url string, warc_ts timestamp, html binary, text string, lang string"
 
 
-def generate_pages(spark, num_pages: int, num_hosts: int = 40, partitions: int | None = None):
+def generate_pages(spark, num_pages: int, num_hosts: int = 40,
+                   partitions: int | None = None, zipf_s: float = 1.2):
     """Distributed deterministic corpus: (url, warc_ts, html, text, lang)."""
     from anycrawl_spark.kernel.text import html_to_text
 
-    bounds = host_plan(num_pages, num_hosts)
+    bounds = host_plan(num_pages, num_hosts, zipf_s=zipf_s)
     bounds_list = bounds.tolist()
 
     def gen(iterator):

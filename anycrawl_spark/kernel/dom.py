@@ -195,7 +195,9 @@ class _TreeBuilder(HTMLParser):
     def start_fast(self, tag: str, attr_dict: dict[str, str]) -> None:
         self._implicit_close(tag)
         el = Element(tag, attr_dict)
-        self.stack[-1].append(el)
+        top = self.stack[-1]        # Element.append inlined (hot path)
+        el.parent = top
+        top.children.append(el)
         if tag not in VOID_ELEMENTS and len(self.stack) < MAX_TREE_DEPTH:
             # past the depth cap new elements attach flat (children land on
             # the capped ancestor) — browsers cap nesting similarly, and an
@@ -232,7 +234,10 @@ class _TreeBuilder(HTMLParser):
 
     def handle_data(self, data: str) -> None:
         if data:
-            self.stack[-1].append(Text(data))
+            node = Text(data)       # Element.append inlined (hot path)
+            top = self.stack[-1]
+            node.parent = top
+            top.children.append(node)
 
     def handle_comment(self, data: str) -> None:
         self.stack[-1].append(Comment(data))
@@ -633,6 +638,7 @@ class CompoundIndex:
         self.by_tag: dict[str, list[Compound]] = {}
         self.by_class: dict[str, list[Compound]] = {}
         self.by_id: dict[str, list[Compound]] = {}
+        self.by_attr: dict[str, list[Compound]] = {}
         self.rest: list[Compound] = []
         for c in compounds:
             if c.tag and c.tag != "*":
@@ -641,6 +647,8 @@ class CompoundIndex:
                 self.by_class.setdefault(c.classes[0], []).append(c)
             elif c.ids:
                 self.by_id.setdefault(c.ids[0], []).append(c)
+            elif c.attrs:
+                self.by_attr.setdefault(c.attrs[0][0], []).append(c)
             else:
                 self.rest.append(c)
 
@@ -658,6 +666,12 @@ class CompoundIndex:
             for c in self.by_id.get(attrs["id"], ()):
                 if c.matches(el):
                     return True
+        if self.by_attr:
+            for name, cands in self.by_attr.items():
+                if name in attrs:
+                    for c in cands:
+                        if c.matches(el):
+                            return True
         for c in self.rest:
             if c.matches(el):
                 return True

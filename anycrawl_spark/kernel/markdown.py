@@ -69,7 +69,11 @@ def _tc(node: Node) -> str:
     key = id(node)
     cached = _TC_CACHE.get(key)
     if cached is None:
-        cached = "".join(_tc(c) for c in node.children)
+        children = node.children
+        if len(children) == 1 and children[0].__class__ is Text:
+            cached = children[0].data     # leaf fast path (a/li/p/hN)
+        else:
+            cached = "".join([_tc(c) for c in children])
         _TC_CACHE[key] = cached
     return cached
 
@@ -180,19 +184,9 @@ def _collapse_whitespace(root: Element) -> None:
     keep_leading_ws = False
     stack: list[list] = [[root, 0]]
 
-    def element_visit(node: Element) -> None:
-        nonlocal prev_text, keep_leading_ws
-        if _is_block(node) or node.tag == "br":
-            if prev_text is not None and prev_text.data.endswith(" "):
-                prev_text.data = prev_text.data[:-1]
-            prev_text = None
-            keep_leading_ws = False
-        elif _is_void(node) or _is_pre_or_code(node):
-            prev_text = None
-            keep_leading_ws = True
-        elif prev_text is not None:
-            keep_leading_ws = False
-
+    # element_visit inlined at both sites (enter + exit) — ~2 visits per
+    # element on the hottest path, and the call + nonlocal overhead shows
+    # up at corpus scale. Bodies are identical; node is always an Element.
     while stack:
         frame = stack[-1]
         parent, i = frame
@@ -201,7 +195,17 @@ def _collapse_whitespace(root: Element) -> None:
             stack.pop()
             if parent is root:
                 break
-            element_visit(parent)            # exit visit (climb revisit)
+            tag = parent.tag                  # exit visit (climb revisit)
+            if tag in BLOCK_ELEMENTS or tag == "br":
+                if prev_text is not None and prev_text.data.endswith(" "):
+                    prev_text.data = prev_text.data[:-1]
+                prev_text = None
+                keep_leading_ws = False
+            elif tag in VOID or tag == "pre" or tag == "code":
+                prev_text = None
+                keep_leading_ws = True
+            elif prev_text is not None:
+                keep_leading_ws = False
             continue
         node = children[i]
         cls = node.__class__
@@ -221,9 +225,19 @@ def _collapse_whitespace(root: Element) -> None:
             prev_text = node
             frame[1] = i + 1
         elif cls is Element:
-            element_visit(node)               # enter visit
+            tag = node.tag                    # enter visit
+            if tag in BLOCK_ELEMENTS or tag == "br":
+                if prev_text is not None and prev_text.data.endswith(" "):
+                    prev_text.data = prev_text.data[:-1]
+                prev_text = None
+                keep_leading_ws = False
+            elif tag in VOID or tag == "pre" or tag == "code":
+                prev_text = None
+                keep_leading_ws = True
+            elif prev_text is not None:
+                keep_leading_ws = False
             frame[1] = i + 1
-            if node.children and not (node.tag == "pre" or node.tag == "code"):
+            if node.children and not (tag == "pre" or tag == "code"):
                 stack.append([node, 0])
         else:  # comment — turndown removes non-text/element nodes here
             del children[i]
@@ -306,10 +320,17 @@ def _flanking(node: Element) -> tuple[str, str]:
     if _is_block(node) or node.tag == "code":
         return "", ""
     tc = _tc(node) or ""
-    # fast gate: no edge whitespace (the dominant case) → no flanking;
-    # single-char \s probes match the regex's own whitespace class exactly
-    if tc and not _WS_CHAR.match(tc[0]) and not _WS_CHAR.match(tc[-1]):
-        return "", ""
+    # fast gate: no edge whitespace (the dominant case) → no flanking.
+    # Printable-ASCII edge chars ('!'..'~') can never be \s, so the
+    # dominant case resolves on two compares; anything else falls through
+    # to the single-char \s probes (which match the regex's own class).
+    if tc:
+        c0 = tc[0]
+        cn = tc[-1]
+        if "!" <= c0 <= "~" and "!" <= cn <= "~":
+            return "", ""
+        if not _WS_CHAR.match(c0) and not _WS_CHAR.match(cn):
+            return "", ""
     m = _EDGE_RE.match(tc)
     if not m:
         return "", ""

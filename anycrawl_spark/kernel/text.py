@@ -133,11 +133,22 @@ class _Renderer:
         def flush() -> None:
             raw = "".join(inline_buf)
             inline_buf.clear()
-            raw = _SPACES.sub(" ", raw)
-            pieces = [p.strip() for p in raw.split("\n")]
-            text = "\n".join(pieces).strip("\n")
+            # _SPACES matches single spaces too (identity sub) — only run
+            # it when an actual run/tab exists
+            if "  " in raw or "\t" in raw:
+                raw = _SPACES.sub(" ", raw)
+            if "\n" in raw:
+                pieces = [p.strip() for p in raw.split("\n")]
+                text = "\n".join(pieces).strip("\n")
+            else:
+                text = raw.strip()
             if text.strip():
-                self.blocks.append("\n".join(_wrap(text)))
+                # single-spaced stripped text with no newline and within
+                # the wrap column IS its own wrap output
+                if "\n" not in text and len(text) <= _WRAP_COL:
+                    self.blocks.append(text)
+                else:
+                    self.blocks.append("\n".join(_wrap(text)))
 
         for child in el.children:
             if child.__class__ is Element:

@@ -70,6 +70,16 @@ FORCE_INCLUDE_MAIN_TAGS = [
 # document-order walk with local checks replaces per-selector tree scans).
 _EXCLUDE_INDEX = CompoundIndex(parse_compound_list(EXCLUDE_NON_MAIN_TAGS))
 _FORCE_INDEX = CompoundIndex(parse_compound_list(FORCE_INCLUDE_MAIN_TAGS))
+# Quick-reject gates: an element can only match an index if its tag is
+# indexed, it carries a class/id attribute, or the index has bare-attr
+# selectors (rest) — everything else (the dominant p/a/li/td case) skips
+# the matches() call entirely.
+_EXCLUDE_TAGS = frozenset(_EXCLUDE_INDEX.by_tag)
+_EXCLUDE_ATTR_KEYS = frozenset(_EXCLUDE_INDEX.by_attr) | {"class", "id"}
+_EXCLUDE_REST = bool(_EXCLUDE_INDEX.rest)
+_FORCE_TAGS = frozenset(_FORCE_INDEX.by_tag)
+_FORCE_ATTR_KEYS = frozenset(_FORCE_INDEX.by_attr) | {"class", "id"}
+_FORCE_REST = bool(_FORCE_INDEX.rest)
 
 
 def _remove_non_main(root: Element) -> None:
@@ -85,7 +95,14 @@ def _remove_non_main(root: Element) -> None:
         for c in el.children:
             if c.__class__ is Element:
                 child_found = visit(c)
-                if child_found or _FORCE_INDEX.matches(c):
+                # quick-reject before the matches() call: only indexed tags,
+                # elements carrying a gated attr (class/id/role), or a
+                # universal selector can possibly match
+                if child_found or (
+                    (c.tag in _FORCE_TAGS or _FORCE_REST
+                     or (c.attrs and not _FORCE_ATTR_KEYS.isdisjoint(c.attrs)))
+                    and _FORCE_INDEX.matches(c)
+                ):
                     found = True
         contains_force[id(el)] = found
         return found
@@ -96,7 +113,12 @@ def _remove_non_main(root: Element) -> None:
         for c in list(el.children):
             if c.__class__ is not Element:
                 continue
-            if _EXCLUDE_INDEX.matches(c) and not contains_force[id(c)]:
+            if (
+                (c.tag in _EXCLUDE_TAGS or _EXCLUDE_REST
+                 or (c.attrs and not _EXCLUDE_ATTR_KEYS.isdisjoint(c.attrs)))
+                and _EXCLUDE_INDEX.matches(c)
+                and not contains_force[id(c)]
+            ):
                 el.remove_child(c)
             else:
                 sweep(c)

@@ -232,6 +232,17 @@ def skew_probe(spark, corpus_path: str, budget: int = 100,
     }
 
 
+def reference_job(spark) -> float:
+    """Fixed JVM-only workload (no Python workers, no disk): a hash-agg scan
+    over a deterministic range. Its wall time moves ONLY with VM contention,
+    so recording it next to each headline trial separates steal noise from
+    code regressions."""
+    t0 = time.time()
+    spark.range(1_500_000_000).selectExpr(
+        "sum(xxhash64(id)) AS h").collect()
+    return time.time() - t0
+
+
 def throughput_probe(cores: int) -> dict:
     """One complete measurement at a given core count (fresh JVM)."""
     sf = sf_of(SF_DIR)
@@ -340,11 +351,20 @@ def main() -> None:
          .select(F.length("doc.markdown")).write.mode("overwrite")
          .format("noop").save())
 
-        # headline: best-of-3 (shared-VM noise; see BENCH.md)
+        # headline: best-of-5, each trial preceded by a fixed JVM-only
+        # reference job — the r4 record regressed 22% on unchanged code
+        # (shared-VM steal), so the record now carries per-trial
+        # (reference, headline) pairs: a best trial whose reference time
+        # sits above the quiet-hour baseline (~REF_BASELINE_SEC) proves
+        # contention rather than regression, and more trials widen the
+        # chance of catching a quiet window at all.
         crawl_sec, n_urls = None, 0
-        for _ in range(3):
+        headline_trials, ref_trials = [], []
+        for _ in range(5):
+            ref_trials.append(round(reference_job(spark), 3))
             out_dir = tempfile.mkdtemp(prefix="anycrawl_out_")
             sec, n_urls = bulk_crawl_extract(spark, corpus_path, out_dir)
+            headline_trials.append(round(sec, 3))
             crawl_sec = sec if crawl_sec is None else min(crawl_sec, sec)
         bfs_sec, bfs_done = bfs_crawl(spark, corpus_path,
                                       limit=min(10000, corpus_pages(sf) // 10))
@@ -378,6 +398,11 @@ def main() -> None:
             "urls": n_urls,
             "cores": CPUS,
             "bfs_urls_per_sec": round(bfs_done / bfs_sec, 1),
+            # steal-noise forensics: headline trial i ran right after
+            # reference trial i (fixed JVM-only job) — elevated ref times
+            # mark contended windows (see BENCH.md for the quiet baseline)
+            "headline_trials": headline_trials,
+            "ref_trials": ref_trials,
         }
         if scaling and "efficiency" in scaling:
             # SCALING.json may hold only the skew probe if --skew ran first
