@@ -68,6 +68,13 @@ from .udfs import make_extract_udf
 FRONTIER_COLS = ["job_id", "url", "url_hash", "host", "origin", "path",
                  "depth", "seq", "round_added", "attempt"]
 
+# Frontier size above which budget_salt_n="auto" enables the two-stage
+# salted per-host top-k. Measured crossover (BENCH.md round-5 skew probes):
+# at ~10k rows/round salting is a 1.09x LOSS even with 92% of the frontier
+# on one host; at 2M rows it is a 1.43x win (1.85x -> 1.29x). 500k sits
+# safely above the loss regime and below the win regime.
+SALT_FRONTIER_THRESHOLD = 500_000
+
 
 @dataclass
 class CrawlConfig:
@@ -86,7 +93,12 @@ class CrawlConfig:
     politeness_budget: int = 0           # fetches per budget key per round; 0 = unlimited
     budget_scope: str = "host"           # 'host' or 'domain' (registrable) —
                                          # north rule: per-DOMAIN politeness
-    budget_salt_n: int = 0               # >1: two-stage salted per-host top-k (hot hosts)
+    budget_salt_n: int | str = "auto"    # >1: two-stage salted per-host top-k (hot
+                                         # hosts); 0: plain window; "auto": salt only
+                                         # when the round's frontier exceeds
+                                         # SALT_FRONTIER_THRESHOLD (measured: salting
+                                         # loses below ~10k rows/round — SCALING.json
+                                         # skew_probe_bfs — and wins at 2M — skew_probe)
     max_attempts: int = 1                # fetch retries (Queue.ts:84-89 attempts=3)
     batch_size: int = 0                  # rows fetched per round; 0 = whole round
     respect_robots: bool = True          # --anycrawl-compat off ⇒ True (north rule)
@@ -126,6 +138,12 @@ class CrawlConfig:
             raise ValueError("politeness_budget/batch_size must be >= 0")
         if self.max_attempts < 1:
             raise ValueError("max_attempts must be >= 1")
+        if isinstance(self.budget_salt_n, str):
+            if self.budget_salt_n != "auto":
+                raise ValueError(f"budget_salt_n must be an int >= 0 or "
+                                 f"'auto', got {self.budget_salt_n!r}")
+        elif self.budget_salt_n < 0:
+            raise ValueError("budget_salt_n must be >= 0")
 
 
 def _strip_fragment(col):
@@ -518,9 +536,20 @@ class CrawlEngine:
             admitted, deferred = pending, spark.createDataFrame(
                 [], pending.schema)
         else:
+            # Salting is a large-frontier knob: below ~10k rows/round the
+            # two-stage top-k's extra partial agg costs more than the skew
+            # it removes (SCALING.json skew_probe_bfs: salt8 1.09x SLOWER
+            # on a 92%-one-host crawl at limit 10k), while at 2M rows it
+            # wins 1.85x -> 1.29x (skew_probe). "auto" gates on the prior
+            # round's recorded frontier size; admission rows are
+            # salt-invariant, so the gate cannot change crawl results.
+            salt_n = cfg.budget_salt_n
+            if salt_n == "auto":
+                salt_n = (8 if (known_pending or 0) >= SALT_FRONTIER_THRESHOLD
+                          else 0)
             admitted, deferred = apply_host_budget(
                 pending, cfg.politeness_budget, order_cols=("depth", "seq"),
-                salt_n=cfg.budget_salt_n, scope=cfg.budget_scope)
+                salt_n=salt_n, scope=cfg.budget_scope)
         if cfg.batch_size and cfg.batch_size > 0:
             # coordinator batch semantics (crawlCoordinator.ts:33-38): take
             # the first batch_size rows in FIFO (seq) order

@@ -232,6 +232,89 @@ def skew_probe(spark, corpus_path: str, budget: int = 100,
     }
 
 
+def ensure_hot_corpus(spark, n: int = 100_000) -> str:
+    """Generate (once) a hot-host corpus: Zipf s=4 puts ~92% of pages on
+    host 0 — the skew regime for the production-path BFS probe."""
+    path = os.path.join(CACHE, f"pages_{n}_hot")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        from anycrawl_spark.corpus import generate_pages
+
+        os.makedirs(CACHE, exist_ok=True)
+        generate_pages(spark, n, num_hosts=max(8, n // 2500),
+                       zipf_s=4.0).write.mode("overwrite").parquet(path)
+    return path
+
+
+def skew_bfs_probe(spark, corpus_path: str, budget: int = 500,
+                   limit: int = 10_000, trials: int = 2) -> dict:
+    """Verdict-r4 item 8: the salted-vs-uniform skew comparison measured on
+    the PRODUCTION code path — a real CrawlEngine BFS (limit 10k, per-host
+    politeness budget) over a hot-host corpus (~92% of pages on one host),
+    not the 2M-row synthetic-frontier microbench (skew_probe above, which
+    remains the at-scale regime evidence).
+
+    Three configs: default mixed-skew corpus salt0 (baseline), hot corpus
+    salt0, hot corpus salt8. The budget makes round counts differ between
+    corpora (the hot host throttles to `budget` urls/round), so the
+    comparable number is seconds PER ROUND — each round pays the same
+    politeness-window shuffle whose single hot-host task is what salting
+    splits. salt0 vs salt8 on the hot corpus is row-identical admission
+    (politeness.apply_host_budget invariant), so their round counts match
+    and the per-round ratio isolates the window cost."""
+    from pyspark.storagelevel import StorageLevel
+
+    from anycrawl_spark.crawl import CrawlConfig, CrawlEngine, prepare_corpus
+
+    hot_path = ensure_hot_corpus(spark)
+
+    def run(path: str, salt_n: int) -> tuple[float, int, int]:
+        pages = spark.read.parquet(path)
+        corpus = prepare_corpus(pages).persist(StorageLevel.MEMORY_AND_DISK)
+        corpus.count()
+        best, rounds, done = None, 0, 0
+        for _ in range(trials):
+            ckpt = tempfile.mkdtemp(prefix="anycrawl_skewbfs_")
+            engine = CrawlEngine(spark, corpus, ckpt, prepared=True)
+            t0 = time.time()
+            summary = engine.run(CrawlConfig(
+                job_id="skewbfs", seed_url="https://site000.test/p/0",
+                strategy="all", max_depth=20, limit=limit,
+                politeness_budget=budget, budget_salt_n=salt_n,
+                respect_robots=False))
+            sec = time.time() - t0
+            rounds, done = summary["rounds"], summary["done"]
+            if best is None or sec < best:
+                best = sec
+        corpus.unpersist()
+        return best, rounds, done
+
+    base_sec, base_rounds, base_done = run(corpus_path, 0)
+    hot0_sec, hot0_rounds, hot0_done = run(hot_path, 0)
+    hot8_sec, hot8_rounds, hot8_done = run(hot_path, 8)
+    per_round = lambda s, r: s / max(r, 1)  # noqa: E731
+    return {
+        "budget": budget,
+        "limit": limit,
+        "baseline": {"sec": round(base_sec, 2), "rounds": base_rounds,
+                     "done": base_done},
+        "hot_salt0": {"sec": round(hot0_sec, 2), "rounds": hot0_rounds,
+                      "done": hot0_done},
+        "hot_salt8": {"sec": round(hot8_sec, 2), "rounds": hot8_rounds,
+                      "done": hot8_done},
+        "sec_per_round": {
+            "baseline": round(per_round(base_sec, base_rounds), 3),
+            "hot_salt0": round(per_round(hot0_sec, hot0_rounds), 3),
+            "hot_salt8": round(per_round(hot8_sec, hot8_rounds), 3),
+        },
+        "salted_vs_baseline_per_round": round(
+            per_round(hot8_sec, hot8_rounds)
+            / per_round(base_sec, base_rounds), 2),
+        "salted_vs_unsalted_per_round": round(
+            per_round(hot8_sec, hot8_rounds)
+            / per_round(hot0_sec, hot0_rounds), 2),
+    }
+
+
 def reference_job(spark) -> float:
     """Fixed JVM-only workload (no Python workers, no disk): a hash-agg scan
     over a deterministic range. Its wall time moves ONLY with VM contention,
@@ -293,11 +376,15 @@ def main() -> None:
         print("PROBE " + json.dumps(throughput_probe(cores)))
         return
 
-    if "--skew" in sys.argv:
+    if "--skew" in sys.argv or "--skew-bfs" in sys.argv:
+        key = "skew_probe_bfs" if "--skew-bfs" in sys.argv else "skew_probe"
         spark = make_spark(CPUS)
         try:
             corpus_path = ensure_corpus(spark, sf_of(SF_DIR))
-            probe = skew_probe(spark, corpus_path)
+            if key == "skew_probe_bfs":
+                probe = skew_bfs_probe(spark, corpus_path)
+            else:
+                probe = skew_probe(spark, corpus_path)
         finally:
             spark.stop()
         scaling_path = os.path.join(REPO, "SCALING.json")
@@ -305,7 +392,7 @@ def main() -> None:
         if os.path.exists(scaling_path):
             with open(scaling_path) as f:
                 scaling = json.load(f)
-        scaling["skew_probe"] = probe
+        scaling[key] = probe
         with open(scaling_path, "w") as f:
             json.dump(scaling, f, indent=1)
         print(json.dumps(probe, indent=1))
@@ -328,8 +415,8 @@ def main() -> None:
         if os.path.exists(scaling_path):
             with open(scaling_path) as f:
                 prior = json.load(f)
-            if "skew_probe" in prior:
-                scaling["skew_probe"] = prior["skew_probe"]
+            for k, v in prior.items():   # keep skew probes etc.
+                scaling.setdefault(k, v)
         with open(scaling_path, "w") as f:
             json.dump(scaling, f, indent=1)
         print(json.dumps(scaling, indent=1))
@@ -410,6 +497,8 @@ def main() -> None:
             payload["scaling_probes"] = scaling["probes"]
         if scaling and "skew_probe" in scaling:
             payload["skew_probe"] = scaling["skew_probe"]
+        if scaling and "skew_probe_bfs" in scaling:
+            payload["skew_probe_bfs"] = scaling["skew_probe_bfs"]
         print(json.dumps(payload))
     finally:
         spark.stop()
