@@ -20,8 +20,9 @@ transaction; the deterministic math is:
   — a replayed/duplicated page event must charge once.
 
 ``credit_rollup`` replays a page-event log into per-job credit totals:
-a broadcast-free hash aggregation after an idempotency-key dedup (both
-shuffle on job_id — one exchange end to end at any scale).
+two hash aggregations (idempotency dedup keyed by the (job_id, done)
+pair, then the per-job rollup); the second shuffle moves one already-
+deduped row per page, so the raw-log exchange dominates at any scale.
 """
 
 from __future__ import annotations
@@ -73,30 +74,27 @@ def credit_rollup(page_events: DataFrame,
     deduction gates, dedup by the reference idempotency key, sum the
     per-page costs. Output: (job_id, pages_charged, credits_used,
     pages_seen, pages_skipped)."""
-    ev = page_events.withColumn(
-        "idempotency_key",
-        F.concat(F.lit("crawl:page-success:"), F.col("job_id"), F.lit(":"),
-                 F.col("done").cast("string")))
-    # idempotency: first event per key wins (Progress.ts:283-299 checks
-    # the key before charging); events agree on cost inputs by key in a
-    # faithful log, so min-by-key keeps the dedup deterministic anyway
-    deduped = (ev.groupBy("idempotency_key")
-               .agg(F.first("job_id").alias("job_id"),
-                    F.min("done").alias("done"),
-                    F.min_by(
-                        F.struct("was_success", "job_limit", "proxy",
-                                 "has_json", "extract_source", "formats"),
-                        "done").alias("ev"))
-               .select("job_id", "done", "ev.*"))
     chargeable = (
         F.col("was_success")
         & (F.col("job_limit").isNull() | (F.col("done") <= F.col("job_limit")))
         & (F.col("done") > 1)           # page 1 covered by the initial fee
     )
     cost = per_page_cost(stealth_credits, json_credits, summary_credits)
+    # Per-event charge decision BEFORE the idempotency dedup: the dedup
+    # aggregation then carries only primitive buffers (bool/long), which
+    # keeps it a HashAggregate — min_by over a struct with strings falls
+    # back to a per-partition SortAggregate at scale. The idempotency key
+    # ``crawl:page-success:{jobId}:{done}`` (Progress.ts:283) is exactly
+    # the (job_id, done) pair, so grouping on the pair IS the key dedup;
+    # events agree on cost inputs by key in a faithful log, and min/max
+    # keep the fold deterministic even when they don't.
+    per_event = page_events.select(
+        "job_id", "done", chargeable.alias("charged"),
+        F.when(chargeable, cost).otherwise(0).cast("long").alias("cost"))
+    deduped = (per_event.groupBy("job_id", "done")
+               .agg(F.max("charged").alias("charged"),
+                    F.max("cost").alias("cost")))
     return (deduped
-            .withColumn("charged", chargeable)
-            .withColumn("cost", F.when(F.col("charged"), cost).otherwise(0))
             .groupBy("job_id")
             .agg(F.sum(F.col("charged").cast("int")).cast("long")
                  .alias("pages_charged"),

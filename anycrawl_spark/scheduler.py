@@ -117,7 +117,11 @@ def cron_matches_local(cron: dict, local: datetime) -> bool:
     return dom_m and dow_m
 
 
-_SLOT_SCHEMA = ("task_uuid string, scheduled_for string, local_minute string")
+# Slots carry the UTC instant as epoch millis (long) so the fire-once
+# min() aggregates a fixed-width buffer — HashAggregate, not the
+# SortAggregate Spark falls back to for min(string) buffers. The ISO
+# string is rebuilt JVM-side after the agg.
+_SLOT_SCHEMA = ("task_uuid string, scheduled_for_ms long, local_minute string")
 
 
 def scheduled_run_slots(tasks: DataFrame, window_start: str,
@@ -190,18 +194,33 @@ def scheduled_run_slots(tasks: DataFrame, window_start: str,
                     if cron_matches_local(cron, local):
                         rows.append((
                             uuid,
-                            utc.strftime("%Y-%m-%dT%H:%M:%S.000Z"),
+                            int(utc.timestamp()) * 1000,
                             local.strftime("%Y-%m-%d %H:%M"),
                         ))
             yield pd.DataFrame(
-                rows, columns=["task_uuid", "scheduled_for", "local_minute"])
+                rows, columns=["task_uuid", "scheduled_for_ms",
+                               "local_minute"])
 
     slots = grid.mapInPandas(expand, schema=_SLOT_SCHEMA)
     # fire-once on ambiguous fall-back wall-clocks: keep the earliest UTC
     # instant per (task, local wall-clock minute) — cron-parser semantics
     fired = (slots.groupBy("task_uuid", "local_minute")
-             .agg(F.min("scheduled_for").alias("scheduled_for")))
+             .agg(F.min("scheduled_for_ms").alias("ms")))
+    # Rebuild the JS-Date ISO string (`${taskUuid}-${iso}` idempotency key,
+    # Scheduler.ts:44-48) from epoch millis with pure date/int arithmetic —
+    # session-timezone independent (date_format on TIMESTAMP would render
+    # in spark.sql.session.timeZone). Slots sit on whole minutes, so the
+    # seconds field is always "00.000".
+    sod = ((F.col("ms") % 86400000) / 1000).cast("int")
+    two = lambda c: F.lpad(c.cast("string"), 2, "0")  # noqa: E731
+    iso = F.concat(
+        F.date_format(F.date_add(F.to_date(F.lit("1970-01-01")),
+                                 (F.col("ms") / 86400000).cast("int")),
+                      "yyyy-MM-dd"),
+        F.lit("T"), two(F.floor(sod / 3600)),
+        F.lit(":"), two(F.floor(sod / 60) % 60),
+        F.lit(":00.000Z"))
     return fired.select(
-        "task_uuid", "scheduled_for",
-        F.concat(F.col("task_uuid"), F.lit("-"), F.col("scheduled_for"))
+        "task_uuid", iso.alias("scheduled_for"),
+        F.concat(F.col("task_uuid"), F.lit("-"), iso)
         .alias("idempotency_key"))

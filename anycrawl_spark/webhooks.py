@@ -162,17 +162,24 @@ def retry_schedule(attempts: DataFrame) -> DataFrame:
         F.coalesce("retry_backoff_multiplier", F.lit(2)).alias("mult"),
         F.col("attempted_at").cast("timestamp").cast("long").alias("at_epoch"),
     )
+    # The "last failure" fold is max by (attempt_number, at_epoch). Packing
+    # the pair into one bigint (attempt << 42 | epoch-seconds) keeps the
+    # aggregation buffer primitive, so Spark plans a HashAggregate —
+    # max(struct(...)) buffers fall back to a per-partition SortAggregate.
+    # Safe while 0 <= at_epoch < 2^42 (year ~141k) and attempt < 2^21.
+    packed_fail = F.max(F.when(
+        ~F.col("success"),
+        F.shiftleft(F.col("attempt_number").cast("long"), 42)
+        + F.col("at_epoch")))
     per = a.groupBy("delivery_id").agg(
         F.min(F.when(F.col("success"), F.col("attempt_number")))
         .alias("first_success"),
         F.max("max_attempts").alias("max_attempts"),
         F.max("mult").alias("mult"),
-        F.max(F.when(~F.col("success"),
-                     F.struct("attempt_number", "at_epoch")))
-        .alias("last_fail_row"),
+        packed_fail.alias("last_fail_packed"),
     )
-    fail_n = F.col("last_fail_row.attempt_number")
-    fail_at = F.col("last_fail_row.at_epoch")
+    fail_n = F.shiftrightunsigned(F.col("last_fail_packed"), 42).cast("int")
+    fail_at = F.col("last_fail_packed") - F.shiftleft(fail_n.cast("long"), 42)
     delivered = F.col("first_success").isNotNull()
     retrying = ~delivered & (fail_n < F.col("max_attempts"))
     backoff_sec = (F.pow(F.col("mult"), fail_n) * 60).cast("long")

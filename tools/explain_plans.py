@@ -284,6 +284,81 @@ def main() -> None:
         },
     ))
 
+    # 15. scheduler cron fan-out: task dim broadcast onto day chunks, one
+    # Arrow-batched MapInPandas expansion, one exchange for the DST
+    # fire-once groupBy
+    p = plan_of(REGISTRY["scheduled_runs"].fn(spark, "/root/testdata/sf0.01"))
+    sections.append((
+        "scheduled_runs: broadcast task-dim × day-chunk cron fan-out",
+        p,
+        {
+            "task dimension broadcast onto the chunk range":
+                r"BroadcastExchange",
+            "single Arrow-batched cron expansion": r"MapInPandas",
+            "fire-once dedup is a keyed hash agg (epoch-millis min buffer)":
+                r"HashAggregate",
+        },
+    ))
+    assert len(re.findall(r"^\(\d+\) MapInPandas", p, re.M)) == 1, \
+        "cron expansion must run once"
+    assert "ArrowEvalPython" not in p, "no per-row Python in the scheduler"
+    assert "SortAggregate" not in p, \
+        "fire-once min must hash-aggregate (primitive buffers only)"
+
+    # 16. webhook retry ladder: Generate explodes the attempt ladder, all
+    # backoff math stays JVM-side
+    p = plan_of(REGISTRY["webhook_retry_schedule"].fn(
+        spark, "/root/testdata/sf0.01"))
+    sections.append((
+        "webhook_retry_schedule: JVM-side attempt-ladder replay",
+        p,
+        {
+            "attempt ladder exploded via Generate": r"Generate",
+            "per-delivery fold is a hash agg (packed-long fail buffer, "
+            "no SortAggregate)": r"HashAggregate[^\n]*\n[^\n]*delivery_id",
+            "backoff math inline in JVM expressions": r"POWER\(",
+        },
+    ))
+    assert "EvalPython" not in p and "MapInPandas" not in p, \
+        "retry ladder math must stay JVM-side"
+    assert "SortAggregate" not in p, \
+        "retry fold must hash-aggregate (primitive buffers only)"
+
+    # 17. credit rollup: two keyed hash aggs (idempotency dedup, job
+    # rollup), each with a map-side partial — no Python, no window
+    p = plan_of(REGISTRY["credit_rollup"].fn(spark, "/root/testdata/sf0.01"))
+    sections.append((
+        "credit_rollup: partial-agg idempotency dedup + job rollup",
+        p,
+        {
+            "map-side partial aggregation before each exchange":
+                r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate",
+            "dedup keyed by the (job_id, done) idempotency pair":
+                r"hashpartitioning\(job_id[^\n]*done",
+        },
+    ))
+    assert "EvalPython" not in p, "credit math must stay JVM-side"
+    assert "Window" not in p, "credit rollup must not plan a window"
+    assert "SortAggregate" not in p, \
+        "idempotency dedup must hash-aggregate (primitive buffers only)"
+
+    # 18. markdown parity: the extraction kernel runs exactly once
+    # (ArrowEvalPython), goldens joined by broadcast, mismatch count is a
+    # hash agg
+    p = plan_of(REGISTRY["extraction_markdown_parity"].fn(
+        spark, "/root/testdata/sf0.01"))
+    sections.append((
+        "extraction_markdown_parity: single kernel pass vs JVM golden",
+        p,
+        {
+            "extraction kernel evaluated once": r"ArrowEvalPython",
+            "golden joined without shuffling the corpus": r"BroadcastHashJoin",
+            "mismatch rollup is a hash agg": r"HashAggregate",
+        },
+    ))
+    assert len(re.findall(r"^\(\d+\) ArrowEvalPython", p, re.M)) == 1, \
+        "markdown parity must evaluate the kernel exactly once"
+
     with open(os.path.join(REPO, "PLANS.md"), "w") as f:
         f.write("# PLANS — physical-plan evidence (auto-generated by "
                 "tools/explain_plans.py)\n\n"
