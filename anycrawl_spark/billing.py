@@ -74,10 +74,13 @@ def credit_rollup(page_events: DataFrame,
     deduction gates, dedup by the reference idempotency key, sum the
     per-page costs. Output: (job_id, pages_charged, credits_used,
     pages_seen, pages_skipped)."""
-    chargeable = (
+    # coalesce: a NULL was_success (unrecorded outcome) is not a success —
+    # without it the NULL poisons `charged` and the skipped count drops rows
+    chargeable = F.coalesce(
         F.col("was_success")
         & (F.col("job_limit").isNull() | (F.col("done") <= F.col("job_limit")))
-        & (F.col("done") > 1)           # page 1 covered by the initial fee
+        & (F.col("done") > 1),          # page 1 covered by the initial fee
+        F.lit(False),
     )
     cost = per_page_cost(stealth_credits, json_credits, summary_credits)
     # Per-event charge decision BEFORE the idempotency dedup: the dedup

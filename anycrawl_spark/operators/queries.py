@@ -2780,10 +2780,12 @@ def q_extraction_markdown_parity(spark, sf_dir):
         "url",
         extract(F.col("url"), F.col("html")).getField("markdown")
         .alias("markdown"))
+    # null-safe inequality: a NULL markdown (extract failure) must count
+    # as a mismatch, not fall through the <>-is-NULL hole to otherwise(0)
     return (actual.join(expected, "url")
             .agg(F.count("*").cast("long").alias("pages"),
-                 F.sum(F.when(F.col("markdown") != F.col("golden_markdown"),
-                              1).otherwise(0)).cast("int")
+                 F.sum((~F.col("markdown").eqNullSafe(
+                     F.col("golden_markdown"))).cast("int")).cast("int")
                  .alias("mismatches")))
 
 
