@@ -321,8 +321,10 @@ def reference_job(spark) -> float:
     so recording it next to each headline trial separates steal noise from
     code regressions."""
     t0 = time.time()
+    # bit_xor, not sum: summing 1.5e9 uniform 64-bit hashes overflows
+    # BIGINT under ANSI mode (Spark 4 default)
     spark.range(1_500_000_000).selectExpr(
-        "sum(xxhash64(id)) AS h").collect()
+        "bit_xor(xxhash64(id)) AS h").collect()
     return time.time() - t0
 
 
