@@ -76,6 +76,16 @@ FRONTIER_COLS = ["job_id", "url", "url_hash", "host", "origin", "path",
 SALT_FRONTIER_THRESHOLD = 500_000
 
 
+def resolve_salt_n(configured: int | str, known_pending: int | None) -> int:
+    """The budget_salt_n='auto' gate: salt (n=8) only when the round's
+    frontier is known to exceed SALT_FRONTIER_THRESHOLD. Admission rows
+    are salt-invariant (politeness.apply_host_budget), so this choice can
+    never change crawl results — only the physical plan."""
+    if configured != "auto":
+        return configured
+    return 8 if (known_pending or 0) >= SALT_FRONTIER_THRESHOLD else 0
+
+
 @dataclass
 class CrawlConfig:
     """Mirror of the reference's crawl_options zod schema with identical
@@ -543,10 +553,7 @@ class CrawlEngine:
             # wins 1.85x -> 1.29x (skew_probe). "auto" gates on the prior
             # round's recorded frontier size; admission rows are
             # salt-invariant, so the gate cannot change crawl results.
-            salt_n = cfg.budget_salt_n
-            if salt_n == "auto":
-                salt_n = (8 if (known_pending or 0) >= SALT_FRONTIER_THRESHOLD
-                          else 0)
+            salt_n = resolve_salt_n(cfg.budget_salt_n, known_pending)
             admitted, deferred = apply_host_budget(
                 pending, cfg.politeness_budget, order_cols=("depth", "seq"),
                 salt_n=salt_n, scope=cfg.budget_scope)

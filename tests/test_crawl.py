@@ -289,6 +289,30 @@ class TestRetries:
         assert summary["failed"] == n404_urls
 
 
+class TestAutoSaltGate:
+    def test_resolve_salt_n(self):
+        """'auto' salts only above the measured crossover; explicit values
+        pass through; CrawlConfig validates the knob."""
+        import pytest
+
+        from anycrawl_spark.crawl import (CrawlConfig, SALT_FRONTIER_THRESHOLD,
+                                          resolve_salt_n)
+
+        assert resolve_salt_n("auto", None) == 0
+        assert resolve_salt_n("auto", 10_000) == 0
+        assert resolve_salt_n("auto", SALT_FRONTIER_THRESHOLD - 1) == 0
+        assert resolve_salt_n("auto", SALT_FRONTIER_THRESHOLD) == 8
+        assert resolve_salt_n(0, 10**9) == 0          # explicit wins
+        assert resolve_salt_n(4, None) == 4
+        CrawlConfig(job_id="j", seed_url="https://a.test/")  # default 'auto' ok
+        with pytest.raises(ValueError):
+            CrawlConfig(job_id="j", seed_url="https://a.test/",
+                        budget_salt_n="always")
+        with pytest.raises(ValueError):
+            CrawlConfig(job_id="j", seed_url="https://a.test/",
+                        budget_salt_n=-1)
+
+
 class TestSaltedBudgetParity:
     def test_salted_budget_crawl_matches_simulator(self, spark, small_corpus,
                                                    corpus_dict, tmp_root):
