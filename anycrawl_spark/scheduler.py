@@ -132,9 +132,15 @@ def scheduled_run_slots(tasks: DataFrame, window_start: str,
     idempotency key ``{task_uuid}-{YYYY-MM-DDTHH:MM:SS.000Z}``.
 
     Scale shape: |tasks| × |days| chunk rows fan out over executors; each
-    chunk scans its 1440 minutes vectorized in pandas. A 10k-task,
-    one-year window is 3.65M chunk rows — an ordinary shuffle-free map
-    plus one aggregation keyed by (task, local_minute).
+    chunk enumerates only the cron's own candidate wall-clocks
+    (|minutes|×|hours| per covered local date — 1-3 for typical crons,
+    1440 worst-case for ``* * * * *``) instead of scanning all 1440 UTC
+    minutes. Days without a UTC-offset transition (all but ~2/year/tz)
+    take a fixed-offset arithmetic path; transition days run the exact
+    per-fold roundtrip (fold=0 → earlier instant on ambiguous fall-back
+    wall-clocks, roundtrip mismatch → nonexistent spring-forward skip).
+    A 10k-task, one-year window is 3.65M chunk rows — an ordinary
+    shuffle-free map plus one aggregation keyed by (task, local_minute).
     """
     spark = tasks.sparkSession
     start = datetime.fromisoformat(window_start)
@@ -160,19 +166,33 @@ def scheduled_run_slots(tasks: DataFrame, window_start: str,
     def expand(iterator):
         from zoneinfo import ZoneInfo
 
-        d0 = datetime.fromisoformat(day0_iso).replace(tzinfo=timezone.utc)
-        w_start = datetime.fromisoformat(start_iso).replace(tzinfo=timezone.utc)
-        w_end = datetime.fromisoformat(end_iso).replace(tzinfo=timezone.utc)
-        cron_cache: dict[str, dict] = {}
+        UTC = timezone.utc
+        d0 = datetime.fromisoformat(day0_iso).replace(tzinfo=UTC)
+        w_start = datetime.fromisoformat(start_iso).replace(tzinfo=UTC)
+        w_end = datetime.fromisoformat(end_iso).replace(tzinfo=UTC)
+        cron_cache: dict[str, tuple] = {}
         tz_cache: dict[str, ZoneInfo] = {}
+
+        def day_matches(cron: dict, ld) -> bool:
+            if ld.month not in cron["months"]:
+                return False
+            dow = (ld.weekday() + 1) % 7
+            dom_m, dow_m = ld.day in cron["doms"], dow in cron["dows"]
+            if cron["doms_restricted"] and cron["dows_restricted"]:
+                return dom_m or dow_m          # Vixie OR rule
+            return dom_m and dow_m
+
         for pdf in iterator:
             rows = []
             for uuid, expr, tz_name, day_index in zip(
                     pdf["task_uuid"], pdf["cron_expression"],
                     pdf["timezone"], pdf["day_index"]):
-                cron = cron_cache.get(expr)
-                if cron is None:
-                    cron = cron_cache[expr] = parse_cron(expr)
+                cached = cron_cache.get(expr)
+                if cached is None:
+                    cron = parse_cron(expr)
+                    cached = cron_cache[expr] = (
+                        cron, sorted(cron["hours"]), sorted(cron["minutes"]))
+                cron, hours, minutes = cached
                 tz = tz_cache.get(tz_name)
                 if tz is None:
                     # fixed offsets like '+08:00' ride through zoneinfo
@@ -186,17 +206,62 @@ def scheduled_run_slots(tasks: DataFrame, window_start: str,
                         tz = ZoneInfo(tz_name or "UTC")
                     tz_cache[tz_name] = tz
                 base = d0 + timedelta(days=int(day_index))
-                for m in range(1440):
-                    utc = base + timedelta(minutes=m)
-                    if utc < w_start or utc >= w_end:
+                lo = max(base, w_start)
+                hi = min(base + timedelta(days=1), w_end)
+                if lo >= hi:
+                    continue
+                # local dates this UTC-day chunk covers (1 or 2)
+                ld_a = lo.astimezone(tz).date()
+                ld_b = (hi - timedelta(minutes=1)).astimezone(tz).date()
+                for ld in ((ld_a,) if ld_a == ld_b else (ld_a, ld_b)):
+                    if not day_matches(cron, ld):
                         continue
-                    local = utc.astimezone(tz)
-                    if cron_matches_local(cron, local):
-                        rows.append((
-                            uuid,
-                            int(utc.timestamp()) * 1000,
-                            local.strftime("%Y-%m-%d %H:%M"),
-                        ))
+                    # fixed-offset day fast path: no UTC-offset transition
+                    # touching this local date → local minus offset IS the
+                    # UTC instant, no fold ambiguity, no roundtrip check
+                    probe0 = datetime(ld.year, ld.month, ld.day, 0, 0,
+                                      tzinfo=tz)
+                    probe1 = datetime(ld.year, ld.month, ld.day, 23, 59,
+                                      tzinfo=tz)
+                    offs = {probe0.utcoffset(), probe1.utcoffset(),
+                            probe0.replace(fold=1).utcoffset(),
+                            probe1.replace(fold=1).utcoffset()}
+                    if len(offs) == 1:
+                        off = offs.pop()
+                        for h in hours:
+                            for m in minutes:
+                                u = datetime(ld.year, ld.month, ld.day, h, m,
+                                             tzinfo=UTC) - off
+                                if u < lo or u >= hi:
+                                    continue
+                                rows.append((
+                                    uuid, int(u.timestamp()) * 1000,
+                                    f"{ld.isoformat()} {h:02d}:{m:02d}"))
+                        continue
+                    # transition day (~2/year/tz): exact per-fold mapping.
+                    # Both folds of an ambiguous wall-clock roundtrip →
+                    # emit both in-window instants (the fire-once groupBy
+                    # keeps the earliest); a nonexistent spring-forward
+                    # wall-clock roundtrips under neither fold → no slot.
+                    for h in hours:
+                        for m in minutes:
+                            utcs = set()
+                            for fold in (0, 1):
+                                loc = datetime(ld.year, ld.month, ld.day,
+                                               h, m, fold=fold, tzinfo=tz)
+                                u = loc.astimezone(UTC)
+                                back = u.astimezone(tz)
+                                if (back.day, back.hour, back.minute,
+                                        back.month, back.year) != (
+                                        ld.day, h, m, ld.month, ld.year):
+                                    continue
+                                utcs.add(u)
+                            for u in utcs:
+                                if u < lo or u >= hi:
+                                    continue
+                                rows.append((
+                                    uuid, int(u.timestamp()) * 1000,
+                                    f"{ld.isoformat()} {h:02d}:{m:02d}"))
             yield pd.DataFrame(
                 rows, columns=["task_uuid", "scheduled_for_ms",
                                "local_minute"])

@@ -603,6 +603,41 @@ class TestScheduler:
                           "2026-11-01T00:00:00", "2026-11-02T00:00:00")
         assert got == ["2026-11-01T05:30:00.000Z"]   # 01:30 EDT, not 06:30
 
+    def test_candidate_expansion_equals_utc_scan(self, spark):
+        """The candidate-wall-clock expansion must emit exactly the slots a
+        brute-force scan of every UTC minute (via cron_matches_local, the
+        retained reference implementation) produces — across both IANA DST
+        transitions and an every-minute cron."""
+        from datetime import datetime, timedelta, timezone
+        from zoneinfo import ZoneInfo
+
+        from anycrawl_spark.scheduler import cron_matches_local, parse_cron
+
+        windows = [("2026-03-07T12:00:00", "2026-03-09T12:00:00"),
+                   ("2026-10-31T12:00:00", "2026-11-02T12:00:00")]
+        crons = ["*/15 * * * *", "30 2 * * *", "30 1 * * SUN", "* * * * *"]
+        tz = ZoneInfo("America/New_York")
+        for start_s, end_s in windows:
+            for cron_s in crons:
+                cron = parse_cron(cron_s)
+                w0 = datetime.fromisoformat(start_s).replace(
+                    tzinfo=timezone.utc)
+                w1 = datetime.fromisoformat(end_s).replace(tzinfo=timezone.utc)
+                expected = {}
+                u = w0
+                while u < w1:
+                    loc = u.astimezone(tz)
+                    if cron_matches_local(cron, loc):
+                        key = loc.strftime("%Y-%m-%d %H:%M")
+                        expected[key] = min(expected.get(key, u), u)
+                    u += timedelta(minutes=1)
+                got = self._slots(spark, cron_s, "America/New_York",
+                                  start_s, end_s)
+                want = sorted(
+                    u.strftime("%Y-%m-%dT%H:%M:%S.000Z")
+                    for u in expected.values())
+                assert got == want, (cron_s, start_s)
+
     def test_dom_dow_or_rule_and_pause(self, spark):
         from anycrawl_spark.scheduler import TASK_SCHEMA, scheduled_run_slots
 
