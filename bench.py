@@ -472,6 +472,8 @@ def main() -> None:
             "winnow_fingerprints", "sessionize_events", "asof_join_events",
             "token_count", "windowed_events", "media_decode_meta",
             "auto_engine_decision",
+            # round-5 subsystems: cron fan-out, retry ladder, credit rollup
+            "scheduled_runs", "webhook_retry_schedule", "credit_rollup",
         ]))
         scaling = None
         scaling_path = os.path.join(REPO, "SCALING.json")
