@@ -55,11 +55,6 @@ from .politeness import (
 )
 from .seen import (
     DRIVER_MERGE_MAX_BYTES,
-    build_segments,
-    build_segments_driver,
-    filter_new,
-    merge_into_driver,
-    merge_segments,
     segments_from_driver,
     segments_to_driver,
 )
@@ -114,9 +109,15 @@ class CrawlConfig:
     respect_robots: bool = True          # --anycrawl-compat off ⇒ True (north rule)
     formats: tuple[str, ...] = ("markdown", "text", "links", "html")
     only_main_content: bool = True
-    bloom_num_buckets: int = 32
+    seen_filter: str = "bloom"           # 'bloom' | 'cuckoo' (north rule:
+                                         # "partitioned Bloom/cuckoo filter");
+                                         # results are byte-identical — the
+                                         # filter only pre-routes candidates
+                                         # ahead of the exact anti-join
+    bloom_num_buckets: int = 32          # hash-space shards (both families)
     bloom_m_bits: int = 1 << 17
     bloom_k: int = 4
+    cuckoo_n_slots: int = 1 << 12        # 4-way cuckoo buckets per segment
     max_rounds: int = 1000
     seen_compact_every: int = 8          # rewrite the seen table cumulatively
                                          # every K seen-writing rounds so its
@@ -154,6 +155,19 @@ class CrawlConfig:
                                  f"'auto', got {self.budget_salt_n!r}")
         elif self.budget_salt_n < 0:
             raise ValueError("budget_salt_n must be >= 0")
+        if self.seen_filter not in ("bloom", "cuckoo"):
+            raise ValueError(f"unknown seen_filter {self.seen_filter!r}")
+        if self.cuckoo_n_slots & (self.cuckoo_n_slots - 1):
+            raise ValueError("cuckoo_n_slots must be a power of two")
+
+    def filter_family(self):
+        """The configured seen-filter family with geometry bound."""
+        from anycrawl_spark.seen import filter_family
+
+        return filter_family(
+            self.seen_filter, num_buckets=self.bloom_num_buckets,
+            m_bits=self.bloom_m_bits, k=self.bloom_k,
+            n_slots=self.cuckoo_n_slots)
 
 
 def _strip_fragment(col):
@@ -400,20 +414,25 @@ class CrawlEngine:
                 self._writes = None
 
     def _run_loop(self, cfg: CrawlConfig, resume: bool, t0: float) -> dict:
+        fam = cfg.filter_family()
         if resume:
             self.catalog.drop_uncommitted()
             progress = self._progress()
             round_no = progress["round"] + 1
-            # bloom geometry is baked into every checkpointed bitmap —
-            # resuming with different parameters would read wrong bit
-            # positions (false negatives or IndexError in the tester)
+            # filter family + geometry are baked into every checkpointed
+            # segment — resuming with different parameters would read wrong
+            # bit positions / fingerprints (false negatives or IndexError
+            # in the tester). Bloom keeps the historic [nb, m_bits, k]
+            # fingerprint shape; cuckoo prepends its family tag, so a
+            # family switch always mismatches.
             seeded = self.catalog.round_meta(0)
             fp = seeded.get("bloom_geometry")
-            want = [cfg.bloom_num_buckets, cfg.bloom_m_bits, cfg.bloom_k]
-            if fp is not None and fp != want:
+            if fp is not None and fp != fam.geometry:
                 raise ValueError(
-                    f"resume bloom geometry mismatch: checkpoint has {fp} "
-                    f"(num_buckets, m_bits, k), config asks {want}")
+                    f"resume seen-filter geometry mismatch (bloom geometry "
+                    f"[nb, m_bits, k] or cuckoo geometry ['cuckoo', nb, "
+                    f"n_slots] is baked into checkpointed segments): "
+                    f"checkpoint has {fp}, config asks {fam.geometry}")
         else:
             self.catalog.destroy()
             self.catalog = Catalog(self.catalog.root)
@@ -426,8 +445,7 @@ class CrawlEngine:
             frontier = self._seed_frontier(cfg)
             if self.robots is not None and cfg.respect_robots:
                 frontier = robots_allowed(frontier, self.robots)
-            seed_bytes = cfg.bloom_num_buckets * (cfg.bloom_m_bits // 8)
-            if seed_bytes <= DRIVER_MERGE_MAX_BYTES:
+            if fam.total_bytes <= DRIVER_MERGE_MAX_BYTES:
                 # driver-local seed round: the frontier is one seed row
                 # (already driver-built) — one collect replaces four Spark
                 # jobs (count + pending/seen/bloom writes), shaving ~2 s of
@@ -452,9 +470,7 @@ class CrawlEngine:
                 self.catalog.append_round_local(
                     pa.table({"url_hash": pa.array(hashes, type=pa.string())}),
                     "seen", 0)
-                seed_bloom = build_segments_driver(
-                    hashes, num_buckets=cfg.bloom_num_buckets,
-                    m_bits=cfg.bloom_m_bits, k=cfg.bloom_k)
+                seed_bloom = fam.build_driver(hashes)
                 self.catalog.append_round_local(
                     pa.table({
                         "bucket": pa.array(sorted(seed_bloom),
@@ -471,16 +487,12 @@ class CrawlEngine:
                 self.catalog.append_round(frontier, "pending", 0)
                 self.catalog.append_round(
                     frontier.select("url_hash"), "seen", 0)
-                self.catalog.append_round(
-                    build_segments(frontier,
-                                   num_buckets=cfg.bloom_num_buckets,
-                                   m_bits=cfg.bloom_m_bits, k=cfg.bloom_k),
-                    "bloom", 0)
+                self.catalog.append_round(fam.build_segments(frontier),
+                                          "bloom", 0)
             progress = {"round": 0, "done": 0, "failed": 0, "enqueued": n_seed,
                         "finalized": n_seed == 0, "phase": "seeded",
                         "pending_seq_range": [0, max(0, n_seed - 1)],
-                        "bloom_geometry": [cfg.bloom_num_buckets,
-                                           cfg.bloom_m_bits, cfg.bloom_k]}
+                        "bloom_geometry": fam.geometry}
             self.catalog.commit_round(0, ["pending", "seen", "bloom"], progress)
             round_no = 1
 
@@ -685,8 +697,8 @@ class CrawlEngine:
             # round checkpoint is CUMULATIVE (delta OR-merged into the prior
             # round's segments at write time), so reading the seen-filter is
             # one round directory — O(1) per round, not O(rounds) re-merges.
-            filter_bytes = cfg.bloom_num_buckets * (cfg.bloom_m_bits // 8)
-            driver_bloom = filter_bytes <= DRIVER_MERGE_MAX_BYTES
+            fam = cfg.filter_family()
+            driver_bloom = fam.total_bytes <= DRIVER_MERGE_MAX_BYTES
             if (driver_bloom and self._bloom_mem is not None
                     and self._bloom_mem_round == r - 1):
                 segments = segments_from_driver(spark, self._bloom_mem)
@@ -696,9 +708,7 @@ class CrawlEngine:
                     self._bloom_mem = segments_to_driver(segments)
                     segments = segments_from_driver(spark, self._bloom_mem)
             seen = self._read_seen(spark, r - 1)
-            links = filter_new(links, segments, seen,
-                               num_buckets=cfg.bloom_num_buckets,
-                               m_bits=cfg.bloom_m_bits, k=cfg.bloom_k)
+            links = fam.filter_new(links, segments, seen)
 
             n_buckets = 4 * spark.sparkContext.defaultParallelism
 
@@ -933,11 +943,9 @@ class CrawlEngine:
                     build_hashes = hashes + [
                         row["url_hash"]
                         for row in seen.select("url_hash").collect()]
-                delta_mem = build_segments_driver(
-                    build_hashes, num_buckets=cfg.bloom_num_buckets,
-                    m_bits=cfg.bloom_m_bits, k=cfg.bloom_k)
-                self._bloom_mem = merge_into_driver(self._bloom_mem or {},
-                                                    delta_mem)
+                delta_mem = fam.build_driver(build_hashes)
+                self._bloom_mem = fam.merge_driver(self._bloom_mem or {},
+                                                   delta_mem)
                 self.catalog.append_round_local(
                     pa.table({
                         "bucket": pa.array(sorted(self._bloom_mem),
@@ -960,18 +968,13 @@ class CrawlEngine:
                         new_rows.select("url_hash"), "seen", r)
                     self._seen_uncommitted.append(
                         (r, self.catalog.round_path("seen", r), False))
-                delta = build_segments(new_rows,
-                                       num_buckets=cfg.bloom_num_buckets,
-                                       m_bits=cfg.bloom_m_bits, k=cfg.bloom_k)
+                delta = fam.build_segments(new_rows)
                 if segments is not None:
-                    cumulative = merge_segments(delta.unionByName(segments))
+                    cumulative = fam.merge_segments(delta.unionByName(segments))
                 elif seen is not None:
                     # rebuild from the exact seen history (see driver path)
-                    cumulative = merge_segments(delta.unionByName(
-                        build_segments(seen,
-                                       num_buckets=cfg.bloom_num_buckets,
-                                       m_bits=cfg.bloom_m_bits,
-                                       k=cfg.bloom_k)))
+                    cumulative = fam.merge_segments(delta.unionByName(
+                        fam.build_segments(seen)))
                 else:
                     cumulative = delta
                 self._bloom_mem = None

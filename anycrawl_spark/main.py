@@ -54,6 +54,7 @@ def cmd_crawl(args) -> None:
         politeness_budget=args.budget, budget_scope=args.budget_scope,
         respect_robots=args.robots is not None,
         seen_compact_every=args.seen_compact_every,
+        seen_filter=args.seen_filter,
     )
     summary = engine.run(cfg, resume=args.resume)
     print(json.dumps(summary))
@@ -173,6 +174,10 @@ def main(argv=None) -> None:
     p.add_argument("--scrape-paths", nargs="*")
     p.add_argument("--robots")
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--seen-filter", default="bloom",
+                   choices=["bloom", "cuckoo"],
+                   help="URL-seen pre-filter family (north rule "
+                        "'Bloom/cuckoo'); results are identical")
     p.add_argument("--seen-compact-every", type=int, default=8,
                    help="rewrite the seen table cumulatively every K "
                         "seen-writing rounds (0 disables)")

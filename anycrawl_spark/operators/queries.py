@@ -1942,6 +1942,27 @@ def q_bloom_seen_filter(spark, sf_dir):
 
 
 @register(
+    "cuckoo_seen_filter",
+    """SELECT sha256('https://docs.test/d/' || doc_id::VARCHAR) AS url_hash
+       FROM documents WHERE doc_id >= 250""",
+    "F2 at scale, cuckoo family (north rule 'Bloom/cuckoo'): partitioned "
+    "cuckoo pre-filter + exact anti-join equals the plain exact anti-join "
+    "(candidates 0..499 minus seen 0..249); cuckoo.py filter_new",
+)
+def q_cuckoo_seen_filter(spark, sf_dir):
+    from anycrawl_spark.cuckoo import build_segments, filter_new
+
+    documents = load(spark, sf_dir, "documents")
+    url = F.concat(F.lit("https://docs.test/d/"), F.col("doc_id").cast("string"))
+    hashed = documents.select("doc_id", F.sha2(url, 256).alias("url_hash"))
+    candidates = hashed.select("url_hash")
+    seen = hashed.where(F.col("doc_id") < 250).select("url_hash")
+    segments = build_segments(seen, num_buckets=8, n_slots=1 << 10)
+    return filter_new(candidates, segments, seen,
+                      num_buckets=8, n_slots=1 << 10)
+
+
+@register(
     "extract_markdown",
     None,
     "T1-T16: full extraction pipeline over the documents-derived page corpus "
@@ -2840,6 +2861,11 @@ DRIVER_ORDER: list[str] = [
     # c4_filters), tpch_q5_region (generic TPC-H shape, not a reference
     # operator; q1/q3 twins already demoted).
     "kv_key_base64", "map_search_rank", "quality_score", "tpch_q5_region",
+    # cuckoo_seen_filter outside the window by the twin rule: F2's
+    # pre-filter + exact-anti-join contract is already gated through
+    # bloom_seen_filter; the cuckoo family adds deletion/merge semantics
+    # covered by tests/test_cuckoo.py + validate_oracle.py
+    "cuckoo_seen_filter",
     "cache_newest", "robots_filter", "windowed_events",
     "supplier_region_rollup", "part_brand_stats", "tpch_q1_pricing",
     "tpch_q3_revenue", "minhash_signature", "dedup_clusters", "simhash16",

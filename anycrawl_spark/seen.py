@@ -141,6 +141,71 @@ def segments_from_driver(spark, cache: dict[int, bytes]) -> DataFrame:
         SEGMENT_SCHEMA)
 
 
+class SeenFilterFamily:
+    """Uniform facade over the two seen-filter families (north rule:
+    "partitioned Bloom/cuckoo filter"). Both share the segment-row shape
+    ``(bucket int, bitmap binary)``, the sha256 hash-space sharding, and the
+    pre-filter + exact-anti-join contract, so the crawl engine is family-
+    agnostic: every checkpoint/merge/filter touchpoint goes through one of
+    these callables. Crawl results are byte-identical across families —
+    the filter only routes candidates between the definitely-new fast path
+    and the exact anti-join (tests/test_crawl.py cuckoo-parity test)."""
+
+    def __init__(self, name, total_bytes, geometry, build_segments,
+                 build_driver, merge_driver, merge_segments, filter_new):
+        self.name = name
+        self.total_bytes = total_bytes     # serialized bytes across buckets
+        self.geometry = geometry           # resume-fingerprint (JSON list)
+        self.build_segments = build_segments
+        self.build_driver = build_driver
+        self.merge_driver = merge_driver
+        self.merge_segments = merge_segments
+        self.filter_new = filter_new
+
+
+def filter_family(name: str = "bloom", *,
+                  num_buckets: int = DEFAULT_NUM_BUCKETS,
+                  m_bits: int = DEFAULT_M_BITS, k: int = DEFAULT_K,
+                  n_slots: int | None = None) -> SeenFilterFamily:
+    """Bind a filter family's geometry into the engine-facing callables.
+    ``m_bits``/``k`` parameterize bloom; ``n_slots`` parameterizes cuckoo
+    (default cuckoo.DEFAULT_N_SLOTS)."""
+    if name == "bloom":
+        return SeenFilterFamily(
+            "bloom",
+            num_buckets * (m_bits // 8),
+            [num_buckets, m_bits, k],
+            lambda df: build_segments(df, num_buckets=num_buckets,
+                                      m_bits=m_bits, k=k),
+            lambda hashes: build_segments_driver(
+                hashes, num_buckets=num_buckets, m_bits=m_bits, k=k),
+            merge_into_driver,
+            merge_segments,
+            lambda cand, segs, seen: filter_new(
+                cand, segs, seen, num_buckets=num_buckets,
+                m_bits=m_bits, k=k),
+        )
+    if name == "cuckoo":
+        from anycrawl_spark import cuckoo
+
+        slots = n_slots if n_slots is not None else cuckoo.DEFAULT_N_SLOTS
+        return SeenFilterFamily(
+            "cuckoo",
+            num_buckets * cuckoo.segment_nbytes(slots),
+            ["cuckoo", num_buckets, slots],
+            lambda df: cuckoo.build_segments(df, num_buckets=num_buckets,
+                                             n_slots=slots),
+            lambda hashes: cuckoo.build_segments_driver(
+                hashes, num_buckets=num_buckets, n_slots=slots),
+            lambda cache, delta: cuckoo.merge_into_driver(
+                cache, delta, n_slots=slots),
+            lambda segs: cuckoo.merge_segments(segs, n_slots=slots),
+            lambda cand, segs, seen: cuckoo.filter_new(
+                cand, segs, seen, num_buckets=num_buckets, n_slots=slots),
+        )
+    raise ValueError(f"unknown seen-filter family: {name!r}")
+
+
 def filter_new(candidates: DataFrame, segments: DataFrame | None,
                seen_exact: DataFrame | None,
                url_hash_col: str = "url_hash",

@@ -38,6 +38,23 @@ DOC_STRUCT = StructType([
 ])
 
 
+def _tune_worker_gc() -> None:
+    """Raise the cyclic-GC gen0 threshold in the executor Python worker.
+
+    DOM nodes carry parent back-pointers (kernel/dom.py Node.parent), so
+    every parsed page is a pile of reference cycles; CPython's default gen0
+    threshold of 700 fires a collection ~hundreds of times per page build.
+    gen0=10000 cuts that ~14x for a measured ~5% kernel-CPU saving
+    (tools/kernel_bench.py interleaved A/B: 1.712 -> 1.629 ms/page) at
+    +1 MiB worker RSS. Called from inside the pandas UDFs so only executor
+    workers are retuned — never the driver or test processes.
+    """
+    import gc
+
+    if gc.get_threshold()[0] < 10_000:
+        gc.set_threshold(10_000, 20, 20)
+
+
 def make_extract_udf(formats: tuple[str, ...] = ("markdown", "text", "links", "html"),
                      include_tags: list[str] | None = None,
                      exclude_tags: list[str] | None = None,
@@ -65,6 +82,7 @@ def make_extract_udf(formats: tuple[str, ...] = ("markdown", "text", "links", "h
         # is ample headroom over CPython's default 1000
         if sys.getrecursionlimit() < 20_000:
             sys.setrecursionlimit(20_000)
+        _tune_worker_gc()
 
         empty_doc = {"title": "", "metadata": [], "html": None,
                      "markdown": None, "text": None, "links": None}
@@ -114,6 +132,7 @@ def canonicalize_udf(url: pd.Series) -> pd.Series:
 def html_to_text_udf(html: pd.Series) -> pd.Series:
     from anycrawl_spark.kernel.text import html_to_text
 
+    _tune_worker_gc()
     return html.map(
         lambda h: html_to_text(
             h.decode("utf-8", errors="replace") if isinstance(h, (bytes, bytearray)) else (h or "")

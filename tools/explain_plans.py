@@ -359,6 +359,22 @@ def main() -> None:
     assert len(re.findall(r"^\(\d+\) ArrowEvalPython", p, re.M)) == 1, \
         "markdown parity must evaluate the kernel exactly once"
 
+    # 19. cuckoo seen-filter: segment table broadcast onto candidates, one
+    # Arrow-batched membership test, exact anti-join only on the maybe-seen
+    # remainder (same plan contract as the bloom family)
+    p = plan_of(REGISTRY["cuckoo_seen_filter"].fn(
+        spark, "/root/testdata/sf0.01"))
+    sections.append((
+        "cuckoo_seen_filter: broadcast segments + Arrow membership test",
+        p,
+        {
+            "segments broadcast (candidates never shuffle for the test)":
+                r"BroadcastHashJoin",
+            "one Arrow-batched membership probe": r"MapInPandas",
+            "maybe-seen remainder pays the exact anti-join": r"LeftAnti",
+        },
+    ))
+
     with open(os.path.join(REPO, "PLANS.md"), "w") as f:
         f.write("# PLANS — physical-plan evidence (auto-generated by "
                 "tools/explain_plans.py)\n\n"
