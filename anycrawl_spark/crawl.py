@@ -157,8 +157,9 @@ class CrawlConfig:
             raise ValueError("budget_salt_n must be >= 0")
         if self.seen_filter not in ("bloom", "cuckoo"):
             raise ValueError(f"unknown seen_filter {self.seen_filter!r}")
-        if self.cuckoo_n_slots & (self.cuckoo_n_slots - 1):
-            raise ValueError("cuckoo_n_slots must be a power of two")
+        from anycrawl_spark.cuckoo import check_n_slots
+
+        check_n_slots(self.cuckoo_n_slots)
 
     def filter_family(self):
         """The configured seen-filter family with geometry bound."""
@@ -511,7 +512,8 @@ class CrawlEngine:
                             "phase": "cancelled"}
                 self.catalog.commit_round(round_no, [], progress)
                 break
-            progress = self._run_round(cfg, round_no, progress, extract_udf)
+            progress = self._run_round(cfg, round_no, progress, extract_udf,
+                                       fam)
             round_no += 1
 
         fetched_total = progress["done"] - progress["failed"]
@@ -525,7 +527,8 @@ class CrawlEngine:
             "seconds": time.time() - t0,
         }
 
-    def _run_round(self, cfg: CrawlConfig, r: int, progress: dict, extract_udf) -> dict:
+    def _run_round(self, cfg: CrawlConfig, r: int, progress: dict,
+                   extract_udf, fam) -> dict:
         spark = self.spark
         writes = self._writes
         _t0 = time.time()
@@ -697,7 +700,6 @@ class CrawlEngine:
             # round checkpoint is CUMULATIVE (delta OR-merged into the prior
             # round's segments at write time), so reading the seen-filter is
             # one round directory — O(1) per round, not O(rounds) re-merges.
-            fam = cfg.filter_family()
             driver_bloom = fam.total_bytes <= DRIVER_MERGE_MAX_BYTES
             if (driver_bloom and self._bloom_mem is not None
                     and self._bloom_mem_round == r - 1):

@@ -38,7 +38,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame
 
 from anycrawl_spark.seen import SEGMENT_SCHEMA, bucket_col
 
@@ -46,6 +46,14 @@ SLOT_WIDTH = 4           # fingerprints per cuckoo bucket (4-way associative)
 MAX_KICKS = 500          # eviction-chain bound before declaring saturation
 DEFAULT_N_SLOTS = 1 << 12  # 4096 buckets x 4 slots = 16384 entries/segment
 _FP_MIX = 0x5BD1E995     # multiplicative mix for the alternate-index hash
+
+
+def check_n_slots(n_slots: int) -> None:
+    """n_slots must be a positive power of two — the XOR alternate index
+    masks with n_slots-1 (0 passes the naive bit test but masks with -1)."""
+    if n_slots <= 0 or n_slots & (n_slots - 1):
+        raise ValueError(f"n_slots must be a positive power of two, "
+                         f"got {n_slots}")
 
 
 def segment_nbytes(n_slots: int) -> int:
@@ -137,16 +145,19 @@ def _decode(blob: bytes) -> tuple[np.ndarray, bool]:
 
 
 def _build_table(hashes, n_slots: int) -> bytes:
+    """One fingerprint copy is stored PER DISTINCT KEY, even when two keys
+    collide on (fp, bucket pair) — the standard cuckoo-filter rule that
+    makes deletion safe (removing one key's copy must not erase another
+    key's membership; a shared slot would turn deletion into a false
+    negative). Input keys themselves are dedup'd (set): re-inserting the
+    same URL twice is idempotent, not a second copy."""
     arr = _new_table(n_slots)
     saturated = False
-    for h in sorted(hashes):   # sorted: reproducible checkpoint bytes
-        if saturated:
-            break
+    for h in sorted(set(hashes)):   # sorted: reproducible checkpoint bytes
         fp, i1 = _fp_i1(h, n_slots)
-        if _contains(arr, fp, i1, n_slots):
-            continue           # idempotent insert (same-fp keys share a slot)
         if not _insert(arr, fp, i1, n_slots):
             saturated = True
+            break
     return _encode(arr, saturated)
 
 
@@ -155,7 +166,7 @@ def build_segments(df: DataFrame, url_hash_col: str = "url_hash",
                    n_slots: int = DEFAULT_N_SLOTS) -> DataFrame:
     """Build (bucket, bitmap) cuckoo segment rows from url hashes —
     same applyInPandas shape as seen.build_segments."""
-    assert n_slots & (n_slots - 1) == 0, "n_slots must be a power of two"
+    check_n_slots(n_slots)
 
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
@@ -201,10 +212,10 @@ def _merge_tables(blobs: list[bytes], n_slots: int) -> bytes:
     for ix in order[1:]:
         arr = decoded[ix][0]
         for pos in np.flatnonzero(arr):
+            # every stored copy is re-inserted (no dedup): copies are
+            # per-key, and collapsing them would break deletion safety
             fp = int(arr[pos])
             i = int(pos) // SLOT_WIDTH
-            if _contains(base, fp, i, n_slots):
-                continue
             if not _insert(base, fp, i, n_slots):
                 saturated = True
                 break
@@ -241,12 +252,21 @@ def merge_into_driver(cache: dict[int, bytes], delta: dict[int, bytes],
 
 def delete_driver(cache: dict[int, bytes], hashes,
                   num_buckets: int = 32,
-                  n_slots: int = DEFAULT_N_SLOTS) -> dict[int, bytes]:
+                  n_slots: int = DEFAULT_N_SLOTS
+                  ) -> tuple[dict[int, bytes], list[str]]:
     """Remove url hashes from a driver-resident filter (recrawl/TTL-expiry
-    path). Deleting from a saturated segment is refused (its table is
-    incomplete — removal could not be verified), matching the cuckoo-filter
-    contract that deletion is only defined for tracked insertions."""
+    path). Returns ``(new_cache, skipped)``: deletion from a saturated
+    segment is refused — its table is incomplete, so removal can't be
+    verified (the cuckoo-filter contract defines deletion only for tracked
+    insertions) — and the refused hashes are reported so the caller can
+    rebuild that segment from the exact seen history instead (the same
+    remedy crawl.py applies to missing/corrupt checkpoints). Deletion is
+    safe against fingerprint collisions because builds/merges store one
+    copy per distinct key (_build_table): removing one key's copy leaves a
+    colliding survivor's copy in place (the survivor stays a member; the
+    deleted key may linger as an ordinary false positive)."""
     out = dict(cache)
+    skipped: list[str] = []
     for h in hashes:
         b = int(h[:8], 16) % num_buckets
         blob = out.get(b)
@@ -254,11 +274,12 @@ def delete_driver(cache: dict[int, bytes], hashes,
             continue
         arr, saturated = _decode(blob)
         if saturated:
+            skipped.append(h)
             continue
         fp, i1 = _fp_i1(h, n_slots)
         if _delete(arr, fp, i1, n_slots):
             out[b] = _encode(arr, False)
-    return out
+    return out, skipped
 
 
 def filter_new(candidates: DataFrame, segments: DataFrame | None,
@@ -266,54 +287,24 @@ def filter_new(candidates: DataFrame, segments: DataFrame | None,
                url_hash_col: str = "url_hash",
                num_buckets: int = 32,
                n_slots: int = DEFAULT_N_SLOTS) -> DataFrame:
-    """Rows of ``candidates`` not in the seen set: cuckoo pre-filter
-    (definitely-new fast path) + exact anti-join on the maybe-seen
-    remainder — mirror of seen.filter_new including its degraded modes."""
-    if seen_exact is None:
-        return candidates
-    if segments is None:
-        return candidates.join(
-            seen_exact.select(F.col(url_hash_col).alias("__seen_hash")).distinct(),
-            on=candidates[url_hash_col] == F.col("__seen_hash"),
-            how="left_anti",
-        )
+    """Rows of ``candidates`` not in the seen set: cuckoo pre-filter +
+    exact anti-join via the shared seen.prefilter_antijoin pipeline (only
+    the membership probe differs between families)."""
+    from anycrawl_spark.seen import prefilter_antijoin
 
-    cand = candidates.withColumn("__bucket", bucket_col(url_hash_col, num_buckets))
-    joined = cand.join(
-        F.broadcast(segments.withColumnRenamed("bucket", "__bucket")),
-        "__bucket", "left",
-    )
+    def test_batch(hashes, bitmaps):
+        maybe = np.zeros(len(hashes), dtype=bool)
+        for i, (h, bm) in enumerate(zip(hashes, bitmaps)):
+            if bm is None:
+                continue   # no segment for this bucket -> definitely new
+            if bm[0]:      # saturated -> everything is maybe-seen
+                maybe[i] = True
+                continue
+            # zero-copy read-only view (the probe never writes)
+            arr = np.frombuffer(bm, dtype="<u2", offset=1)
+            fp, i1 = _fp_i1(h, n_slots)
+            maybe[i] = _contains(arr, fp, i1, n_slots)
+        return maybe
 
-    out_fields = list(candidates.columns)
-    from pyspark.sql.types import BooleanType, StructField, StructType
-
-    # fresh StructType (StructType.add mutates; see seen.filter_new)
-    schema = StructType([*candidates.schema.fields,
-                         StructField("__maybe_seen", BooleanType())])
-
-    def test(iterator):
-        for pdf in iterator:
-            maybe = np.zeros(len(pdf), dtype=bool)
-            for i, (h, bm) in enumerate(zip(pdf[url_hash_col], pdf["bitmap"])):
-                if bm is None:
-                    continue   # no segment for this bucket -> definitely new
-                if bm[0]:      # saturated -> everything is maybe-seen
-                    maybe[i] = True
-                    continue
-                # zero-copy read-only view (the probe never writes)
-                arr = np.frombuffer(bm, dtype="<u2", offset=1)
-                fp, i1 = _fp_i1(h, n_slots)
-                maybe[i] = _contains(arr, fp, i1, n_slots)
-            out = pdf[out_fields].copy()
-            out["__maybe_seen"] = maybe
-            yield out
-
-    tested = joined.mapInPandas(test, schema=schema)
-    definitely_new = tested.where(~F.col("__maybe_seen")).drop("__maybe_seen")
-    maybe_seen = tested.where(F.col("__maybe_seen")).drop("__maybe_seen")
-    confirmed_new = maybe_seen.join(
-        seen_exact.select(F.col(url_hash_col).alias("__seen_hash")).distinct(),
-        on=maybe_seen[url_hash_col] == F.col("__seen_hash"),
-        how="left_anti",
-    )
-    return definitely_new.unionByName(confirmed_new)
+    return prefilter_antijoin(candidates, segments, seen_exact,
+                              url_hash_col, num_buckets, test_batch)

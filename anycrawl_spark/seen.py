@@ -206,29 +206,35 @@ def filter_family(name: str = "bloom", *,
     raise ValueError(f"unknown seen-filter family: {name!r}")
 
 
-def filter_new(candidates: DataFrame, segments: DataFrame | None,
-               seen_exact: DataFrame | None,
-               url_hash_col: str = "url_hash",
-               num_buckets: int = DEFAULT_NUM_BUCKETS,
-               m_bits: int = DEFAULT_M_BITS,
-               k: int = DEFAULT_K) -> DataFrame:
-    """Rows of ``candidates`` whose url_hash is NOT in the seen set.
+def exact_antijoin(candidates: DataFrame, seen_exact: DataFrame,
+                   url_hash_col: str = "url_hash") -> DataFrame:
+    """Rows of ``candidates`` not in the exact seen-hash history."""
+    return candidates.join(
+        seen_exact.select(F.col(url_hash_col).alias("__seen_hash")).distinct(),
+        on=candidates[url_hash_col] == F.col("__seen_hash"),
+        how="left_anti",
+    )
 
-    Bloom pre-filter (definitely-new fast path) + exact anti-join on the
-    maybe-seen remainder. With no segments yet (e.g. a missing/corrupt bloom
-    checkpoint on resume) this degrades to the plain exact anti-join; with
-    no exact history at all it is a no-op (the bloom alone can never
-    CONFIRM membership — dropping on a bloom hit would lose rows to false
-    positives).
+
+def prefilter_antijoin(candidates: DataFrame, segments: DataFrame | None,
+                       seen_exact: DataFrame | None, url_hash_col: str,
+                       num_buckets: int, test_batch) -> DataFrame:
+    """Shared pre-filter + exact-anti-join pipeline for both filter
+    families (bloom in this module, cuckoo in anycrawl_spark.cuckoo).
+
+    ``test_batch(hashes, bitmaps) -> np.ndarray[bool]`` is the per-batch
+    membership probe — the only thing that differs between families. Rows
+    the probe rejects are definitely new (no false negatives) and skip the
+    exact join; only the maybe-seen minority pays it. With no segments
+    (missing/corrupt checkpoint on resume) this degrades to the plain
+    exact anti-join; with no exact history it is a no-op (a probabilistic
+    filter can never CONFIRM membership — dropping on a filter hit would
+    lose rows to false positives).
     """
     if seen_exact is None:
         return candidates
     if segments is None:
-        return candidates.join(
-            seen_exact.select(F.col(url_hash_col).alias("__seen_hash")).distinct(),
-            on=candidates[url_hash_col] == F.col("__seen_hash"),
-            how="left_anti",
-        )
+        return exact_antijoin(candidates, seen_exact, url_hash_col)
 
     cand = candidates.withColumn("__bucket", bucket_col(url_hash_col, num_buckets))
     joined = cand.join(
@@ -236,7 +242,7 @@ def filter_new(candidates: DataFrame, segments: DataFrame | None,
         "__bucket", "left",
     )
 
-    out_fields = [f for f in candidates.columns]
+    out_fields = list(candidates.columns)
     # fresh StructType — StructType.add MUTATES and DataFrame.schema is a
     # cached_property, so building on candidates.schema would leave a
     # phantom __maybe_seen field on the caller's DataFrame object
@@ -247,27 +253,39 @@ def filter_new(candidates: DataFrame, segments: DataFrame | None,
 
     def test(iterator):
         for pdf in iterator:
-            maybe = np.zeros(len(pdf), dtype=bool)
-            for i, (h, bm) in enumerate(zip(pdf[url_hash_col], pdf["bitmap"])):
-                if bm is None:
-                    continue
-                arr = np.frombuffer(bm, dtype=np.uint8)
-                hit = True
-                for pos in _positions(h, m_bits, k):
-                    if not (arr[pos >> 3] >> (pos & 7)) & 1:
-                        hit = False
-                        break
-                maybe[i] = hit
             out = pdf[out_fields].copy()
-            out["__maybe_seen"] = maybe
+            out["__maybe_seen"] = test_batch(pdf[url_hash_col], pdf["bitmap"])
             yield out
 
     tested = joined.mapInPandas(test, schema=schema)
     definitely_new = tested.where(~F.col("__maybe_seen")).drop("__maybe_seen")
     maybe_seen = tested.where(F.col("__maybe_seen")).drop("__maybe_seen")
-    confirmed_new = maybe_seen.join(
-        seen_exact.select(F.col(url_hash_col).alias("__seen_hash")).distinct(),
-        on=maybe_seen[url_hash_col] == F.col("__seen_hash"),
-        how="left_anti",
-    )
-    return definitely_new.unionByName(confirmed_new)
+    return definitely_new.unionByName(
+        exact_antijoin(maybe_seen, seen_exact, url_hash_col))
+
+
+def filter_new(candidates: DataFrame, segments: DataFrame | None,
+               seen_exact: DataFrame | None,
+               url_hash_col: str = "url_hash",
+               num_buckets: int = DEFAULT_NUM_BUCKETS,
+               m_bits: int = DEFAULT_M_BITS,
+               k: int = DEFAULT_K) -> DataFrame:
+    """Rows of ``candidates`` whose url_hash is NOT in the seen set —
+    Bloom pre-filter + exact anti-join (see prefilter_antijoin)."""
+
+    def test_batch(hashes, bitmaps):
+        maybe = np.zeros(len(hashes), dtype=bool)
+        for i, (h, bm) in enumerate(zip(hashes, bitmaps)):
+            if bm is None:
+                continue
+            arr = np.frombuffer(bm, dtype=np.uint8)
+            hit = True
+            for pos in _positions(h, m_bits, k):
+                if not (arr[pos >> 3] >> (pos & 7)) & 1:
+                    hit = False
+                    break
+            maybe[i] = hit
+        return maybe
+
+    return prefilter_antijoin(candidates, segments, seen_exact,
+                              url_hash_col, num_buckets, test_batch)

@@ -63,7 +63,8 @@ class TestCuckooCore:
 
     def test_delete(self):
         seg = cuckoo.build_segments_driver(HASHES[:100], num_buckets=2)
-        out = cuckoo.delete_driver(seg, HASHES[:10], num_buckets=2)
+        out, skipped = cuckoo.delete_driver(seg, HASHES[:10], num_buckets=2)
+        assert skipped == []
         n_slots = cuckoo.DEFAULT_N_SLOTS
 
         def member(segs, h):
@@ -71,14 +72,50 @@ class TestCuckooCore:
             fp, i1 = cuckoo._fp_i1(h, n_slots)
             return cuckoo._contains(arr, fp, i1, n_slots)
 
-        # deleted keys gone (modulo fp collisions with surviving keys:
-        # none among 100 sha256 16-bit fps here — asserted exactly)
+        # deleted keys gone (a deleted key may only linger when it collides
+        # with a surviving key's fingerprint; none among these 100)
         fps_kept = {cuckoo._fp_i1(h, n_slots) for h in HASHES[10:100]}
         for h in HASHES[:10]:
             if cuckoo._fp_i1(h, n_slots) not in fps_kept:
                 assert not member(out, h)
         for h in HASHES[10:100]:
             assert member(out, h)
+
+    def test_delete_keeps_colliding_survivor(self):
+        # two distinct keys with identical bucket ([0:8)), fingerprint
+        # ([9:13)) and primary index ([17:25)) slices: builds store one
+        # copy PER KEY, so deleting one must not erase the other
+        base = "00000000" + "0" + "abcd" + "0000" + "00000123" + "0" * 38
+        h1, h2 = base + "1", base + "2"
+        assert len(h1) == 64 and h1 != h2
+        seg = cuckoo.build_segments_driver([h1, h2], num_buckets=1)
+        n_slots = cuckoo.DEFAULT_N_SLOTS
+        fp, i1 = cuckoo._fp_i1(h1, n_slots)
+        arr, _ = cuckoo._decode(seg[0])
+        assert int((arr == fp).sum()) == 2          # one copy per key
+        out, skipped = cuckoo.delete_driver(seg, [h1], num_buckets=1)
+        assert skipped == []
+        arr, _ = cuckoo._decode(out[0])
+        assert int((arr == fp).sum()) == 1          # survivor's copy intact
+        assert cuckoo._contains(arr, fp, i1, n_slots)
+
+    def test_delete_refuses_saturated_segment(self):
+        seg = cuckoo.build_segments_driver(HASHES[:500], num_buckets=1,
+                                           n_slots=8)
+        assert cuckoo._decode(seg[0])[1]
+        out, skipped = cuckoo.delete_driver(seg, HASHES[:3], num_buckets=1,
+                                            n_slots=8)
+        assert skipped == HASHES[:3] and out == seg
+
+    def test_n_slots_validation(self):
+        for bad in (0, -4, 3, 48):
+            with pytest.raises(ValueError, match="power of two"):
+                cuckoo.check_n_slots(bad)
+        from anycrawl_spark.crawl import CrawlConfig
+
+        with pytest.raises(ValueError, match="power of two"):
+            CrawlConfig(job_id="x", seed_url="https://a.test/",
+                        seen_filter="cuckoo", cuckoo_n_slots=0)
 
     def test_saturation_degrades_not_corrupts(self):
         # 8 slots x 4 = 32 entries per segment; 500 keys into 1 bucket
