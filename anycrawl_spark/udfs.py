@@ -18,6 +18,8 @@ import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    DoubleType,
+    IntegerType,
     StringType,
     StructField,
     StructType,
@@ -148,6 +150,76 @@ def markdown_image_urls_udf(markdown: pd.Series) -> pd.Series:
     from anycrawl_spark.kernel.ocr import image_urls
 
     return markdown.map(lambda md: image_urls(md or ""))
+
+
+JSON_EXTRACT_STRUCT = StructType([
+    StructField("data", StringType()),        # extracted object, JSON text
+    StructField("chunks", IntegerType()),
+    StructField("input_tokens", IntegerType()),
+    StructField("output_tokens", IntegerType()),
+    StructField("cost", DoubleType()),
+])
+
+
+def make_json_extract_udf(json_options: dict, model_call=None,
+                          extract_source: str = "markdown",
+                          model_config: dict | None = None):
+    """T18 ``json`` format (DataExtractor.ts:505-545): run the LLMExtract
+    pipeline over each page's markdown (default) or html — the reference's
+    ``extract_source`` option. ``json_options`` mirrors jsonOptionsSchema
+    (BaseSchema.ts:21-27): {schema, user_prompt, schema_name,
+    schema_description}. ``model_call`` is the live provider seam
+    (kernel/llm_extract.py LLMExtract); the default echoes the schema's
+    null-shape — the pipeline (normalization, prompts, chunking, merge,
+    validation, token/cost accounting) runs for real either way.
+
+    Takes (markdown, html) columns so one UDF serves both sources; only
+    the selected source is read per row.
+    """
+    schema = (json_options or {}).get("schema")
+    user_prompt = (json_options or {}).get("user_prompt")
+
+    @F.pandas_udf(JSON_EXTRACT_STRUCT)
+    def json_extract(markdown: pd.Series, html: pd.Series) -> pd.DataFrame:
+        import json as _json
+
+        from anycrawl_spark.kernel.llm_extract import (
+            LLMExtract,
+            build_empty_data_from_schema,
+        )
+
+        _tune_worker_gc()
+        call = model_call
+        if call is None:
+            def call(system, prompt, nschema):   # noqa: ARG001
+                return build_empty_data_from_schema(nschema)
+
+        agent = LLMExtract(call, model_config=model_config)
+        out = {"data": [], "chunks": [], "input_tokens": [],
+               "output_tokens": [], "cost": []}
+        source = html if extract_source == "html" else markdown
+        for content in source:
+            if isinstance(content, (bytes, bytearray)):
+                content = content.decode("utf-8", errors="replace")
+            try:
+                r = agent.perform(content or "", schema, prompt=user_prompt)
+                data = _json.dumps(r["data"], ensure_ascii=False,
+                                   separators=(",", ":"))
+                out["data"].append(data)
+                out["chunks"].append(r["chunks"])
+                out["input_tokens"].append(r["tokens"]["input"])
+                out["output_tokens"].append(r["tokens"]["output"])
+                out["cost"].append(float(r["cost"]))
+            except Exception:
+                # one failed page fails that page, not the Spark task
+                out["data"].append(None)
+                out["chunks"].append(0)
+                out["input_tokens"].append(0)
+                out["output_tokens"].append(0)
+                out["cost"].append(0.0)
+        return pd.DataFrame(out)
+
+    return json_extract
 
 
 def make_inject_ocr_udf(ocr_lookup=None):
