@@ -338,17 +338,45 @@ def validate_against_schema(value, schema, path: str = "$") -> None:
                 validate_against_schema(v, items, f"{path}[{ix}]")
 
 
-class LLMExtract:
-    """The reference LLMExtract agent with the provider call injected.
+SUMMARY_SYSTEM_PROMPT = """You are a content summarization assistant. Your task is to create clear, concise, and accurate summaries of web page content.
 
-    ``model_call(system_prompt, full_prompt, normalized_schema) -> data``
-    is the live seam; its output is schema-validated here. ``model_config``
-    mirrors the reference's models-config entry shape
-    ({max_input_tokens, max_output_tokens, input_cost_per_token,
-    output_cost_per_token}).
-    """
+CRITICAL RULES:
+1. Capture the main ideas and key points of the content
+2. Maintain factual accuracy - do not add information not present in the original
+3. Use clear and concise language
+4. Preserve important details while removing redundancy
+5. Structure the summary logically
+6. Keep the summary proportional to the content length"""
 
-    def __init__(self, model_call, system_prompt: str = EXTRACT_SYSTEM_PROMPT,
+SUMMARY_USER_PROMPT = """Please summarize the following web page content. Focus on the main ideas, key points, and important details. Provide a clear and concise summary.
+
+Content:
+{content}"""
+
+
+def build_summary_prompt(content: str) -> str:
+    """summary.prompts.ts buildSummaryPrompt — template substitution.
+    Mirrors JS String.replace: only the first ``{content}`` occurrence."""
+    return SUMMARY_USER_PROMPT.replace("{content}", content, 1)
+
+
+def build_summary_merge_prompt(summaries: list[str]) -> str:
+    """LLMSummary.ts mergeSummaries prompt — byte-exact assembly."""
+    parts = "\n\n".join(f"--- Part {i + 1} ---\n{s}"
+                        for i, s in enumerate(summaries))
+    return (
+        "You are given multiple summaries of different parts of the same "
+        "document. Please combine them into a single coherent summary that "
+        "captures all the key points without redundancy.\n\n"
+        f"Summaries to merge:\n{parts}\n\nPlease provide a unified summary:")
+
+
+class _AgentBase:
+    """Shared BaseAgent surface: default params (system-prompt-adjusted
+    input budget, BaseAgent.ts:148-169 + the agents' getDefaultParams
+    override) and token-rate cost math (BaseAgent.ts:136-145)."""
+
+    def __init__(self, model_call, system_prompt: str,
                  model_config: dict | None = None, counter=count_tokens):
         self.model_call = model_call
         self.system_prompt = system_prompt
@@ -356,7 +384,6 @@ class LLMExtract:
         self.counter = counter
 
     def _default_params(self) -> dict:
-        # BaseAgent.getDefaultParams + the LLMExtract system-prompt override
         if not self.model_config:
             base = {"max_tokens_input": 4000, "max_tokens_output": 2000,
                     "chunk_overlap": 200}
@@ -376,6 +403,97 @@ class LLMExtract:
         in_rate = c.get("input_cost_per_token", DEFAULT_INPUT_COST_PER_TOKEN)
         out_rate = c.get("output_cost_per_token", DEFAULT_OUTPUT_COST_PER_TOKEN)
         return in_rate * input_tokens + out_rate * output_tokens
+
+
+class LLMSummary(_AgentBase):
+    """The reference LLMSummary agent (LLMSummary.ts) with the provider
+    call injected: ``model_call(system_prompt, full_prompt) -> str``.
+
+    Parity notes: failed chunks contribute '' and are filtered before the
+    merge; a failed merge call falls back to '\\n\\n'.join; the merge
+    call's own usage is NOT added to the token/cost totals (the reference
+    records the merge step with zero cost/tokens, LLMSummary.ts:271-277).
+    """
+
+    def __init__(self, model_call, system_prompt: str = SUMMARY_SYSTEM_PROMPT,
+                 model_config: dict | None = None, counter=count_tokens):
+        super().__init__(model_call, system_prompt, model_config, counter)
+
+    def _call(self, full_prompt: str, system_prompt: str):
+        text = self.model_call(system_prompt, full_prompt) or ""
+        input_tokens = self.counter(full_prompt + system_prompt)
+        output_tokens = self.counter(text)
+        return text, input_tokens, output_tokens
+
+    def _merge(self, summaries: list[str], system_prompt: str) -> str:
+        if not summaries:
+            return ""
+        if len(summaries) == 1:
+            return summaries[0]
+        try:
+            merged = self.model_call(system_prompt,
+                                     build_summary_merge_prompt(summaries))
+            return merged or "\n\n".join(summaries)
+        except Exception:
+            return "\n\n".join(summaries)
+
+    def perform(self, text, system_prompt: str | None = None,
+                max_tokens_input: int | None = None,
+                chunk_overlap: int | None = None) -> dict:
+        defaults = self._default_params()
+        max_in = max_tokens_input if max_tokens_input is not None \
+            else defaults["max_tokens_input"]
+        overlap = chunk_overlap if chunk_overlap is not None \
+            else defaults["chunk_overlap"]
+        sys_prompt = system_prompt or self.system_prompt or ""
+
+        input_text = "\n".join(text) if isinstance(text, list) else text
+        input_tokens = self.counter(input_text)
+
+        if input_tokens <= max_in:
+            # single-call errors re-raise (LLMSummary.ts:212-217)
+            summary, tin, tout = self._call(build_summary_prompt(input_text),
+                                            sys_prompt)
+            return {"summary": summary,
+                    "tokens": {"input": tin, "output": tout,
+                               "total": tin + tout},
+                    "chunks": 1, "cost": self._cost(tin, tout)}
+
+        chunks = split_text_into_chunks(input_text, max_in, overlap,
+                                        self.counter)
+        parts: list[str] = []
+        total_in = total_out = 0
+        cost = 0.0
+        for info in chunks:
+            try:
+                summary, tin, tout = self._call(
+                    build_summary_prompt(info["chunk"]), sys_prompt)
+                parts.append(summary)
+                total_in += tin
+                total_out += tout
+                cost += self._cost(tin, tout)
+            except Exception:
+                parts.append("")          # LLMSummary.ts:262-265
+        merged = self._merge([s for s in parts if s], sys_prompt)
+        return {"summary": merged,
+                "tokens": {"input": total_in, "output": total_out,
+                           "total": total_in + total_out},
+                "chunks": len(chunks), "cost": cost}
+
+
+class LLMExtract(_AgentBase):
+    """The reference LLMExtract agent with the provider call injected.
+
+    ``model_call(system_prompt, full_prompt, normalized_schema) -> data``
+    is the live seam; its output is schema-validated here. ``model_config``
+    mirrors the reference's models-config entry shape
+    ({max_input_tokens, max_output_tokens, input_cost_per_token,
+    output_cost_per_token}).
+    """
+
+    def __init__(self, model_call, system_prompt: str = EXTRACT_SYSTEM_PROMPT,
+                 model_config: dict | None = None, counter=count_tokens):
+        super().__init__(model_call, system_prompt, model_config, counter)
 
     def _call(self, full_prompt: str, schema, system_prompt: str):
         data = self.model_call(system_prompt, full_prompt, schema)

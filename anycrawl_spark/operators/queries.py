@@ -2058,6 +2058,63 @@ def q_llm_extract_stats(spark, sf_dir):
     )
 
 
+def _llm_head_summary_model(system, prompt):
+    """Deterministic fake summarizer: first 40 chars of the prompt's content
+    section — lets the oracle predict summary text + token/cost accounting
+    from documents.text alone."""
+    content = prompt.split("Content:\n", 1)[1]
+    return content[:40]
+
+
+def _llm_summary_oracle() -> str:
+    from anycrawl_spark.kernel.llm_extract import (
+        SUMMARY_SYSTEM_PROMPT,
+        SUMMARY_USER_PROMPT,
+    )
+
+    template = len(SUMMARY_USER_PROMPT) - len("{content}")
+    prefix = template + len(SUMMARY_SYSTEM_PROMPT)
+    return f"""
+        SELECT doc_id,
+               text[:40] AS summary,
+               CAST(1 AS INTEGER) AS chunks,
+               CAST((length(text) + {prefix} + 3) // 4 AS INTEGER)
+                   AS input_tokens,
+               CAST((least(length(text), 40) + 3) // 4 AS INTEGER)
+                   AS output_tokens,
+               CAST(((length(text) + {prefix} + 3) // 4) * 200
+                    + ((least(length(text), 40) + 3) // 4) * 800
+                   AS BIGINT) AS cost_nano
+        FROM documents WHERE length(text) BETWEEN 1 AND 14000"""
+
+
+@register(
+    "llm_summary_stats",
+    _llm_summary_oracle(),
+    "T18 summary format (DataExtractor.ts:547-573 + LLMSummary.ts): summary "
+    "prompt assembly, single-chunk routing, token estimate and cost "
+    "accounting via a content-head fake provider (model call = live seam); "
+    "chunked summarize-then-merge covered in tests/test_llm_extract.py",
+)
+def q_llm_summary_stats(spark, sf_dir):
+    from anycrawl_spark.udfs import make_summary_udf
+
+    docs = load(spark, sf_dir, "documents").where(
+        (F.length("text") >= 1) & (F.length("text") <= 14000))
+    udf = make_summary_udf(model_call=_llm_head_summary_model)
+    return (
+        docs.withColumn("s", udf(F.col("text"), F.lit(None).cast("binary")))
+        .select(
+            "doc_id",
+            F.col("s.summary").alias("summary"),
+            F.col("s.chunks").alias("chunks"),
+            F.col("s.input_tokens").alias("input_tokens"),
+            F.col("s.output_tokens").alias("output_tokens"),
+            F.round(F.col("s.cost") * 1e9).cast("long").alias("cost_nano"),
+        )
+    )
+
+
 @register(
     "extraction_text_parity",
     """SELECT COUNT(*) AS pages, 0 AS mismatches FROM documents""",
@@ -2928,6 +2985,9 @@ DRIVER_ORDER: list[str] = [
     # interval join, twin of asof_join_events' union+window machinery and
     # not a reference operator; stays oracled via validate_oracle.py).
     "range_join_events",
+    # summary twin of llm_extract_stats (same pipeline family, text
+    # generation instead of schema extraction) — oracled outside the window
+    "llm_summary_stats",
     # r5 swaps (rationale in COVERAGE.md): promoted webhook_retry_schedule,
     # scheduled_runs, credit_rollup, extraction_markdown_parity; demoted
     # the named twins below — kv_key_base64 (§2.7 stays covered by

@@ -222,6 +222,56 @@ def make_json_extract_udf(json_options: dict, model_call=None,
     return json_extract
 
 
+SUMMARY_STRUCT = StructType([
+    StructField("summary", StringType()),
+    StructField("chunks", IntegerType()),
+    StructField("input_tokens", IntegerType()),
+    StructField("output_tokens", IntegerType()),
+    StructField("cost", DoubleType()),
+])
+
+
+def make_summary_udf(model_call=None, extract_source: str = "markdown",
+                     model_config: dict | None = None):
+    """T18 ``summary`` format (DataExtractor.ts:547-573): the LLMSummary
+    pipeline (kernel/llm_extract.py LLMSummary — summary prompt, chunking,
+    summarize-then-merge) over markdown (default) or html.
+    ``model_call(system, prompt) -> str`` is the provider seam; the default
+    returns '' (the pipeline still runs: prompts, chunk routing, token and
+    cost accounting)."""
+
+    @F.pandas_udf(SUMMARY_STRUCT)
+    def summarize(markdown: pd.Series, html: pd.Series) -> pd.DataFrame:
+        from anycrawl_spark.kernel.llm_extract import LLMSummary
+
+        _tune_worker_gc()
+        call = model_call if model_call is not None \
+            else (lambda system, prompt: "")
+        agent = LLMSummary(call, model_config=model_config)
+        out = {"summary": [], "chunks": [], "input_tokens": [],
+               "output_tokens": [], "cost": []}
+        source = html if extract_source == "html" else markdown
+        for content in source:
+            if isinstance(content, (bytes, bytearray)):
+                content = content.decode("utf-8", errors="replace")
+            try:
+                r = agent.perform(content or "")
+                out["summary"].append(r["summary"])
+                out["chunks"].append(r["chunks"])
+                out["input_tokens"].append(r["tokens"]["input"])
+                out["output_tokens"].append(r["tokens"]["output"])
+                out["cost"].append(float(r["cost"]))
+            except Exception:
+                out["summary"].append(None)
+                out["chunks"].append(0)
+                out["input_tokens"].append(0)
+                out["output_tokens"].append(0)
+                out["cost"].append(0.0)
+        return pd.DataFrame(out)
+
+    return summarize
+
+
 def make_inject_ocr_udf(ocr_lookup=None):
     """OCR block injection UDF factory. ``ocr_lookup(url) -> text`` is the
     external-model seam (reference: MarkdownOCR.ts injectOCRBlocksAfterImages

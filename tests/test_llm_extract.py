@@ -304,6 +304,83 @@ class TestPerform:
             r["tokens"]["input"] * 1e-6 + r["tokens"]["output"] * 2e-6)
 
 
+class TestSummary:
+    def test_single_call(self):
+        from anycrawl_spark.kernel.llm_extract import (
+            SUMMARY_SYSTEM_PROMPT,
+            LLMSummary,
+            build_summary_prompt,
+        )
+
+        seen = {}
+
+        def model(system, prompt):
+            seen["system"], seen["prompt"] = system, prompt
+            return "a short summary"
+
+        agent = LLMSummary(model)
+        r = agent.perform("page content here")
+        assert r["summary"] == "a short summary" and r["chunks"] == 1
+        assert seen["system"] == SUMMARY_SYSTEM_PROMPT
+        assert seen["prompt"] == build_summary_prompt("page content here")
+        assert seen["prompt"].endswith("Content:\npage content here")
+        tin = count_tokens(seen["prompt"] + SUMMARY_SYSTEM_PROMPT)
+        tout = count_tokens("a short summary")
+        assert r["tokens"] == {"input": tin, "output": tout,
+                               "total": tin + tout}
+        assert r["cost"] == pytest.approx(tin * 2e-7 + tout * 8e-7)
+
+    def test_chunked_merge_call_and_failed_merge_fallback(self):
+        from anycrawl_spark.kernel.llm_extract import (
+            LLMSummary,
+            build_summary_merge_prompt,
+        )
+
+        lines = [f"L{i:03d} " + "x" * 34 for i in range(30)]
+        text = "\n".join(lines)
+        calls = []
+
+        def model(system, prompt):
+            calls.append(prompt)
+            if prompt.startswith("You are given multiple summaries"):
+                assert prompt == build_summary_merge_prompt(
+                    [f"S{i}" for i in range(1, len(calls))])
+                return "MERGED"
+            return f"S{len(calls)}"
+
+        agent = LLMSummary(model)
+        r = agent.perform(text, max_tokens_input=100, chunk_overlap=20)
+        assert r["chunks"] >= 3
+        assert r["summary"] == "MERGED"
+        # the merge call's usage is NOT in the totals (reference records
+        # the merge step with zero cost/tokens)
+        per_chunk_out = sum(count_tokens(f"S{i}")
+                            for i in range(1, r["chunks"] + 1))
+        assert r["tokens"]["output"] == per_chunk_out
+
+        # failed chunk -> '' filtered before merge; failed merge -> join
+        def flaky(system, prompt):
+            if prompt.startswith("You are given multiple summaries"):
+                raise RuntimeError("merge provider down")
+            if "L000" in prompt:
+                raise RuntimeError("first chunk fails")
+            return "OK"
+
+        r2 = LLMSummary(flaky).perform(text, max_tokens_input=100,
+                                       chunk_overlap=20)
+        assert r2["summary"] == "\n\n".join(["OK"] * (r2["chunks"] - 1))
+
+    def test_single_summary_skips_merge(self):
+        from anycrawl_spark.kernel.llm_extract import LLMSummary
+
+        def model(system, prompt):
+            assert not prompt.startswith("You are given multiple")
+            return "only"
+
+        r = LLMSummary(model).perform("tiny")
+        assert r["summary"] == "only"
+
+
 class TestJsonExtractUdf:
     def test_udf_over_documents(self, spark):
         from pyspark.sql import functions as F
