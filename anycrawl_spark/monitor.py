@@ -13,7 +13,8 @@ import re
 import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.types import (
-    ArrayType, DoubleType, IntegerType, StringType, StructField, StructType,
+    ArrayType, BooleanType, DoubleType, IntegerType, StringType, StructField,
+    StructType,
 )
 
 VOLATILE_KEYS = ("timestamp", "screenshot", "screenshot@fullPage")
@@ -185,3 +186,74 @@ def json_field_diff(old: dict | list | None, new: dict | list | None,
     # only None coerces to {} — falsy roots (0, '', [], False) are real values
     rec(old if old is not None else {}, new if new is not None else {}, path)
     return changes
+
+
+# --- M6 (r5): LLM change judge — monitor/judge.ts:1-59 -------------------
+
+JUDGE_SYSTEM_PROMPT = """You are a change-detection judge. Your only job is to decide whether an observed diff on a web page is meaningful relative to the stated monitoring goal.
+
+Ignore mechanical noise such as rotating tokens, session IDs, footer timestamps, ad slots, or cache-buster query strings.
+
+Respond ONLY with a JSON object matching the schema: { meaningful: boolean, confidence: "low"|"medium"|"high", reason: string }."""
+
+JUDGE_FALLBACK = {"meaningful": True, "confidence": "low",
+                  "reason": "AI judge unavailable; defaulting to meaningful"}
+
+
+def build_judge_prompt(goal: str, diff_text: str, url: str) -> str:
+    """judge.ts:38-45 — byte-exact user prompt; the diff is truncated to its
+    first 3000 chars."""
+    return (f'Monitoring goal: "{goal}"\n\nURL: {url}\n\n'
+            f"Diff (unified format, first 3000 chars):\n{diff_text[:3000]}\n\n"
+            f"Is this change meaningful relative to the goal?")
+
+
+def judge_change(goal: str, diff_text: str, url: str,
+                 model_call=None) -> dict:
+    """judge.ts judgeChange: ask a model whether a diff is meaningful
+    relative to the monitoring goal. ``model_call(system, prompt) -> dict``
+    is the provider seam (reference: generateObject against the verdict zod
+    schema). Any failure — no provider configured, call error, or an
+    out-of-schema verdict — degrades to the reference's fallback verdict so
+    monitoring keeps running without AI (judge.ts:53-57; note the code's
+    catch path returns confidence "low", which supersedes the stale
+    doc-comment's "medium")."""
+    if model_call is None:
+        return dict(JUDGE_FALLBACK)
+    try:
+        verdict = model_call(JUDGE_SYSTEM_PROMPT,
+                             build_judge_prompt(goal, diff_text, url))
+        if (isinstance(verdict, dict)
+                and isinstance(verdict.get("meaningful"), bool)
+                and verdict.get("confidence") in ("low", "medium", "high")
+                and isinstance(verdict.get("reason"), str)):
+            return {"meaningful": verdict["meaningful"],
+                    "confidence": verdict["confidence"],
+                    "reason": verdict["reason"]}
+        return dict(JUDGE_FALLBACK)
+    except Exception:
+        return dict(JUDGE_FALLBACK)
+
+
+JUDGE_STRUCT = StructType([
+    StructField("meaningful", BooleanType()),
+    StructField("confidence", StringType()),
+    StructField("reason", StringType()),
+])
+
+
+def make_judge_udf(goal: str, model_call=None):
+    """Batch change-judging over (diff_text, url) columns — the Spark seam
+    for running judge_change across a monitor job's changed snapshots."""
+
+    @F.pandas_udf(JUDGE_STRUCT)
+    def judge(diff_text: pd.Series, url: pd.Series) -> pd.DataFrame:
+        out = {"meaningful": [], "confidence": [], "reason": []}
+        for d, u in zip(diff_text, url):
+            v = judge_change(goal, d or "", u or "", model_call=model_call)
+            out["meaningful"].append(v["meaningful"])
+            out["confidence"].append(v["confidence"])
+            out["reason"].append(v["reason"])
+        return pd.DataFrame(out)
+
+    return judge

@@ -966,3 +966,65 @@ class TestMonitorWebhookIntegration:
             schema="monitor_id long, monitor_name string, monitor_type string")
         rows = monitor_events(changes, monitors).collect()
         assert rows[0]["event_type"] == "monitor.price.changed"
+
+
+class TestChangeJudge:
+    """M6 — monitor/judge.ts parity: prompt assembly, verdict validation,
+    degraded-mode fallback."""
+
+    def test_prompt_assembly_and_truncation(self):
+        from anycrawl_spark.monitor import build_judge_prompt
+
+        p = build_judge_prompt("price drops", "+new\n-old", "https://a.test/x")
+        assert p.startswith('Monitoring goal: "price drops"\n\n'
+                            "URL: https://a.test/x\n\n")
+        assert p.endswith("Is this change meaningful relative to the goal?")
+        long = build_judge_prompt("g", "d" * 10_000, "u")
+        assert "d" * 3000 in long and "d" * 3001 not in long
+
+    def test_valid_verdict_passthrough(self):
+        from anycrawl_spark.monitor import JUDGE_SYSTEM_PROMPT, judge_change
+
+        seen = {}
+
+        def model(system, prompt):
+            seen["system"] = system
+            return {"meaningful": False, "confidence": "high",
+                    "reason": "only a session token rotated"}
+
+        v = judge_change("goal", "diff", "url", model_call=model)
+        assert v == {"meaningful": False, "confidence": "high",
+                     "reason": "only a session token rotated"}
+        assert seen["system"] == JUDGE_SYSTEM_PROMPT
+
+    def test_degraded_modes_fall_back(self):
+        from anycrawl_spark.monitor import JUDGE_FALLBACK, judge_change
+
+        assert judge_change("g", "d", "u") == JUDGE_FALLBACK  # no provider
+
+        def boom(system, prompt):
+            raise RuntimeError("provider down")
+
+        assert judge_change("g", "d", "u", model_call=boom) == JUDGE_FALLBACK
+        # out-of-schema verdicts degrade too (confidence enum, bool type)
+        for bad in ({"meaningful": "yes", "confidence": "high", "reason": ""},
+                    {"meaningful": True, "confidence": "certain", "reason": ""},
+                    {"meaningful": True, "confidence": "low"},
+                    "MEANINGFUL", None):
+            assert judge_change(
+                "g", "d", "u", model_call=lambda s, p, b=bad: b) == JUDGE_FALLBACK
+
+    def test_judge_udf(self, spark):
+        from pyspark.sql import functions as F
+
+        from anycrawl_spark.monitor import make_judge_udf
+
+        df = spark.createDataFrame(
+            [("+price: 10 -> 8", "https://a.test/1"),
+             ("", "https://a.test/2")],
+            "diff string, url string")
+        judge = make_judge_udf("track price changes")   # default seam
+        rows = df.select(judge(F.col("diff"), F.col("url")).alias("v")).collect()
+        for r in rows:
+            assert r["v"]["meaningful"] is True
+            assert r["v"]["confidence"] == "low"
