@@ -2760,6 +2760,215 @@ def q_scheduled_runs(spark, sf_dir):
                                "2026-03-08T00:00:00")
 
 
+_SWEEP_NOW = "2024-01-15 12:00:00"
+
+
+@register(
+    "stale_executions",
+    f"""WITH ex AS (
+         SELECT 'ex-' || event_id::VARCHAR AS execution_uuid,
+                'task-' || (event_id % 40)::VARCHAR AS scheduled_task_uuid,
+                CASE WHEN event_id % 4 = 0 THEN NULL
+                     ELSE 'job-' || event_id::VARCHAR END AS job_uuid,
+                CASE WHEN event_id % 5 < 2 THEN 'pending'
+                     ELSE 'running' END AS status,
+                ts AS created_at,
+                CASE WHEN event_id % 3 = 0 THEN NULL
+                     ELSE ts + to_minutes(event_id % 50) END AS started_at
+         FROM events),
+       tasks AS (
+         SELECT 'task-' || event_id::VARCHAR AS task_uuid,
+                CASE WHEN event_id % 11 = 0 THEN NULL
+                     WHEN event_id % 13 = 0 THEN ''
+                     ELSE ['scrape','search','map','crawl','Template']
+                          [CAST(event_id % 5 AS INT) + 1] END AS task_type
+         FROM events WHERE event_id < 40),
+       jobs AS (
+         SELECT 'job-' || event_id::VARCHAR AS job_uuid,
+                ['scrape','crawl','search','map']
+                    [CAST(event_id % 4 AS INT) + 1] AS job_type,
+                CASE WHEN event_id % 7 = 0 THEN NULL
+                     ELSE ts + to_minutes(event_id % 200) END AS updated_at
+         FROM events WHERE event_id % 4 <> 0),
+       now_t AS (SELECT TIMESTAMP '{_SWEEP_NOW}' AS now),
+       typed AS (
+         SELECT e.*, j.job_type, j.updated_at,
+                CASE WHEN lower(t.task_type) IS NULL
+                          OR lower(t.task_type) = '' THEN 'scrape'
+                     ELSE lower(t.task_type) END AS stype,
+                CASE WHEN lower(j.job_type) IS NULL
+                          OR lower(j.job_type) = '' THEN 'scrape'
+                     ELSE lower(j.job_type) END AS jtype
+         FROM ex e
+         JOIN tasks t ON e.scheduled_task_uuid = t.task_uuid
+         LEFT JOIN jobs j ON e.job_uuid = j.job_uuid
+         WHERE e.status = 'running' AND e.started_at IS NOT NULL),
+       running AS (
+         SELECT execution_uuid,
+                CASE WHEN stype = 'template' THEN jtype ELSE stype END
+                    AS atype,
+                started_at, job_uuid, updated_at
+         FROM typed)
+     SELECT execution_uuid, 'STALE_PENDING_TIMEOUT' AS error_code,
+            'pending_timeout' AS reason, CAST(5 AS INT) AS threshold_minutes,
+            CAST(NULL AS VARCHAR) AS actual_task_type
+     FROM ex, now_t WHERE status = 'pending' AND started_at IS NULL
+       AND created_at < now - INTERVAL 5 MINUTE
+     UNION ALL
+     SELECT execution_uuid, 'STALE_PENDING_STARTED',
+            'pending_started_timeout', CAST(5 AS INT), NULL
+     FROM ex, now_t WHERE status = 'pending' AND started_at IS NOT NULL
+       AND started_at < now - INTERVAL 5 MINUTE
+     UNION ALL
+     SELECT execution_uuid, 'RUNNING_NO_START_TIMEOUT', 'running_no_start',
+            CAST(10 AS INT), NULL
+     FROM ex, now_t WHERE status = 'running' AND started_at IS NULL
+       AND created_at < now - INTERVAL 10 MINUTE
+     UNION ALL
+     SELECT execution_uuid, 'EXECUTION_TIMEOUT',
+            CASE WHEN atype = 'crawl'
+                      AND job_uuid IS NOT NULL AND updated_at IS NOT NULL
+                 THEN CASE WHEN updated_at < now - INTERVAL 60 MINUTE
+                           THEN 'crawl_inactivity' END
+                 WHEN atype = 'crawl'
+                 THEN CASE WHEN started_at < now - INTERVAL 60 MINUTE
+                           THEN 'crawl_no_activity' END
+                 WHEN atype = 'search'
+                 THEN CASE WHEN started_at < now - INTERVAL 60 MINUTE
+                           THEN 'search_timeout' END
+                 WHEN atype = 'map'
+                 THEN CASE WHEN started_at < now - INTERVAL 30 MINUTE
+                           THEN 'map_timeout' END
+                 ELSE CASE WHEN started_at < now - INTERVAL 30 MINUTE
+                           THEN 'scrape_timeout' END
+            END,
+            CAST(CASE WHEN atype IN ('crawl', 'search') THEN 60
+                      ELSE 30 END AS INT),
+            atype
+     FROM running, now_t
+     WHERE CASE WHEN atype = 'crawl'
+                     AND job_uuid IS NOT NULL AND updated_at IS NOT NULL
+                THEN updated_at < now - INTERVAL 60 MINUTE
+                WHEN atype IN ('crawl', 'search')
+                THEN started_at < now - INTERVAL 60 MINUTE
+                ELSE started_at < now - INTERVAL 30 MINUTE END""",
+    "Scheduler crash-recovery sweep (Scheduler.ts:1620-1906 "
+    "cleanupStaleExecutions/cleanupStaleRunningExecutions): which "
+    "executions auto-fail, with exact error codes, reasons, and "
+    "per-task-type timeout thresholds (template resolves to the job's "
+    "actual type; crawl uses job-activity inactivity). Fixture "
+    "executions/tasks/jobs synthesized from events arithmetic; the sweep "
+    "instant is a parameter, making the sweep replayable.",
+)
+def q_stale_executions(spark, sf_dir):
+    from anycrawl_spark.scheduler import stale_executions
+
+    ev = load(spark, sf_dir, "events")
+    e = F.col("event_id")
+    executions = ev.select(
+        F.concat(F.lit("ex-"), e.cast("string")).alias("execution_uuid"),
+        F.concat(F.lit("task-"), (e % 40).cast("string"))
+        .alias("scheduled_task_uuid"),
+        F.when(e % 4 == 0, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("job-"), e.cast("string")))
+        .alias("job_uuid"),
+        F.when(e % 5 < 2, F.lit("pending")).otherwise(F.lit("running"))
+        .alias("status"),
+        F.col("ts").alias("created_at"),
+        F.when(e % 3 == 0, F.lit(None).cast("timestamp"))
+        .otherwise(F.col("ts")
+                   + F.expr("make_interval(0,0,0,0,0, int(event_id % 50), 0)"))
+        .alias("started_at"))
+    tasks = ev.where(e < 40).select(
+        F.concat(F.lit("task-"), e.cast("string")).alias("task_uuid"),
+        F.when(e % 11 == 0, F.lit(None).cast("string"))
+        .when(e % 13 == 0, F.lit(""))
+        .otherwise(F.element_at(
+            F.array(F.lit("scrape"), F.lit("search"), F.lit("map"),
+                    F.lit("crawl"), F.lit("Template")),
+            (e % 5).cast("int") + 1)).alias("task_type"))
+    jobs = ev.where(e % 4 != 0).select(
+        F.concat(F.lit("job-"), e.cast("string")).alias("job_uuid"),
+        F.element_at(F.array(F.lit("scrape"), F.lit("crawl"),
+                             F.lit("search"), F.lit("map")),
+                     (e % 4).cast("int") + 1).alias("job_type"),
+        F.when(e % 7 == 0, F.lit(None).cast("timestamp"))
+        .otherwise(F.col("ts")
+                   + F.expr("make_interval(0,0,0,0,0, int(event_id % 200), 0)"))
+        .alias("updated_at"))
+    return stale_executions(executions, tasks, jobs, _SWEEP_NOW)
+
+
+@register(
+    "subscription_excess_tasks",
+    """WITH tasks AS (
+         SELECT 'task-' || event_id::VARCHAR AS task_uuid,
+                'name-' || event_id::VARCHAR AS name,
+                'u' || (event_id % 12)::VARCHAR AS user_id,
+                'key-' || (event_id % 20)::VARCHAR AS api_key,
+                event_id % 7 <> 0 AS is_active,
+                event_id % 9 = 0 AS is_paused,
+                ts AS created_at
+         FROM events WHERE event_id < 200),
+       keys AS (
+         SELECT 'key-' || event_id::VARCHAR AS key_uuid,
+                CASE CAST(event_id % 4 AS INT)
+                  WHEN 0 THEN NULL WHEN 1 THEN 'free'
+                  WHEN 2 THEN 'paid' ELSE 'enterprise' END
+                    AS subscription_tier
+         FROM events WHERE event_id < 20),
+       active AS (SELECT * FROM tasks WHERE is_active AND NOT is_paused),
+       tiered AS (
+         SELECT a.*, CASE WHEN k.subscription_tier IS NULL
+                               OR k.subscription_tier = '' THEN 'free'
+                          ELSE k.subscription_tier END AS tier
+         FROM active a LEFT JOIN keys k ON a.api_key = k.key_uuid),
+       over_u AS (
+         SELECT user_id,
+                CAST(min(CASE WHEN tier = 'free' THEN 1 ELSE 2 END) AS INT)
+                    AS user_limit
+         FROM (SELECT user_id, api_key, tier, count(*) AS n
+               FROM tiered GROUP BY ALL)
+         WHERE n > CASE WHEN tier = 'free' THEN 1 ELSE 2 END
+         GROUP BY user_id),
+       ranked AS (
+         SELECT a.*, row_number() OVER (
+             PARTITION BY user_id ORDER BY created_at, task_uuid) AS rnk
+         FROM active a)
+     SELECT r.task_uuid, r.name, r.user_id,
+            'Auto-paused: Subscription limit exceeded (limit: '
+                || user_limit::VARCHAR || ')' AS pause_reason
+     FROM ranked r JOIN over_u o USING (user_id) WHERE rnk > user_limit""",
+    "Subscription-limit enforcement (Scheduler.ts:1911-1976 + "
+    "libs/scheduled-tasks.ts): per user keep the oldest `limit` "
+    "active+unpaused tasks (tier free -> 1 else 2 in this fixture; "
+    "NULL/'' tier -> free via JS-||, no lowercasing) and auto-pause the "
+    "rest with buildAutoPauseReason. Keyed top-k window — the same shape "
+    "as perhost_topk, applied to the scheduler's quota sweep.",
+)
+def q_subscription_excess_tasks(spark, sf_dir):
+    from anycrawl_spark.scheduler import subscription_excess_tasks
+
+    ev = load(spark, sf_dir, "events")
+    e = F.col("event_id")
+    tasks = ev.where(e < 200).select(
+        F.concat(F.lit("task-"), e.cast("string")).alias("task_uuid"),
+        F.concat(F.lit("name-"), e.cast("string")).alias("name"),
+        F.concat(F.lit("u"), (e % 12).cast("string")).alias("user_id"),
+        F.concat(F.lit("key-"), (e % 20).cast("string")).alias("api_key"),
+        (e % 7 != 0).alias("is_active"),
+        (e % 9 == 0).alias("is_paused"),
+        F.col("ts").alias("created_at"))
+    api_keys = ev.where(e < 20).select(
+        F.concat(F.lit("key-"), e.cast("string")).alias("key_uuid"),
+        F.when(e % 4 == 0, F.lit(None).cast("string"))
+        .when(e % 4 == 1, F.lit("free"))
+        .when(e % 4 == 2, F.lit("paid"))
+        .otherwise(F.lit("enterprise")).alias("subscription_tier"))
+    return subscription_excess_tasks(tasks, api_keys,
+                                     limit_free=1, limit_paid=2)
+
+
 @register(
     "webhook_retry_schedule",
     """WITH d AS (
@@ -2988,6 +3197,10 @@ DRIVER_ORDER: list[str] = [
     # summary twin of llm_extract_stats (same pipeline family, text
     # generation instead of schema extraction) — oracled outside the window
     "llm_summary_stats",
+    # scheduler sweep family (r5): timeout classification twins
+    # failure_classify/status_classify; quota top-k twins perhost_topk —
+    # both oracled outside the window
+    "stale_executions", "subscription_excess_tasks",
     # r5 swaps (rationale in COVERAGE.md): promoted webhook_retry_schedule,
     # scheduled_runs, credit_rollup, extraction_markdown_parity; demoted
     # the named twins below — kv_key_base64 (§2.7 stays covered by

@@ -289,3 +289,206 @@ def scheduled_run_slots(tasks: DataFrame, window_start: str,
         "task_uuid", iso.alias("scheduled_for"),
         F.concat(F.col("task_uuid"), F.lit("-"), iso)
         .alias("idempotency_key"))
+
+
+# --- Stale-execution sweep (Scheduler.ts cleanupStaleExecutions /
+# cleanupStaleRunningExecutions, :1620-1906) --------------------------------
+
+STALE_PENDING_MIN = 5          # Scheduler.ts:1622 (5 * 60 * 1000)
+RUNNING_NO_START_MIN = 10      # :1730
+SCRAPE_TIMEOUT_MIN = 30        # :1725
+SEARCH_TIMEOUT_MIN = 60        # :1726
+MAP_TIMEOUT_MIN = 30           # :1728
+CRAWL_INACTIVITY_MIN = 60      # :1729
+
+
+def _ago(now_col, minutes: int):
+    return now_col - F.expr(f"INTERVAL {minutes} MINUTE")
+
+
+def _js_type(col, fallback: str):
+    # JS `x?.toLowerCase() || fallback`: null OR empty string -> fallback
+    low = F.lower(col)
+    return F.when(low.isNull() | (low == ""), F.lit(fallback)).otherwise(low)
+
+
+def stale_executions(executions: DataFrame, tasks: DataFrame,
+                     jobs: DataFrame, now: str) -> DataFrame:
+    """The scheduler's crash-recovery sweep as one batch query: which
+    executions must be auto-failed, with the reference's exact error codes,
+    reasons, and per-task-type timeout thresholds.
+
+    Reference semantics (Scheduler.ts):
+    - pending + startedAt NULL + createdAt older than 5 min
+      -> STALE_PENDING_TIMEOUT / pending_timeout (:1625-1658)
+    - pending + startedAt older than 5 min
+      -> STALE_PENDING_STARTED / pending_started_timeout (:1666-1698)
+    - running + startedAt NULL + createdAt older than 10 min
+      -> RUNNING_NO_START_TIMEOUT / running_no_start (:1734-1771)
+    - running + started (inner-join its task, left-join its job;
+      template tasks resolve to the job's actual type, empty/NULL types
+      default 'scrape' via JS-|| semantics, :1808-1816):
+      crawl -> job activity older than 60 min (crawl_inactivity) or, with
+      no job/updatedAt, running longer than 60 min (crawl_no_activity);
+      search -> 60 min; map -> 30 min; scrape/default -> 30 min; all
+      EXECUTION_TIMEOUT (:1818-1852).
+
+    ``executions``: (execution_uuid, scheduled_task_uuid, job_uuid, status,
+    created_at, started_at); ``tasks``: (task_uuid, task_type);
+    ``jobs``: (job_uuid, job_type, updated_at). ``now`` is the sweep
+    instant (timestamp string) — a parameter, not the wall clock, so the
+    sweep is replayable.
+    """
+    now_col = F.lit(now).cast("timestamp")
+    ex = executions
+
+    pending_never = (
+        ex.where((F.col("status") == "pending")
+                 & F.col("started_at").isNull()
+                 & (F.col("created_at") < _ago(now_col, STALE_PENDING_MIN)))
+        .select("execution_uuid",
+                F.lit("STALE_PENDING_TIMEOUT").alias("error_code"),
+                F.lit("pending_timeout").alias("reason"),
+                F.lit(STALE_PENDING_MIN).alias("threshold_minutes"),
+                F.lit(None).cast("string").alias("actual_task_type")))
+
+    pending_started = (
+        ex.where((F.col("status") == "pending")
+                 & F.col("started_at").isNotNull()
+                 & (F.col("started_at") < _ago(now_col, STALE_PENDING_MIN)))
+        .select("execution_uuid",
+                F.lit("STALE_PENDING_STARTED").alias("error_code"),
+                F.lit("pending_started_timeout").alias("reason"),
+                F.lit(STALE_PENDING_MIN).alias("threshold_minutes"),
+                F.lit(None).cast("string").alias("actual_task_type")))
+
+    running_no_start = (
+        ex.where((F.col("status") == "running")
+                 & F.col("started_at").isNull()
+                 & (F.col("created_at") < _ago(now_col, RUNNING_NO_START_MIN)))
+        .select("execution_uuid",
+                F.lit("RUNNING_NO_START_TIMEOUT").alias("error_code"),
+                F.lit("running_no_start").alias("reason"),
+                F.lit(RUNNING_NO_START_MIN).alias("threshold_minutes"),
+                F.lit(None).cast("string").alias("actual_task_type")))
+
+    # running + started: task dim is small -> broadcast both joins
+    running = (
+        ex.where((F.col("status") == "running")
+                 & F.col("started_at").isNotNull())
+        .join(F.broadcast(tasks.select("task_uuid", "task_type")),
+              ex["scheduled_task_uuid"] == F.col("task_uuid"), "inner")
+        .join(F.broadcast(jobs.select(
+            F.col("job_uuid").alias("__job_uuid"), "job_type", "updated_at")),
+            ex["job_uuid"] == F.col("__job_uuid"), "left"))
+
+    scheduled_type = _js_type(F.col("task_type"), "scrape")
+    actual_type = F.when(scheduled_type == "template",
+                         _js_type(F.col("job_type"), "scrape")) \
+        .otherwise(scheduled_type)
+
+    run_long = lambda m: F.col("started_at") < _ago(now_col, m)  # noqa: E731
+    has_activity = F.col("job_uuid").isNotNull() \
+        & F.col("updated_at").isNotNull()
+    crawl_rule = F.when(
+        has_activity,
+        F.when(F.col("updated_at") < _ago(now_col, CRAWL_INACTIVITY_MIN),
+               F.struct(F.lit("crawl_inactivity").alias("reason"),
+                        F.lit(CRAWL_INACTIVITY_MIN).alias("threshold")))
+    ).otherwise(
+        F.when(run_long(CRAWL_INACTIVITY_MIN),
+               F.struct(F.lit("crawl_no_activity").alias("reason"),
+                        F.lit(CRAWL_INACTIVITY_MIN).alias("threshold"))))
+    verdict = (
+        F.when(actual_type == "crawl", crawl_rule)
+        .when(actual_type == "search",
+              F.when(run_long(SEARCH_TIMEOUT_MIN),
+                     F.struct(F.lit("search_timeout").alias("reason"),
+                              F.lit(SEARCH_TIMEOUT_MIN).alias("threshold"))))
+        .when(actual_type == "map",
+              F.when(run_long(MAP_TIMEOUT_MIN),
+                     F.struct(F.lit("map_timeout").alias("reason"),
+                              F.lit(MAP_TIMEOUT_MIN).alias("threshold"))))
+        .otherwise(
+            F.when(run_long(SCRAPE_TIMEOUT_MIN),
+                   F.struct(F.lit("scrape_timeout").alias("reason"),
+                            F.lit(SCRAPE_TIMEOUT_MIN).alias("threshold")))))
+
+    timed_out = (
+        running.withColumn("__v", verdict).withColumn("__t", actual_type)
+        .where(F.col("__v").isNotNull())
+        .select("execution_uuid",
+                F.lit("EXECUTION_TIMEOUT").alias("error_code"),
+                F.col("__v.reason").alias("reason"),
+                F.col("__v.threshold").alias("threshold_minutes"),
+                F.col("__t").alias("actual_task_type")))
+
+    return (pending_never.unionByName(pending_started)
+            .unionByName(running_no_start).unionByName(timed_out))
+
+
+# --- Subscription-limit enforcement (Scheduler.ts
+# enforceSubscriptionLimits, :1911-1976; libs/scheduled-tasks.ts) -----------
+
+LIMIT_FREE_DEFAULT = 1     # config.ts ANYCRAWL_SCHEDULED_TASKS_LIMIT_FREE
+LIMIT_PAID_DEFAULT = 100   # config.ts ANYCRAWL_SCHEDULED_TASKS_LIMIT_PAID
+
+
+def build_auto_pause_reason_col(limit_col):
+    """libs/scheduled-tasks.ts:35-37 buildAutoPauseReason."""
+    return F.concat(F.lit("Auto-paused: Subscription limit exceeded "
+                          "(limit: "), limit_col.cast("string"), F.lit(")"))
+
+
+def subscription_excess_tasks(tasks: DataFrame, api_keys: DataFrame,
+                              limit_free: int = LIMIT_FREE_DEFAULT,
+                              limit_paid: int = LIMIT_PAID_DEFAULT
+                              ) -> DataFrame:
+    """Auto-pause selection after a downgrade (Scheduler.ts:1911-1976):
+    per user, keep the OLDEST ``limit`` active+unpaused tasks (createdAt
+    ascending) and pause the rest, where limit comes from the api key's
+    subscription tier (free -> limit_free else limit_paid; NULL/empty tier
+    -> 'free' via JS-||, getScheduledTasksLimit).
+
+    The reference counts per (user, api_key, tier) group but slices the
+    pause list per USER; with one key per user (the real-world shape) the
+    two agree exactly. For the multi-key degenerate case this implements
+    the reference's net effect after its loop: a task is paused when its
+    per-user age rank exceeds the limit of any over-quota group of that
+    user (ties on created_at broken by task_uuid for determinism — the
+    reference's unordered-tie behavior is DB-dependent).
+
+    ``tasks``: (task_uuid, name, user_id, api_key, is_active, is_paused,
+    created_at); ``api_keys``: (key_uuid, subscription_tier).
+    Returns (task_uuid, name, user_id, pause_reason).
+    """
+    from pyspark.sql import Window
+
+    active = tasks.where(F.col("is_active") & ~F.col("is_paused"))
+    tiered = active.join(
+        F.broadcast(api_keys.select(F.col("key_uuid"),
+                                    F.col("subscription_tier"))),
+        active["api_key"] == F.col("key_uuid"), "left")
+    # tier uses plain JS-|| (no lowercasing — getScheduledTasksLimit
+    # compares `tier === "free"` exactly, so 'Free' takes the paid limit)
+    tier = F.when(F.col("subscription_tier").isNull()
+                  | (F.col("subscription_tier") == ""), F.lit("free")) \
+        .otherwise(F.col("subscription_tier"))
+
+    counts = (tiered.groupBy("user_id", "api_key",
+                             tier.alias("tier"))
+              .agg(F.count("*").alias("n")))
+    over = (counts.withColumn(
+        "limit", F.when(F.col("tier") == "free",
+                        F.lit(limit_free)).otherwise(F.lit(limit_paid)))
+        .where(F.col("n") > F.col("limit"))
+        .groupBy("user_id").agg(F.min("limit").alias("user_limit")))
+
+    w = Window.partitionBy(F.col("user_id")).orderBy(
+        F.col("created_at").asc(), F.col("task_uuid").asc())
+    ranked = active.withColumn("__rank", F.row_number().over(w))
+    return (ranked.join(F.broadcast(over), "user_id", "inner")
+            .where(F.col("__rank") > F.col("user_limit"))
+            .select("task_uuid", "name", "user_id",
+                    build_auto_pause_reason_col(F.col("user_limit"))
+                    .alias("pause_reason")))

@@ -1028,3 +1028,145 @@ class TestChangeJudge:
         for r in rows:
             assert r["v"]["meaningful"] is True
             assert r["v"]["confidence"] == "low"
+
+
+class TestSchedulerSweep:
+    """Scheduler.ts crash-recovery sweep + subscription-limit auto-pause
+    (r5): hand-built frames pinning the per-case routing the big oracle
+    query exercises statistically."""
+
+    NOW = "2024-06-01 12:00:00"
+
+    def _sweep(self, spark, ex_rows, task_rows=(), job_rows=()):
+        from anycrawl_spark.scheduler import stale_executions
+
+        ex = spark.createDataFrame(
+            list(ex_rows),
+            "execution_uuid string, scheduled_task_uuid string, "
+            "job_uuid string, status string, created_at timestamp, "
+            "started_at timestamp")
+        tasks = spark.createDataFrame(
+            list(task_rows) or [("t-none", "scrape")],
+            "task_uuid string, task_type string")
+        jobs = spark.createDataFrame(
+            list(job_rows) or [("j-none", "scrape", None)],
+            "job_uuid string, job_type string, updated_at timestamp")
+        return {r["execution_uuid"]: r.asDict()
+                for r in stale_executions(ex, tasks, jobs, self.NOW).collect()}
+
+    def test_pending_and_no_start_cases(self, spark):
+        import datetime as dt
+
+        old = dt.datetime(2024, 6, 1, 11, 0)     # 60 min before NOW
+        fresh = dt.datetime(2024, 6, 1, 11, 58)  # 2 min before NOW
+        got = self._sweep(spark, [
+            ("e1", "t", None, "pending", old, None),     # pending_timeout
+            ("e2", "t", None, "pending", fresh, None),   # too fresh
+            ("e3", "t", None, "pending", fresh, old),    # started, stuck
+            ("e4", "t", None, "running", old, None),     # never started
+            ("e5", "t", None, "running", dt.datetime(2024, 6, 1, 11, 55),
+             None),                                      # < 10 min
+        ])
+        assert got["e1"]["error_code"] == "STALE_PENDING_TIMEOUT"
+        assert "e2" not in got
+        assert got["e3"]["error_code"] == "STALE_PENDING_STARTED"
+        assert got["e3"]["reason"] == "pending_started_timeout"
+        assert got["e4"]["error_code"] == "RUNNING_NO_START_TIMEOUT"
+        assert got["e4"]["threshold_minutes"] == 10
+        assert "e5" not in got
+
+    def test_running_type_thresholds_and_template_resolution(self, spark):
+        import datetime as dt
+
+        t45 = dt.datetime(2024, 6, 1, 11, 15)   # running 45 min
+        t90 = dt.datetime(2024, 6, 1, 10, 30)   # running 90 min
+        created = dt.datetime(2024, 6, 1, 8, 0)
+        tasks = [("t-scrape", "scrape"), ("t-search", "SEARCH"),
+                 ("t-map", "map"), ("t-tmpl", "template"),
+                 ("t-null", None), ("t-empty", "")]
+        jobs = [("j-map", "Map", None)]
+        got = self._sweep(spark, [
+            # scrape: 30-min threshold — 45 min trips it
+            ("s45", "t-scrape", None, "running", created, t45),
+            # search (JS toLowerCase): 60-min — 45 min does NOT
+            ("q45", "t-search", None, "running", created, t45),
+            ("q90", "t-search", None, "running", created, t90),
+            # template resolves to the job's type (map -> 30 min)
+            ("tm45", "t-tmpl", "j-map", "running", created, t45),
+            # NULL / '' task types default to scrape
+            ("n45", "t-null", None, "running", created, t45),
+            ("z45", "t-empty", None, "running", created, t45),
+            # unknown task id: inner join drops it (reference joins tasks)
+            ("orphan", "t-gone", None, "running", created, t90),
+        ], tasks, jobs)
+        assert got["s45"]["reason"] == "scrape_timeout"
+        assert "q45" not in got
+        assert got["q90"]["reason"] == "search_timeout"
+        assert got["q90"]["threshold_minutes"] == 60
+        assert got["tm45"]["reason"] == "map_timeout"
+        assert got["tm45"]["actual_task_type"] == "map"
+        assert got["n45"]["reason"] == "scrape_timeout"
+        assert got["z45"]["reason"] == "scrape_timeout"
+        assert "orphan" not in got
+
+    def test_crawl_activity_rule(self, spark):
+        import datetime as dt
+
+        created = dt.datetime(2024, 6, 1, 8, 0)
+        t90 = dt.datetime(2024, 6, 1, 10, 30)
+        active_job = dt.datetime(2024, 6, 1, 11, 30)   # 30 min ago
+        stale_job = dt.datetime(2024, 6, 1, 10, 0)     # 120 min ago
+        tasks = [("t-crawl", "crawl")]
+        jobs = [("j-live", "crawl", active_job),
+                ("j-dead", "crawl", stale_job),
+                ("j-noup", "crawl", None)]
+        got = self._sweep(spark, [
+            # recent job activity shields a long-running crawl
+            ("live", "t-crawl", "j-live", "running", created, t90),
+            ("dead", "t-crawl", "j-dead", "running", created, t90),
+            # no updatedAt -> falls back to running time
+            ("noup", "t-crawl", "j-noup", "running", created, t90),
+            ("nojob", "t-crawl", None, "running", created, t90),
+        ], tasks, jobs)
+        assert "live" not in got
+        assert got["dead"]["reason"] == "crawl_inactivity"
+        assert got["noup"]["reason"] == "crawl_no_activity"
+        assert got["nojob"]["reason"] == "crawl_no_activity"
+        assert all(v["threshold_minutes"] == 60 for k, v in got.items())
+
+    def test_subscription_excess(self, spark):
+        import datetime as dt
+
+        from anycrawl_spark.scheduler import subscription_excess_tasks
+
+        t0 = dt.datetime(2024, 1, 1)
+
+        def task(i, user, key, active=True, paused=False):
+            return (f"task-{i}", f"name-{i}", user, key, active, paused,
+                    t0 + dt.timedelta(minutes=i))
+
+        tasks = spark.createDataFrame(
+            [task(1, "u1", "k-free"), task(2, "u1", "k-free"),
+             task(3, "u1", "k-free", paused=True),      # excluded
+             task(4, "u2", "k-paid"), task(5, "u2", "k-paid"),
+             task(6, "u2", "k-paid"),
+             task(7, "u3", "k-FREE"),                   # tier not lowercased
+             task(8, "u3", "k-FREE"), task(9, "u3", "k-FREE"),
+             task(10, "u4", "k-null"), task(11, "u4", "k-null")],
+            "task_uuid string, name string, user_id string, api_key string, "
+            "is_active boolean, is_paused boolean, created_at timestamp")
+        keys = spark.createDataFrame(
+            [("k-free", "free"), ("k-paid", "paid"), ("k-FREE", "Free"),
+             ("k-null", None)],
+            "key_uuid string, subscription_tier string")
+        got = {r["task_uuid"]: r["pause_reason"]
+               for r in subscription_excess_tasks(
+                   tasks, keys, limit_free=1, limit_paid=2).collect()}
+        # u1 free(limit 1): task-2 paused, paused task-3 not counted
+        # u2 paid(limit 2): task-6 paused (keep oldest two)
+        # u3 'Free' != 'free' -> paid limit 2: task-9 paused
+        # u4 NULL tier -> free: task-11 paused
+        assert set(got) == {"task-2", "task-6", "task-9", "task-11"}
+        assert got["task-2"] == ("Auto-paused: Subscription limit exceeded "
+                                 "(limit: 1)")
+        assert got["task-9"].endswith("(limit: 2)")
