@@ -105,3 +105,128 @@ def credit_rollup(page_events: DataFrame,
                  F.count("*").cast("long").alias("pages_seen"),
                  F.sum((~F.col("charged")).cast("int")).cast("long")
                  .alias("pages_skipped")))
+
+
+# --- Itemized charge details (credits.ts CreditCalculator, :60-310) --------
+
+def resolved_proxy_mode_col(proxy_col, stealth_configured: bool = True):
+    """proxy.ts getResolvedProxyMode:54-71 — falsy/'base'/'auto' -> base
+    ('auto' charges the base rate initially), 'stealth' -> stealth only
+    when stealth proxy URLs are configured (a deployment flag here), any
+    other value is a custom URL."""
+    base_like = (proxy_col.isNull() | (proxy_col == "")
+                 | (proxy_col == "base") | (proxy_col == "auto"))
+    return (F.when(base_like, F.lit("base"))
+            .when(proxy_col == "stealth",
+                  F.lit("stealth" if stealth_configured else "base"))
+            .otherwise(F.lit("custom")))
+
+
+def _item(code: str, credits_col):
+    return F.struct(F.lit(code).alias("code"),
+                    credits_col.cast("long").alias("credits"))
+
+
+def _scrape_credit_parts(prefix: str, stealth_credits: int,
+                         json_credits: int, summary_credits: int,
+                         stealth_configured: bool):
+    """The three option-driven charge components shared by every
+    scrape-shaped calculator, reading columns ``{prefix}proxy``,
+    ``{prefix}has_json``, ``{prefix}formats``, ``{prefix}extract_source``."""
+    col = lambda n: F.col(prefix + n)  # noqa: E731
+    formats = F.coalesce(col("formats"), F.array().cast("array<string>"))
+    proxy = F.when(
+        resolved_proxy_mode_col(col("proxy"), stealth_configured)
+        == "stealth", F.lit(stealth_credits)).otherwise(F.lit(0))
+    json_on = (F.coalesce(col("has_json"), F.lit(False))
+               & F.array_contains(formats, "json"))
+    # JS `options.extract_source || 'markdown'`: NULL or '' -> markdown
+    src = col("extract_source")
+    source = F.when(src.isNull() | (src == ""), F.lit("markdown")) \
+        .otherwise(src)
+    jsonc = F.when(
+        json_on & (F.lit(json_credits) > 0),
+        F.when(source == "html", F.lit(json_credits * 2))
+        .otherwise(F.lit(json_credits))).otherwise(F.lit(0))
+    summary = F.when(
+        F.array_contains(formats, "summary") & (F.lit(summary_credits) > 0),
+        F.lit(summary_credits)).otherwise(F.lit(0))
+    return proxy, jsonc, summary
+
+
+_SCRAPE_BASE_CODES = {
+    "scrape_v1": ("base_scrape", True),
+    "crawl_initial_v1": ("crawl_initial_page", True),
+    "crawl_page_v1": ("crawl_page_success", False),  # no template item
+}
+
+
+def charge_details(options: DataFrame, calculator: str,
+                   stealth_credits: int = DEFAULT_STEALTH_CREDITS,
+                   json_credits: int = DEFAULT_JSON_CREDITS,
+                   summary_credits: int = DEFAULT_SUMMARY_CREDITS,
+                   stealth_configured: bool = True) -> DataFrame:
+    """Itemized billing charge details (credits.ts buildScrapeChargeDetails
+    / buildCrawlInitialChargeDetails / buildCrawlPageChargeDetails /
+    buildSearchChargeDetails / buildMapChargeDetails): per job-option row,
+    the charge items that survive normalizeChargeItem (credits <= 0
+    dropped, credits.ts:62-79) plus the job total — entirely JVM-side
+    (array build + filter + aggregate; the explode is the only row
+    expansion, there is no shuffle).
+
+    ``options`` columns by calculator: always ``job_id`` and
+    ``template_credits`` (except crawl_page_v1, which has no template
+    item); scrape-shaped ones read (proxy, has_json, formats,
+    extract_source); search_v1 additionally (pages,
+    completed_scrape_count, has_scrape_options, follow_template_credits)
+    with the follow-up scrape options under ``scrape_*`` columns.
+    Output: (job_id, calculator, item_code, item_credits, job_total).
+    """
+    tpl = _item("template_per_call",
+                F.coalesce(F.col("template_credits"), F.lit(0)))
+    if calculator in _SCRAPE_BASE_CODES:
+        base_code, has_tpl = _SCRAPE_BASE_CODES[calculator]
+        proxy, jsonc, summary = _scrape_credit_parts(
+            "", stealth_credits, json_credits, summary_credits,
+            stealth_configured)
+        parts = ([tpl] if has_tpl else []) + [
+            _item(base_code, F.lit(1)),
+            _item("proxy_stealth", proxy),
+            _item("json_llm_extract", jsonc),
+            _item("summary_generation", summary),
+        ]
+    elif calculator == "search_v1":
+        pages = F.coalesce(F.col("pages"), F.lit(1))        # JS `?? 1`
+        n = F.coalesce(F.col("completed_scrape_count"), F.lit(0))
+        charge_scrapes = (F.coalesce(F.col("has_scrape_options"),
+                                     F.lit(False)) & (n > 0))
+        s_proxy, s_json, s_summary = _scrape_credit_parts(
+            "scrape_", stealth_credits, json_credits, summary_credits,
+            stealth_configured)
+        per_scrape = F.lit(1) + s_proxy + s_json + s_summary
+        follow = F.coalesce(F.col("follow_template_credits"), F.lit(0))
+        parts = [
+            tpl,
+            _item("search_pages", pages),
+            _item("search_result_scrape",
+                  F.when(charge_scrapes, n * per_scrape).otherwise(F.lit(0))),
+            _item("search_result_scrape_template",
+                  F.when(charge_scrapes & (follow > 0), n * follow)
+                  .otherwise(F.lit(0))),
+        ]
+    elif calculator == "map_v1":
+        parts = [tpl, _item("base_map", F.lit(1))]
+    else:
+        raise ValueError(f"unknown calculator {calculator!r}")
+
+    items = F.filter(F.array(*parts), lambda x: x["credits"] > 0)
+    total = F.aggregate(items, F.lit(0).cast("long"),
+                        lambda acc, x: acc + x["credits"])
+    return (options
+            .select("job_id", F.lit(calculator).alias("calculator"),
+                    total.alias("job_total"),
+                    F.explode(items).alias("__i"))
+            .select("job_id", "calculator",
+                    F.col("__i.code").alias("item_code"),
+                    F.col("__i.credits").alias("item_credits"),
+                    "job_total"))

@@ -2970,6 +2970,141 @@ def q_subscription_excess_tasks(spark, sf_dir):
 
 
 @register(
+    "billing_charge_details",
+    """WITH s AS (
+         SELECT 'job-' || doc_id::VARCHAR AS job_id,
+                CASE CAST(doc_id % 5 AS INT) WHEN 0 THEN NULL WHEN 1 THEN 0
+                     WHEN 2 THEN 3 WHEN 3 THEN -2 ELSE 1 END AS tpl,
+                CASE CAST(doc_id % 6 AS INT) WHEN 0 THEN NULL
+                     WHEN 1 THEN 'base' WHEN 2 THEN 'stealth'
+                     WHEN 3 THEN 'auto' WHEN 4 THEN ''
+                     ELSE 'http://proxy:8080' END AS proxy,
+                doc_id % 2 = 0 AS has_json,
+                CASE CAST(doc_id % 4 AS INT)
+                     WHEN 0 THEN ['markdown','json'] WHEN 1 THEN ['markdown']
+                     WHEN 2 THEN ['json','summary'] ELSE ['summary'] END
+                    AS formats,
+                CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN NULL
+                     WHEN 1 THEN 'html' ELSE 'markdown' END AS src
+         FROM documents WHERE doc_id < 250),
+       sc AS (
+         SELECT job_id, greatest(coalesce(tpl, 0), 0) AS tpl_c, 1 AS base_c,
+                CASE WHEN proxy = 'stealth' THEN 2 ELSE 0 END AS proxy_c,
+                CASE WHEN has_json AND list_contains(formats, 'json')
+                     THEN CASE WHEN coalesce(src, 'markdown') = 'html'
+                               THEN 10 ELSE 5 END ELSE 0 END AS json_c,
+                CASE WHEN list_contains(formats, 'summary') THEN 3 ELSE 0
+                     END AS sum_c
+         FROM s),
+       q AS (
+         SELECT 'job-' || doc_id::VARCHAR AS job_id,
+                CAST(doc_id % 3 AS INT) AS tpl,
+                CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN NULL WHEN 1 THEN 0
+                     WHEN 2 THEN 2 ELSE 5 END AS pages,
+                CAST(doc_id % 7 AS INT) AS n,
+                doc_id % 3 <> 0 AS has_so,
+                CAST(doc_id % 4 AS INT) AS follow,
+                CASE WHEN doc_id % 2 = 0 THEN 'stealth' ELSE 'base' END
+                    AS sproxy,
+                doc_id % 5 < 3 AS shas_json,
+                CASE WHEN doc_id % 2 = 0 THEN ['json']
+                     ELSE ['markdown','summary'] END AS sformats,
+                CASE WHEN doc_id % 5 = 0 THEN 'html' ELSE NULL END AS ssrc
+         FROM documents WHERE doc_id >= 250),
+       qc AS (
+         SELECT job_id, tpl AS tpl_c, coalesce(pages, 1) AS pages_c,
+                CASE WHEN has_so AND n > 0 THEN n * (1
+                     + CASE WHEN sproxy = 'stealth' THEN 2 ELSE 0 END
+                     + CASE WHEN shas_json AND list_contains(sformats, 'json')
+                            THEN CASE WHEN coalesce(ssrc, 'markdown')
+                                      = 'html' THEN 10 ELSE 5 END
+                            ELSE 0 END
+                     + CASE WHEN list_contains(sformats, 'summary') THEN 3
+                            ELSE 0 END)
+                     ELSE 0 END AS scrape_c,
+                CASE WHEN has_so AND n > 0 AND follow > 0 THEN n * follow
+                     ELSE 0 END AS follow_c
+         FROM q),
+       scrape_items AS (
+         SELECT job_id, 'scrape_v1' AS calculator, item_code, item_credits,
+                tpl_c + base_c + proxy_c + json_c + sum_c AS job_total
+         FROM sc, LATERAL (VALUES ('template_per_call', tpl_c),
+                                  ('base_scrape', base_c),
+                                  ('proxy_stealth', proxy_c),
+                                  ('json_llm_extract', json_c),
+                                  ('summary_generation', sum_c))
+                      AS v(item_code, item_credits)
+         WHERE item_credits > 0),
+       search_items AS (
+         SELECT job_id, 'search_v1' AS calculator, item_code, item_credits,
+                tpl_c + pages_c + scrape_c + follow_c AS job_total
+         FROM qc, LATERAL (VALUES ('template_per_call', tpl_c),
+                                  ('search_pages', pages_c),
+                                  ('search_result_scrape', scrape_c),
+                                  ('search_result_scrape_template', follow_c))
+                      AS v(item_code, item_credits)
+         WHERE item_credits > 0)
+     SELECT job_id, calculator, item_code,
+            CAST(item_credits AS BIGINT) AS item_credits,
+            CAST(job_total AS BIGINT) AS job_total
+     FROM (SELECT * FROM scrape_items UNION ALL SELECT * FROM search_items)""",
+    "Itemized billing charge details (credits.ts CreditCalculator:60-310 "
+    "buildScrapeChargeDetails + buildSearchChargeDetails via "
+    "normalizeChargeItem): template/base/proxy-stealth/json(x2 on "
+    "html-source)/summary items with non-positive items dropped, search's "
+    "completed-scrapes x per-scrape-credit product, and per-job totals — "
+    "all in one JVM array build+filter+aggregate (explode is the only row "
+    "expansion; no shuffle). Fixture options synthesized from doc_id "
+    "arithmetic; negative/NULL template credits exercise the "
+    "normalizeChargeItem drop rule; proxy modes cover "
+    "base/stealth/auto/custom/NULL/''.",
+)
+def q_billing_charge_details(spark, sf_dir):
+    from anycrawl_spark.billing import charge_details
+
+    documents = load(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    scrape_opts = documents.where(d < 250).select(
+        F.concat(F.lit("job-"), d.cast("string")).alias("job_id"),
+        F.when(d % 5 == 0, F.lit(None).cast("int"))
+        .when(d % 5 == 1, F.lit(0)).when(d % 5 == 2, F.lit(3))
+        .when(d % 5 == 3, F.lit(-2)).otherwise(F.lit(1))
+        .alias("template_credits"),
+        F.when(d % 6 == 0, F.lit(None).cast("string"))
+        .when(d % 6 == 1, F.lit("base")).when(d % 6 == 2, F.lit("stealth"))
+        .when(d % 6 == 3, F.lit("auto")).when(d % 6 == 4, F.lit(""))
+        .otherwise(F.lit("http://proxy:8080")).alias("proxy"),
+        (d % 2 == 0).alias("has_json"),
+        F.when(d % 4 == 0, F.array(F.lit("markdown"), F.lit("json")))
+        .when(d % 4 == 1, F.array(F.lit("markdown")))
+        .when(d % 4 == 2, F.array(F.lit("json"), F.lit("summary")))
+        .otherwise(F.array(F.lit("summary"))).alias("formats"),
+        F.when(d % 3 == 0, F.lit(None).cast("string"))
+        .when(d % 3 == 1, F.lit("html")).otherwise(F.lit("markdown"))
+        .alias("extract_source"))
+    search_opts = documents.where(d >= 250).select(
+        F.concat(F.lit("job-"), d.cast("string")).alias("job_id"),
+        (d % 3).cast("int").alias("template_credits"),
+        F.when(d % 4 == 0, F.lit(None).cast("int"))
+        .when(d % 4 == 1, F.lit(0)).when(d % 4 == 2, F.lit(2))
+        .otherwise(F.lit(5)).alias("pages"),
+        (d % 7).cast("int").alias("completed_scrape_count"),
+        (d % 3 != 0).alias("has_scrape_options"),
+        (d % 4).cast("int").alias("follow_template_credits"),
+        F.when(d % 2 == 0, F.lit("stealth")).otherwise(F.lit("base"))
+        .alias("scrape_proxy"),
+        (d % 5 < 3).alias("scrape_has_json"),
+        F.when(d % 2 == 0, F.array(F.lit("json")))
+        .otherwise(F.array(F.lit("markdown"), F.lit("summary")))
+        .alias("scrape_formats"),
+        F.when(d % 5 == 0, F.lit("html")).otherwise(F.lit(None).cast("string"))
+        .alias("scrape_extract_source"))
+    kw = dict(stealth_credits=2, json_credits=5, summary_credits=3)
+    return charge_details(scrape_opts, "scrape_v1", **kw).unionByName(
+        charge_details(search_opts, "search_v1", **kw))
+
+
+@register(
     "webhook_retry_schedule",
     """WITH d AS (
          SELECT doc_id,
@@ -3201,6 +3336,9 @@ DRIVER_ORDER: list[str] = [
     # failure_classify/status_classify; quota top-k twins perhost_topk —
     # both oracled outside the window
     "stale_executions", "subscription_excess_tasks",
+    # itemized CreditCalculator (r5): rollup gating already in-window via
+    # credit_rollup; the item math is its sibling — oracled outside
+    "billing_charge_details",
     # r5 swaps (rationale in COVERAGE.md): promoted webhook_retry_schedule,
     # scheduled_runs, credit_rollup, extraction_markdown_parity; demoted
     # the named twins below — kv_key_base64 (§2.7 stays covered by

@@ -1170,3 +1170,53 @@ class TestSchedulerSweep:
         assert got["task-2"] == ("Auto-paused: Subscription limit exceeded "
                                  "(limit: 1)")
         assert got["task-9"].endswith("(limit: 2)")
+
+
+class TestChargeDetails:
+    """credits.ts CreditCalculator itemization — the calculators the
+    billing_charge_details oracle doesn't cover (crawl_page_v1 has no
+    template item; map_v1; unconfigured-stealth downgrade)."""
+
+    def test_crawl_page_has_no_template_item(self, spark):
+        from anycrawl_spark.billing import charge_details
+
+        opts = spark.createDataFrame(
+            [("j1", 7, "stealth", True, ["json"], "html")],
+            "job_id string, template_credits int, proxy string, "
+            "has_json boolean, formats array<string>, extract_source string")
+        rows = charge_details(opts, "crawl_page_v1", stealth_credits=2,
+                              json_credits=5).collect()
+        got = {r["item_code"]: r["item_credits"] for r in rows}
+        # template_credits ignored; json doubled on html source
+        assert got == {"crawl_page_success": 1, "proxy_stealth": 2,
+                       "json_llm_extract": 10}
+        assert all(r["job_total"] == 13 for r in rows)
+
+    def test_map_and_unconfigured_stealth(self, spark):
+        from anycrawl_spark.billing import charge_details
+
+        mopts = spark.createDataFrame([("m1", 4), ("m2", 0)],
+                                      "job_id string, template_credits int")
+        got = {(r["job_id"], r["item_code"]): r["item_credits"]
+               for r in charge_details(mopts, "map_v1").collect()}
+        assert got == {("m1", "template_per_call"): 4, ("m1", "base_map"): 1,
+                       ("m2", "base_map"): 1}
+
+        sopts = spark.createDataFrame(
+            [("s1", None, "stealth", False, ["markdown"], None)],
+            "job_id string, template_credits int, proxy string, "
+            "has_json boolean, formats array<string>, extract_source string")
+        # no stealth proxy URLs configured -> resolved mode is base
+        rows = charge_details(sopts, "scrape_v1", stealth_configured=False
+                              ).collect()
+        assert {r["item_code"] for r in rows} == {"base_scrape"}
+
+    def test_unknown_calculator_rejected(self, spark):
+        import pytest as _pytest
+
+        from anycrawl_spark.billing import charge_details
+
+        df = spark.createDataFrame([("x", 1)],
+                                   "job_id string, template_credits int")
+        with _pytest.raises(ValueError, match="unknown calculator"):
+            charge_details(df, "scrape_v2")
