@@ -127,22 +127,48 @@ def snapshot_changes(snapshots: DataFrame,
     )
 
 
-_PRICE_PATH_RE = re.compile(r"price|amount|cost|total", re.I)
+_PRICE_PATH_RE = re.compile(r"price|cost|amount|rate", re.I)
+_STOCK_PATH_RE = re.compile(r"stock|inventory|available|quantity", re.I)
 
 
-def classify_price_change(path: str, old_value: float | None,
-                          new_value: float | None,
-                          pct_threshold: float = 5.0) -> str:
-    """M5 (diff.ts:230-261): price-change classifier — regex on the JSON
-    path + percentage threshold."""
-    if not _PRICE_PATH_RE.search(path or ""):
-        return "not_price"
-    if old_value is None or new_value is None or old_value == 0:
-        return "price_unknown"
-    pct = abs(new_value - old_value) / abs(old_value) * 100.0
-    if pct >= pct_threshold:
-        return "price_drop" if new_value < old_value else "price_increase"
-    return "price_minor"
+def classify_price_change(diffs: list[dict],
+                          thresholds: dict | None = None) -> str | None:
+    """M5 (diff.ts:224-261 classifyPriceChange, exact): inspect a field-diff
+    list (json_field_diff rows) and classify the most significant change —
+    price_up / price_down / stock / content / None. Stock paths are
+    checked first per diff; price paths need numeric endpoints, a percent
+    move of at least ``thresholds['price_change_pct']`` (default 0; from==0
+    counts as 100%), and the sign of ``delta`` picks the direction."""
+    min_pct = (thresholds or {}).get("price_change_pct")
+    if min_pct is None or min_pct != min_pct:   # None or NaN (pandas NULL)
+        min_pct = 0
+    has_up = has_down = has_stock = False
+    for d in diffs:
+        path = d.get("path") or ""
+        if _STOCK_PATH_RE.search(path):
+            has_stock = True
+            continue
+        frm, to = d.get("old_value"), d.get("new_value")
+        numeric = (isinstance(frm, (int, float)) and not isinstance(frm, bool)
+                   and isinstance(to, (int, float))
+                   and not isinstance(to, bool))
+        if _PRICE_PATH_RE.search(path) and numeric:
+            pct = abs((to - frm) / frm) * 100 if frm != 0 else 100
+            if pct >= min_pct:
+                delta = d.get("delta")
+                if delta is not None and delta > 0:
+                    has_up = True
+                elif delta is not None and delta < 0:
+                    has_down = True
+    if has_up:
+        return "price_up"
+    if has_down:
+        return "price_down"
+    if has_stock:
+        return "stock"
+    if diffs:
+        return "content"
+    return None
 
 
 def json_field_diff(old: dict | list | None, new: dict | list | None,
@@ -257,3 +283,142 @@ def make_judge_udf(goal: str, model_call=None):
         return pd.DataFrame(out)
 
     return judge
+
+
+# --- M7 (r5): snapshot post-processing pipeline ---------------------------
+# MonitorPostProcessor.ts:147-309 (_processResult) as a batch operator.
+
+MAX_INLINE_CONTENT_CHARS = 262_144   # config.ts ANYCRAWL_MONITOR_MAX_INLINE_CHARS
+
+
+def truncate_for_storage_col(content_col,
+                             max_chars: int = MAX_INLINE_CONTENT_CHARS):
+    """normalize.ts:92-96 truncateForStorage — store at most max_chars,
+    with the reference's truncation marker appended."""
+    return F.when(F.length(content_col) <= max_chars, content_col) \
+        .otherwise(F.concat(F.substring(content_col, 1, max_chars),
+                            F.lit("\n…[truncated]")))
+
+
+_POSTPROC_STRUCT = StructType([
+    StructField("status", StringType()),        # after downgrade rules
+    StructField("change_type", StringType()),
+    StructField("diff_text", StringType()),
+    StructField("diff_json", StringType()),     # field diffs, JSON text
+    StructField("judgment", StringType()),      # verdict, JSON text
+    StructField("emit_change", BooleanType()),
+])
+
+
+def monitor_post_process(results: DataFrame, monitors: DataFrame,
+                         prev_snapshots: DataFrame, judge_call=None,
+                         max_chars: int = MAX_INLINE_CONTENT_CHARS
+                         ) -> DataFrame:
+    """The monitor's per-result snapshot state machine
+    (MonitorPostProcessor.ts:147-309) over a whole execution batch:
+
+    - content hash over the FULL normalized content, storage/diff over the
+      truncated form (:166-173 — so the truncation boundary never reads as
+      a change);
+    - status: no previous snapshot -> ``new``; same hash -> ``same``; else
+      ``changed`` (:199-206);
+    - text/mixed modes re-diff truncated-vs-truncated and DOWNGRADE to
+      ``same`` when the stored strings are equal (:231-244);
+    - json/mixed modes field-diff the extracted payloads; the classifier
+      may upgrade change_type; pure-json changes with no field diff are
+      hash noise -> downgrade to ``same`` (:246-268);
+    - with a goal configured, the AI judge gates the change record when
+      only_meaningful is set (:271-278; judge seam = monitor.judge_change,
+      degraded verdict when no provider).
+
+    ``results``: (monitor_id, url, content, extracted) — content already
+    normalized (normalize_content_col), extracted a JSON text or NULL.
+    ``monitors``: (monitor_id, goal, track_mode, only_meaningful,
+    price_change_pct). ``prev_snapshots``: (monitor_id, url, content_hash,
+    content, extracted) — latest per key.
+    Returns one row per result with the final snapshot status plus the
+    change-record fields (``emit_change`` marks rows _notify would send;
+    diff_json/judgment are JSON text for sink friendliness).
+    """
+    import json as _json
+
+    cur = (results
+           .join(F.broadcast(monitors), "monitor_id", "inner")
+           .join(prev_snapshots.select(
+               "monitor_id", "url",
+               F.col("content_hash").alias("prev_hash"),
+               F.col("content").alias("prev_content"),
+               F.col("extracted").alias("prev_extracted")),
+               ["monitor_id", "url"], "left")
+           .withColumn("content_hash", F.sha2(F.col("content"), 256))
+           .withColumn("stored", truncate_for_storage_col(F.col("content"),
+                                                          max_chars))
+           .withColumn("status", F.when(F.col("prev_hash").isNull(),
+                                        F.lit("new"))
+                       .when(F.col("prev_hash") == F.col("content_hash"),
+                             F.lit("same"))
+                       .otherwise(F.lit("changed"))))
+
+    out_cols = ["monitor_id", "url", "content_hash", "stored"]
+
+    def post(iterator):
+        for pdf in iterator:
+            rows = {c: [] for c in ["status", "change_type", "diff_text",
+                                    "diff_json", "judgment", "emit_change"]}
+            for r in pdf.itertuples(index=False):
+                status, ctype = r.status, "content"
+                diff_text = diff_json = judgment = None
+                emit = False
+                if status == "changed":
+                    mode = r.track_mode or "text"
+                    ok = True
+                    if mode in ("text", "mixed"):
+                        prev = r.prev_content or ""
+                        if prev == r.stored:
+                            status, ok = "same", False   # :238-244
+                        else:
+                            d = lcs_diff(prev, r.stored)
+                            diff_text = "\n".join(d["hunks"])
+                    if ok and mode in ("json", "mixed"):
+                        prev_x = _json.loads(r.prev_extracted) \
+                            if r.prev_extracted else {}
+                        cur_x = _json.loads(r.extracted) if r.extracted else {}
+                        diffs = json_field_diff(prev_x, cur_x)
+                        if diffs:
+                            diff_json = _json.dumps(diffs, ensure_ascii=False)
+                            classified = classify_price_change(
+                                diffs, {"price_change_pct":
+                                        r.price_change_pct})
+                            if classified:
+                                ctype = classified
+                        if mode == "json" and not diffs:
+                            status, ok = "same", False   # :262-268
+                    if ok and r.goal and (diff_text or diff_json):
+                        for_judge = diff_text if diff_text is not None \
+                            else _json.dumps(_json.loads(diff_json), indent=2)
+                        verdict = judge_change(r.goal, for_judge, r.url,
+                                               model_call=judge_call)
+                        judgment = _json.dumps(verdict, ensure_ascii=False)
+                        if r.only_meaningful and not verdict["meaningful"]:
+                            ok = False                   # :274-277 (gated,
+                            # snapshot stays 'changed' — only _notify skips)
+                    emit = ok and status == "changed"
+                rows["status"].append(status)
+                rows["change_type"].append(ctype if emit else None)
+                rows["diff_text"].append(diff_text if emit else None)
+                rows["diff_json"].append(diff_json if emit else None)
+                rows["judgment"].append(judgment)
+                rows["emit_change"].append(emit)
+            out = pdf[out_cols].copy()
+            for c, v in rows.items():
+                out[c] = v
+            yield out
+
+    from pyspark.sql.types import StructType as _ST
+
+    schema = _ST([*[cur.select(*out_cols).schema[c] for c in out_cols],
+                  *_POSTPROC_STRUCT.fields])
+    keep = out_cols + ["status", "prev_content", "prev_extracted",
+                       "extracted", "track_mode", "goal", "only_meaningful",
+                       "price_change_pct"]
+    return cur.select(*keep).mapInPandas(post, schema=schema)

@@ -253,11 +253,34 @@ class TestMonitor:
         assert got == ["md", "tx", "raw"]
 
     def test_price_classifier(self):
-        assert classify_price_change("offer.price", 100.0, 80.0) == "price_drop"
-        assert classify_price_change("offer.price", 100.0, 104.0) == "price_minor"
-        assert classify_price_change("offer.price", 100.0, 120.0) == "price_increase"
-        assert classify_price_change("title", 1.0, 2.0) == "not_price"
-        assert classify_price_change("total_cost", None, 2.0) == "price_unknown"
+        # diff.ts:224-261 exact: list-level classification
+        def d(path, frm, to):
+            delta = (to - frm) if isinstance(frm, (int, float)) \
+                and isinstance(to, (int, float)) else None
+            return {"path": path, "old_value": frm, "new_value": to,
+                    "delta": delta}
+
+        assert classify_price_change([d("offer.price", 100.0, 80.0)]) \
+            == "price_down"
+        assert classify_price_change([d("offer.price", 100.0, 120.0)]) \
+            == "price_up"
+        # price_up wins over price_down and stock
+        assert classify_price_change(
+            [d("a.price", 10.0, 5.0), d("b.rate", 1.0, 2.0),
+             d("stock", 1, 0)]) == "price_up"
+        # stock-path fields are never price-classified
+        assert classify_price_change([d("stock_price", 100.0, 1.0)]) == "stock"
+        # below the pct threshold -> generic content change
+        assert classify_price_change(
+            [d("offer.price", 100.0, 104.0)],
+            {"price_change_pct": 5.0}) == "content"
+        # from == 0 counts as a 100% move
+        assert classify_price_change(
+            [d("cost", 0.0, 3.0)], {"price_change_pct": 50.0}) == "price_up"
+        # non-numeric price endpoints -> content; empty list -> None
+        assert classify_price_change([d("price", None, 2.0)]) == "content"
+        assert classify_price_change([]) is None
+        assert classify_price_change([d("title", 1.0, 2.0)]) == "content"
 
 
 class TestJsonDiff:
@@ -280,9 +303,9 @@ class TestJsonDiff:
     def test_price_pipeline(self):
         from anycrawl_spark.monitor import classify_price_change, json_field_diff
 
-        changes = json_field_diff({"offer": {"price": 100.0}}, {"offer": {"price": 80.0}})
-        c = changes[0]
-        assert classify_price_change(c["path"], c["old_value"], c["new_value"]) == "price_drop"
+        changes = json_field_diff({"offer": {"price": 100.0}},
+                                  {"offer": {"price": 80.0}})
+        assert classify_price_change(changes) == "price_down"
 
 
 class TestRealIvf:
@@ -1220,3 +1243,115 @@ class TestChargeDetails:
                                    "job_id string, template_credits int")
         with _pytest.raises(ValueError, match="unknown calculator"):
             charge_details(df, "scrape_v2")
+
+
+class TestMonitorPostProcess:
+    """M7 — MonitorPostProcessor.ts:147-309 state machine: new/same/changed,
+    truncation-aware hashing, text-recheck and json-noise downgrades, price
+    classification, and the AI-judge gate."""
+
+    def _run(self, spark, results, monitors, prevs, judge_call=None,
+             max_chars=262_144):
+        from anycrawl_spark.monitor import monitor_post_process
+
+        r = spark.createDataFrame(
+            results, "monitor_id string, url string, content string, "
+                     "extracted string")
+        m = spark.createDataFrame(
+            monitors, "monitor_id string, goal string, track_mode string, "
+                      "only_meaningful boolean, price_change_pct double")
+        p = spark.createDataFrame(
+            prevs or [("__none__", "u", "h", "c", None)],
+            "monitor_id string, url string, content_hash string, "
+            "content string, extracted string")
+        out = monitor_post_process(r, m, p, judge_call=judge_call,
+                                   max_chars=max_chars)
+        return {(row["monitor_id"], row["url"]): row.asDict()
+                for row in out.collect()}
+
+    def test_status_machine_and_text_diff(self, spark):
+        import hashlib
+
+        same_hash = hashlib.sha256(b"old text").hexdigest()
+        got = self._run(
+            spark,
+            [("m1", "u/new", "first", None),
+             ("m1", "u/same", "old text", None),
+             ("m1", "u/chg", "new text", None)],
+            [("m1", None, "text", False, None)],
+            [("m1", "u/same", same_hash, "old text", None),
+             ("m1", "u/chg", hashlib.sha256(b"old text2").hexdigest(),
+              "old text2", None)])
+        assert got[("m1", "u/new")]["status"] == "new"
+        assert not got[("m1", "u/new")]["emit_change"]
+        assert got[("m1", "u/same")]["status"] == "same"
+        chg = got[("m1", "u/chg")]
+        assert chg["status"] == "changed" and chg["emit_change"]
+        assert chg["change_type"] == "content"
+        assert "-old text2" in chg["diff_text"]
+        assert "+new text" in chg["diff_text"]
+
+    def test_truncation_downgrade(self, spark):
+        # full hashes differ, truncated stored forms are identical ->
+        # downgraded to same (the :238-244 recheck)
+        import hashlib
+
+        prev_full = "A" * 50 + "tail-one"
+        cur_full = "A" * 50 + "tail-two"
+        prev_stored = prev_full[:50] + "\n…[truncated]"
+        got = self._run(
+            spark,
+            [("m1", "u", cur_full, None)],
+            [("m1", None, "text", False, None)],
+            [("m1", "u", hashlib.sha256(prev_full.encode()).hexdigest(),
+              prev_stored, None)],
+            max_chars=50)
+        assert got[("m1", "u")]["status"] == "same"
+        assert not got[("m1", "u")]["emit_change"]
+
+    def test_json_mode_noise_downgrade_and_price(self, spark):
+        import hashlib
+
+        prev_hash = hashlib.sha256(b"body v1").hexdigest()
+        got = self._run(
+            spark,
+            # hash changed but extracted payload identical -> json noise
+            [("mj", "u/noise", "body v2", '{"price": 10}'),
+             ("mj", "u/drop", "body v3", '{"price": 8}')],
+            [("mj", None, "json", False, 5.0)],
+            [("mj", "u/noise", prev_hash, "body v1", '{"price": 10}'),
+             ("mj", "u/drop", prev_hash, "body v1", '{"price": 10}')])
+        assert got[("mj", "u/noise")]["status"] == "same"
+        drop = got[("mj", "u/drop")]
+        assert drop["emit_change"] and drop["change_type"] == "price_down"
+        assert '"path": "price"' in drop["diff_json"] \
+            or '"path":"price"' in drop["diff_json"]
+
+    def test_judge_gate(self, spark):
+        import hashlib
+
+        prev_hash = hashlib.sha256(b"old").hexdigest()
+        results = [("mg", "u", "new content", None)]
+        prevs = [("mg", "u", prev_hash, "old", None)]
+
+        def reject(system, prompt):
+            return {"meaningful": False, "confidence": "high",
+                    "reason": "token rotation"}
+
+        # only_meaningful -> gated (snapshot stays changed, no change emit)
+        got = self._run(spark, results,
+                        [("mg", "watch prices", "text", True, None)],
+                        prevs, judge_call=reject)
+        row = got[("mg", "u")]
+        assert row["status"] == "changed" and not row["emit_change"]
+        assert '"meaningful": false' in row["judgment"].lower()
+        # only_meaningful off -> emitted with the judgment attached
+        got2 = self._run(spark, results,
+                         [("mg", "watch prices", "text", False, None)],
+                         prevs, judge_call=reject)
+        assert got2[("mg", "u")]["emit_change"]
+        # no provider -> degraded fallback verdict, change emitted
+        got3 = self._run(spark, results,
+                         [("mg", "watch prices", "text", True, None)], prevs)
+        assert got3[("mg", "u")]["emit_change"]
+        assert "AI judge unavailable" in got3[("mg", "u")]["judgment"]
