@@ -42,28 +42,17 @@ DEFAULT_SUMMARY_CREDITS = 0   # credits.ts:9 DEFAULT_SUMMARY_CREDITS
 
 def per_page_cost(stealth_credits: int = DEFAULT_STEALTH_CREDITS,
                   json_credits: int = DEFAULT_JSON_CREDITS,
-                  summary_credits: int = DEFAULT_SUMMARY_CREDITS):
+                  summary_credits: int = DEFAULT_SUMMARY_CREDITS,
+                  stealth_configured: bool = True):
     """Column expression: crawl per-page charge total for one page event
-    (credits.ts buildCrawlPageChargeDetails). The configurable credit
-    values mirror the reference's env knobs."""
-    base = F.lit(1)                                   # crawl_page_success
-    proxy = F.when(F.col("proxy") == "stealth",
-                   F.lit(stealth_credits)).otherwise(0)
-    json_on = (F.coalesce(F.col("has_json"), F.lit(False))
-               & F.array_contains(F.coalesce(
-                   F.col("formats"), F.array().cast("array<string>")),
-                   "json"))
-    json_amount = F.when(
-        F.coalesce(F.col("extract_source"), F.lit("markdown")) == "html",
-        F.lit(json_credits * 2)).otherwise(F.lit(json_credits))
-    jsonc = F.when(json_on & (F.lit(json_credits) > 0),
-                   json_amount).otherwise(0)
-    summary = F.when(
-        F.array_contains(F.coalesce(F.col("formats"),
-                                    F.array().cast("array<string>")),
-                         "summary") & (F.lit(summary_credits) > 0),
-        F.lit(summary_credits)).otherwise(0)
-    return base + proxy + jsonc + summary
+    (credits.ts buildCrawlPageChargeDetails = 1 + the shared option-driven
+    parts). Single source of truth with charge_details — both go through
+    _scrape_credit_parts, so the rollup and the itemized calculator can
+    never disagree on a page's cost."""
+    proxy, jsonc, summary = _scrape_credit_parts(
+        "", stealth_credits, json_credits, summary_credits,
+        stealth_configured)
+    return F.lit(1) + proxy + jsonc + summary
 
 
 def credit_rollup(page_events: DataFrame,

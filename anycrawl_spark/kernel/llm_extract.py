@@ -50,8 +50,7 @@ from __future__ import annotations
 import json
 import math
 
-EXTRACT_SYSTEM_PROMPT = """You are a data extraction assistant. You MUST strictly follow the provided JSON schema structure.
-
+EXTRACT_SYSTEM_PROMPT = """You are a data extraction assistant. You MUST strictly follow the provided JSON schema structure. \n
 CRITICAL RULES:
 1. Only extract and return the exact fields defined in the schema
 2. Do not add any extra fields, properties, or nested structures not specified in the schema
@@ -119,7 +118,10 @@ def normalize_schema(schema):
     if isinstance(rd, dict) and rd.get("type") == "array":
         base = {"type": "object", "properties": {"items": rd},
                 "required": ["items"], "additionalProperties": False}
-    elif isinstance(rd, dict) and rd and "type" not in rd:
+    elif isinstance(rd, dict) and "type" not in rd:
+        # includes {}: JS `removeDefaults && typeof === 'object' && !.type`
+        # is TRUE for an empty object ({} is truthy in JS), promoting it to
+        # a valid empty object schema — the model IS called for schema={}
         base = {"type": "object",
                 "properties": {k: normalize_schema(v) for k, v in rd.items()},
                 "required": list(rd.keys()),
@@ -244,10 +246,20 @@ def _stringify(v) -> str:
 
 
 def deduplicate_array(arr: list) -> list:
+    """JS-Set identity for primitives: booleans are distinct from numbers
+    (true !== 1), while 1 and 1.0 are the same JS number; objects/arrays
+    dedup by stringified identity (LLMExtract.ts deduplicateArray)."""
     seen = set()
     out = []
     for item in arr:
-        key = _stringify(item) if isinstance(item, (dict, list)) else item
+        if isinstance(item, (dict, list)):
+            key = ("obj", _stringify(item))
+        elif isinstance(item, bool):
+            key = ("bool", item)
+        elif isinstance(item, (int, float)):
+            key = ("num", float(item))
+        else:
+            key = ("other", item)
         if key in seen:
             continue
         seen.add(key)

@@ -385,6 +385,7 @@ def monitor_post_process(results: DataFrame, monitors: DataFrame,
                         cur_x = _json.loads(r.extracted) if r.extracted else {}
                         diffs = json_field_diff(prev_x, cur_x)
                         if diffs:
+                            diffs_val = diffs
                             diff_json = _json.dumps(diffs, ensure_ascii=False)
                             classified = classify_price_change(
                                 diffs, {"price_change_pct":
@@ -395,7 +396,7 @@ def monitor_post_process(results: DataFrame, monitors: DataFrame,
                             status, ok = "same", False   # :262-268
                     if ok and r.goal and (diff_text or diff_json):
                         for_judge = diff_text if diff_text is not None \
-                            else _json.dumps(_json.loads(diff_json), indent=2)
+                            else _json.dumps(diffs_val, indent=2)
                         verdict = judge_change(r.goal, for_judge, r.url,
                                                model_call=judge_call)
                         judgment = _json.dumps(verdict, ensure_ascii=False)

@@ -181,6 +181,10 @@ class TestMerge:
 
     def test_dedup_primitives(self):
         assert deduplicate_array([1, "1", 1, "x", "x"]) == [1, "1", "x"]
+        # JS Set identity: true !== 1 and false !== 0 (booleans kept
+        # distinct from numbers), but 1 === 1.0 (same JS number, dedup'd)
+        assert deduplicate_array([1, True, 1.0, False, 0]) == [1, True,
+                                                               False, 0]
 
 
 class TestValidator:
@@ -245,6 +249,25 @@ class TestPerform:
         assert r["data"] == {} and r["cost"] == 0 and r["chunks"] == 1
         r2 = agent.perform("text", None)
         assert r2["data"] == {}
+
+    def test_empty_dict_schema_calls_model(self):
+        # {} is truthy in JS: normalizeSchema promotes it to a valid empty
+        # object schema and the model IS invoked
+        n = normalize_schema({})
+        assert n == {"type": "object", "properties": {}, "required": [],
+                     "additionalProperties": False}
+        calls = []
+        agent = LLMExtract(lambda s, p, sc: calls.append(p) or {})
+        r = agent.perform("text", {})
+        assert calls and r["data"] == {} and r["tokens"]["output"] > 0
+
+    def test_system_prompt_byte_parity(self):
+        # extract.prompts.ts line 1 ends with a trailing space before the
+        # blank line — one byte that shifts the token accounting
+        assert EXTRACT_SYSTEM_PROMPT.startswith(
+            "You are a data extraction assistant. You MUST strictly follow "
+            "the provided JSON schema structure. \n\nCRITICAL RULES:")
+        assert len(EXTRACT_SYSTEM_PROMPT) == 605
 
     def test_empty_input_returns_null_shape(self):
         agent = LLMExtract(lambda *a: {"n_chars": 1})
