@@ -156,6 +156,54 @@ class TestChunker:
         assert chunks[0]["chunk"] == "a" * 39 + "\n" + "b" * 39
 
 
+class TestReferenceSuiteCases:
+    """Deterministic cases re-expressed from the reference's own suites
+    (llmExtract.test.ts 'Chunking Analysis'; diff.test.ts
+    'classifyPriceChange')."""
+
+    def test_chunking_analysis_shape(self):
+        from anycrawl_spark.kernel.llm_extract import (
+            chunk_stats,
+            split_text_into_chunks,
+        )
+
+        # short text -> >= 1 chunk, all stats populated
+        short = "\n".join(f"## Section {i}\nBody line {i} " + "w" * 30
+                          for i in range(10))
+        chunks = split_text_into_chunks(short, 3849, 200)
+        stats = chunk_stats(chunks)
+        assert stats["total_chunks"] == len(chunks) > 0
+        assert stats["total_tokens"] > 0
+        assert stats["min_tokens"] <= stats["average_tokens_per_chunk"] \
+            <= stats["max_tokens"]
+        # long text with custom params -> more than one chunk
+        long = short * 40
+        many = split_text_into_chunks(long, 1000, 200)
+        assert len(many) > 1
+        assert chunk_stats([]) == {"total_chunks": 0, "total_tokens": 0,
+                                   "average_tokens_per_chunk": 0,
+                                   "min_tokens": 0, "max_tokens": 0}
+
+    def test_classify_price_change_reference_cases(self):
+        from anycrawl_spark.monitor import classify_price_change
+
+        # diff.test.ts:56-81, FieldDiff from/to mapped to old/new_value
+        def d(path, frm, to, delta=None):
+            return {"path": path, "old_value": frm, "new_value": to,
+                    "delta": delta}
+
+        assert classify_price_change(
+            [d("plans[0].price", 19, 24, 5)]) == "price_up"
+        assert classify_price_change([d("price", 24, 19, -5)]) == "price_down"
+        # 19 -> 19.10 is ~0.5%, below a 1% threshold
+        assert classify_price_change(
+            [d("price", 19, 19.1, 0.1)],
+            {"price_change_pct": 1}) == "content"
+        assert classify_price_change(
+            [d("in_stock", True, False)]) == "stock"
+        assert classify_price_change([]) is None
+
+
 class TestMerge:
     def test_arrays_concat_dedup(self):
         got = merge_results([{"a": [1, 2]}, {"a": [2, 3]}])
