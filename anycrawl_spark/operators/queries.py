@@ -2760,6 +2760,46 @@ def q_scheduled_runs(spark, sf_dir):
                                "2026-03-08T00:00:00")
 
 
+@register(
+    "template_domain_filter",
+    """SELECT doc_id,
+              'https://' || ['docs.test','shop.test','blog.test']
+                  [CAST(doc_id % 3 AS INT) + 1]
+                  || ['/products','/products/','/a?x=1','/']
+                     [CAST(doc_id % 4 AS INT) + 1] AS url,
+              (['docs.test','shop.test','blog.test']
+                   [CAST(doc_id % 3 AS INT) + 1] = 'docs.test')
+              OR ('https://' || ['docs.test','shop.test','blog.test']
+                      [CAST(doc_id % 3 AS INT) + 1]
+                      || ['/products','/products/','/a?x=1','/']
+                         [CAST(doc_id % 4 AS INT) + 1]
+                  = 'https://shop.test/products') AS allowed
+       FROM documents""",
+    "Template domain restriction (TemplateValidator.ts:108-112 + "
+    "template-client domainValidator.validateDomain, exact mode): a URL "
+    "passes when its hostname equals a pattern or its JS-URL-normalized "
+    "form equals a normalized URL pattern (path kept verbatim — "
+    "'/products/' does not match '/products'). Glob mode's candidate-set "
+    "matching is pytest-covered (tests/test_template.py).",
+)
+def q_template_domain_filter(spark, sf_dir):
+    from anycrawl_spark.template import make_template_allowed_udf
+
+    documents = load(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    host = F.element_at(F.array(F.lit("docs.test"), F.lit("shop.test"),
+                                F.lit("blog.test")), (d % 3).cast("int") + 1)
+    path = F.element_at(F.array(F.lit("/products"), F.lit("/products/"),
+                                F.lit("/a?x=1"), F.lit("/")),
+                        (d % 4).cast("int") + 1)
+    url = F.concat(F.lit("https://"), host, path)
+    udf = make_template_allowed_udf(
+        {"type": "exact", "patterns": ["docs.test",
+                                       "https://shop.test/products"]})
+    return documents.select("doc_id", url.alias("url"),
+                            udf(url).alias("allowed"))
+
+
 _SWEEP_NOW = "2024-01-15 12:00:00"
 
 
@@ -3339,6 +3379,9 @@ DRIVER_ORDER: list[str] = [
     # itemized CreditCalculator (r5): rollup gating already in-window via
     # credit_rollup; the item math is its sibling — oracled outside
     "billing_charge_details",
+    # template pre-navigation gate (r5): exact-mode domain restriction;
+    # glob candidate-set matching is pytest-only — oracled outside
+    "template_domain_filter",
     # r5 swaps (rationale in COVERAGE.md): promoted webhook_retry_schedule,
     # scheduled_runs, credit_rollup, extraction_markdown_parity; demoted
     # the named twins below — kv_key_base64 (§2.7 stays covered by
