@@ -375,6 +375,51 @@ def main() -> None:
         },
     ))
 
+    # 20. billing charge details: items built/filtered/totaled as array
+    # expressions — no shuffle at all (explode is the only row expansion)
+    p = plan_of(REGISTRY["billing_charge_details"].fn(
+        spark, "/root/testdata/sf0.01"))
+    sections.append((
+        "billing_charge_details: shuffle-free itemized charge math",
+        p,
+        {
+            "item explode via Generate": r"\(\d+\) Generate",
+            "whole-stage codegen around the array math": r"codegen id",
+        },
+    ))
+    assert "Exchange" not in p, "charge itemization must not shuffle"
+    assert "EvalPython" not in p, "credit math must stay JVM-side"
+
+    # 21. scheduler stale-execution sweep: dims broadcast, the four case
+    # unions stay shuffle-free scans
+    p = plan_of(REGISTRY["stale_executions"].fn(spark, "/root/testdata/sf0.01"))
+    sections.append((
+        "stale_executions: broadcast task/job dims onto the execution scan",
+        p,
+        {
+            "task + job dims broadcast (executions never shuffle)":
+                r"BroadcastHashJoin",
+            "case unions": r"Union",
+        },
+    ))
+    assert "Exchange hashpartitioning" not in p, \
+        "sweep must not shuffle the executions table"
+
+    # 22. subscription auto-pause: one window shuffle keyed by user, the
+    # over-quota groups broadcast back
+    p = plan_of(REGISTRY["subscription_excess_tasks"].fn(
+        spark, "/root/testdata/sf0.01"))
+    sections.append((
+        "subscription_excess_tasks: keyed age-rank window + broadcast quota",
+        p,
+        {
+            "per-user age rank window": r"Window",
+            "rank shuffle keyed by user_id": r"hashpartitioning\(user_id",
+            "over-quota groups broadcast onto the ranked tasks":
+                r"BroadcastHashJoin",
+        },
+    ))
+
     with open(os.path.join(REPO, "PLANS.md"), "w") as f:
         f.write("# PLANS — physical-plan evidence (auto-generated by "
                 "tools/explain_plans.py)\n\n"
