@@ -212,3 +212,59 @@ class TestCuckooCrawlParity:
         resumed = [(r["seq"], r["url"]) for r in engine.visit_order().collect()]
         direct = [(r["seq"], r["url"]) for r in fresh.visit_order().collect()]
         assert resumed == direct
+
+
+class TestCuckooProperties:
+    """Property tests: the no-false-negative contract must survive
+    arbitrary insert orders, merges, and deletions of other keys."""
+
+    def test_membership_after_random_merge_plan(self):
+        import random
+
+        rng = random.Random(42)
+        n_slots = 1 << 8   # small table -> high load factors
+        for trial in range(20):
+            keys = [hashlib.sha256(f"t{trial}-{i}".encode()).hexdigest()
+                    for i in range(rng.randrange(1, 700))]
+            # random split into 1-4 independently built segments, merged
+            parts, acc = [], []
+            for h in keys:
+                acc.append(h)
+                if rng.random() < 0.3:
+                    parts.append(acc)
+                    acc = []
+            if acc:
+                parts.append(acc)
+            merged = {}
+            for part in parts:
+                delta = cuckoo.build_segments_driver(part, num_buckets=2,
+                                                     n_slots=n_slots)
+                merged = cuckoo.merge_into_driver(merged, delta,
+                                                  n_slots=n_slots)
+            for h in keys:   # NO false negatives, loaded or saturated
+                blob = merged[int(h[:8], 16) % 2]
+                arr, sat = cuckoo._decode(blob)
+                fp, i1 = cuckoo._fp_i1(h, n_slots)
+                assert sat or cuckoo._contains(arr, fp, i1, n_slots), \
+                    (trial, len(keys))
+
+    def test_delete_never_creates_false_negative_for_others(self):
+        import random
+
+        rng = random.Random(7)
+        n_slots = 1 << 8
+        for trial in range(10):
+            keys = [hashlib.sha256(f"d{trial}-{i}".encode()).hexdigest()
+                    for i in range(rng.randrange(2, 400))]
+            seg = cuckoo.build_segments_driver(keys, num_buckets=1,
+                                               n_slots=n_slots)
+            victims = rng.sample(keys, k=len(keys) // 3)
+            out, skipped = cuckoo.delete_driver(seg, victims, num_buckets=1,
+                                                n_slots=n_slots)
+            survivors = [h for h in keys if h not in set(victims)]
+            arr, sat = cuckoo._decode(out[0])
+            if sat:
+                continue   # saturated segments refuse deletion (skipped)
+            for h in survivors:
+                fp, i1 = cuckoo._fp_i1(h, n_slots)
+                assert cuckoo._contains(arr, fp, i1, n_slots), trial

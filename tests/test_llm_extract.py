@@ -491,3 +491,44 @@ class TestJsonExtractUdf:
         row = df.select(udf(F.col("md"),
                             F.lit(None).cast("binary")).alias("j")).collect()[0]
         assert json.loads(row["j"]["data"]) == {"a": None}
+
+
+class TestChunkerProperties:
+    def test_reconstruction_property_no_overlap(self):
+        # with zero overlap, every non-empty line of the input appears, in
+        # order, across the chunk sequence (with overlap the REFERENCE
+        # glues the first new line onto the last overlap line — see below)
+        from hypothesis import given, settings, strategies as st
+
+        # lines pre-stripped: the chunker strips whole chunks, so a
+        # space-padded boundary line legitimately loses its padding
+        line = st.text(alphabet="abcdef ghij", min_size=0,
+                       max_size=50).map(str.strip)
+
+        @settings(max_examples=200, deadline=None)
+        @given(st.lists(line, min_size=0, max_size=60),
+               st.integers(min_value=10, max_value=200))
+        def check(lines, max_tokens):
+            text = "\n".join(lines)
+            chunks = split_text_into_chunks(text, max_tokens, 0)
+            wanted = [ln for ln in lines if ln and ln.strip()]
+            # walk chunks in order, consuming wanted lines greedily
+            it = iter(wanted)
+            pending = next(it, None)
+            for c in chunks:
+                for got in c["chunk"].split("\n"):
+                    if pending is not None and got == pending:
+                        pending = next(it, None)
+            assert pending is None, (lines, max_tokens,
+                                     [c["chunk"] for c in chunks])
+
+        check()
+
+    def test_overlap_glue_quirk_is_reference_faithful(self):
+        # TextChunker.ts:44-46: `currentChunk = overlapLines.join('\n')`
+        # has no trailing newline, then `currentChunk += line + '\n'` —
+        # the first post-cut line GLUES onto the last overlap line. Found
+        # by the reconstruction property; pinned as expected behavior.
+        lines = ["a", "a", "a", "a", "aaaa", "a" * 16]
+        chunks = split_text_into_chunks("\n".join(lines), 10, 1)
+        assert [c["chunk"] for c in chunks] == ["a\na\na\na\naaaa", "a" * 20]
