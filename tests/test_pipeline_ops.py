@@ -1355,3 +1355,61 @@ class TestMonitorPostProcess:
                          [("mg", "watch prices", "text", True, None)], prevs)
         assert got3[("mg", "u")]["emit_change"]
         assert "AI judge unavailable" in got3[("mg", "u")]["judgment"]
+
+
+class TestPostProcessToWebhookE2E:
+    """The reference's full monitor flow in one batch dataflow:
+    execution results → monitor_post_process (M7 state machine + price
+    classification + judge gate) → emit_change rows → monitor events →
+    subscription match → signed deliveries (MonitorPostProcessor.ts
+    _processResult + _notify → Webhook.ts)."""
+
+    def test_full_chain(self, spark):
+        import hashlib
+        import json
+
+        from anycrawl_spark.monitor import monitor_post_process
+        from anycrawl_spark.webhooks import (
+            SUBSCRIPTION_SCHEMA, match_deliveries, monitor_events,
+            sign_deliveries)
+
+        prev_hash = hashlib.sha256(b"old body").hexdigest()
+        results = spark.createDataFrame(
+            [("m1", "https://s.test/p", "new body", '{"price": 8}'),
+             ("m1", "https://s.test/same", "old body", None),
+             ("m1", "https://s.test/new", "first visit", None)],
+            "monitor_id string, url string, content string, extracted string")
+        monitors = spark.createDataFrame(
+            [("m1", "price watch", "mixed", False, 5.0)],
+            "monitor_id string, goal string, track_mode string, "
+            "only_meaningful boolean, price_change_pct double")
+        prevs = spark.createDataFrame(
+            [("m1", "https://s.test/p", prev_hash, "old body",
+              '{"price": 10}'),
+             ("m1", "https://s.test/same", prev_hash, "old body", None)],
+            "monitor_id string, url string, content_hash string, "
+            "content string, extracted string")
+
+        processed = monitor_post_process(results, monitors, prevs)
+        changes = (processed.where(F.col("emit_change"))
+                   .withColumn("captured_at", F.lit("2026-01-02T00:00:00")))
+        assert changes.count() == 1      # only the changed URL emits
+
+        mon_dim = spark.createDataFrame(
+            [("m1", "price watch", "mixed")],
+            "monitor_id string, monitor_name string, monitor_type string")
+        events = monitor_events(changes, mon_dim)
+        ev = events.collect()
+        # price 10 -> 8 is a 20% drop: price_down -> monitor.price.changed
+        assert len(ev) == 1
+        assert ev[0]["event_type"] == "monitor.price.changed"
+        body = json.loads(ev[0]["payload"])
+        assert body["change_type"] == "price_down"
+        assert "-old body" in body["diff_text"]
+
+        subs = spark.createDataFrame(
+            [(1, "https://hook.test/m", "secret", True,
+              ["monitor.price.changed"], "all", None, None)],
+            SUBSCRIPTION_SCHEMA)
+        out = sign_deliveries(match_deliveries(events, subs)).collect()
+        assert len(out) == 1 and out[0]["signature"].startswith("sha256=")
