@@ -457,9 +457,16 @@ def main() -> None:
             crawl_sec = sec if crawl_sec is None else min(crawl_sec, sec)
         bfs_sec, bfs_done = bfs_crawl(spark, corpus_path,
                                       limit=min(10000, corpus_pages(sf) // 10))
+        # round-size amortization point: one run at the reference's 50k job
+        # cap (per-round fixed cost is constant, so urls/s scales with
+        # admitted rows per round — BENCH.md curve)
+        bfs50_sec, bfs50_done = bfs_crawl(
+            spark, corpus_path, limit=min(50000, corpus_pages(sf) // 2),
+            trials=1)
         queries = {
             "crawl_extract_full": round(crawl_sec, 3),
             "crawl_bfs_rounds": round(bfs_sec, 3),
+            "crawl_bfs_50k": round(bfs50_sec, 3),
             "politeness_budget_round": round(politeness_round(spark, corpus_path), 3),
         }
         queries.update(run_registry_queries(spark, [
@@ -489,6 +496,7 @@ def main() -> None:
             "urls": n_urls,
             "cores": CPUS,
             "bfs_urls_per_sec": round(bfs_done / bfs_sec, 1),
+            "bfs50k_urls_per_sec": round(bfs50_done / bfs50_sec, 1),
             # steal-noise forensics: headline trial i ran right after
             # reference trial i (fixed JVM-only job) — elevated ref times
             # mark contended windows (see BENCH.md for the quiet baseline)
