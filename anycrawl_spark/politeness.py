@@ -109,33 +109,52 @@ def _expand_braces(pattern: str) -> list[str]:
     return [pattern]
 
 
-def glob_to_regex(glob: str) -> str:
-    """minimatch-compatible translation (dot:true), per-segment like
-    minimatch itself: the pattern splits on ``/`` and a ``**`` segment
-    (globstar) matches ZERO or more whole segments — so a trailing ``/**``
-    matches a URL that ends at the previous segment (``**/blog/**`` matches
-    ``.../blog``), a leading ``**/`` matches zero leading segments, and
-    ``a/**/b`` matches ``a/b``. ``*``/``?`` never cross a ``/``; ``**``
-    inside a segment (``a**b``) degrades to ``*``, as in minimatch."""
+def glob_to_regex(glob: str, dot: bool = True) -> str:
+    """minimatch-compatible translation, per-segment like minimatch itself:
+    the pattern splits on ``/`` and a ``**`` segment (globstar) matches
+    ZERO or more whole segments — so a trailing ``/**`` matches a URL that
+    ends at the previous segment (``**/blog/**`` matches ``.../blog``), a
+    leading ``**/`` matches zero leading segments, and ``a/**/b`` matches
+    ``a/b``. ``*``/``?`` never cross a ``/``; ``**`` inside a segment
+    (``a**b``) degrades to ``*``, as in minimatch.
+
+    ``dot`` mirrors minimatch's option: the crawl-scope matcher passes
+    ``{dot: true}`` upstream (Base.ts:545) — the default here — while the
+    template domain validator uses minimatch defaults (dot:false), where a
+    wildcard at a segment start refuses to match a leading ``.`` and
+    globstars refuse to cross dot-led segments, unless the pattern segment
+    itself starts with a literal dot."""
     segments = glob.split("/")
     tokens: list[str | None] = []  # None = globstar
+    nodot = "" if dot else r"(?!\.)"
     for seg in segments:
-        tok = None if seg == "**" else _glob_segment_to_regex(seg)
+        if seg == "**":
+            tok = None
+        else:
+            tok = _glob_segment_to_regex(seg)
+            if not dot and not seg.startswith("."):
+                tok = nodot + tok
         if tok is None and tokens and tokens[-1] is None:
             continue  # collapse consecutive globstars
         tokens.append(tok)
     out = []
     n = len(tokens)
+    # dot:false globstars advance segment-by-segment so each crossed
+    # segment gets the leading-dot refusal
+    g_bare = ".*" if dot else rf"(?:{nodot}[^/]*(?:/{nodot}[^/]*)*)?"
+    g_lead = r"(?:.*/)?" if dot else rf"(?:{nodot}[^/]*/)*"
+    g_trail = r"(?:/.*)?" if dot else rf"(?:/{nodot}[^/]*)*"
+    g_mid = r"/(?:.*/)?" if dot else rf"/(?:{nodot}[^/]*/)*"
     for j, tok in enumerate(tokens):
         if tok is None:
             if n == 1:
-                out.append(".*")            # bare '**'
+                out.append(g_bare)           # bare '**'
             elif j == 0:
-                out.append("(?:.*/)?")       # leading '**/' (zero+ segments)
+                out.append(g_lead)           # leading '**/' (zero+ segments)
             elif j == n - 1:
-                out.append("(?:/.*)?")       # trailing '/**' (zero+ segments)
+                out.append(g_trail)          # trailing '/**' (zero+ segments)
             else:
-                out.append("/(?:.*/)?")      # interior '/**/' (zero+ segments)
+                out.append(g_mid)            # interior '/**/' (zero+ segments)
         else:
             if j > 0 and tokens[j - 1] is not None:
                 out.append("/")

@@ -26,6 +26,7 @@ restriction (compiled once, Arrow-batched) — the map/crawl-side gate for
 from __future__ import annotations
 
 import re
+from functools import lru_cache
 from urllib.parse import urlsplit
 
 import pandas as pd
@@ -34,7 +35,9 @@ from pyspark.sql.types import BooleanType
 
 from anycrawl_spark.politeness import glob_to_regex
 
-TEMPLATE_ID_RE = re.compile(r"^[a-zA-Z0-9_-]+$")
+# \Z, not $: Python's $ also matches before a trailing newline, which the
+# JS /...$/ anchor (no m-flag) does not
+TEMPLATE_ID_RE = re.compile(r"^[a-zA-Z0-9_-]+\Z")
 BLACKLISTED_TEMPLATES = ("test-invalid", "deprecated-template")
 
 
@@ -76,7 +79,11 @@ def parse_domain_restriction(allowed_domains) -> dict | None:
     elif isinstance(allowed_domains, dict) and "patterns" in allowed_domains:
         if not isinstance(allowed_domains["patterns"], list):
             return None
-        parsed = {"type": allowed_domains.get("type") or "exact",
+        # JS `{ type = 'exact' }` defaults only when type is undefined
+        # (absent key); an explicit null STAYS null, and a null type
+        # matches neither branch in validate_domain — every URL is then
+        # DOMAIN_NOT_ALLOWED (fail closed, like the reference)
+        parsed = {"type": allowed_domains.get("type", "exact"),
                   "patterns": allowed_domains["patterns"]}
     else:
         return None
@@ -90,19 +97,49 @@ def parse_domain_restriction(allowed_domains) -> dict | None:
     return {"type": parsed["type"], "patterns": patterns}
 
 
+def _remove_dot_segments(path: str) -> str:
+    """RFC 3986 dot-segment resolution — JS `new URL()` applies it to
+    pathname ('/a/./b' -> '/a/b', '/a/../b' -> '/b')."""
+    out: list[str] = []
+    for seg in path.split("/"):
+        if seg == ".":
+            continue
+        if seg == "..":
+            if out and out[-1]:
+                out.pop()
+            continue
+        out.append(seg)
+    # preserve a trailing slash produced by '.'/'..' endings
+    if path.endswith(("/.", "/..")) and (not out or out[-1] != ""):
+        out.append("")
+    resolved = "/".join(out)
+    return resolved if resolved.startswith("/") else "/" + resolved
+
+
 def _split_js_url(url: str):
-    """JS-URL pieces (lowercased scheme/host, default port dropped); None
-    when the URL has no scheme+host (JS `new URL` would throw)."""
-    parts = urlsplit(url)
-    if not parts.scheme or not parts.hostname:
+    """JS-URL pieces (lowercased scheme/host, IDN hosts punycoded, default
+    port dropped, dot-segments resolved); None when the URL has no
+    scheme+host or any component is malformed (JS `new URL` would throw —
+    the callers map that to INVALID_URL, never an exception).
+
+    Remaining JS-URL divergence (documented approximation): percent-
+    encoding is kept verbatim rather than re-encoded, so an exact-mode
+    pattern must use the same encoding as the incoming URLs."""
+    try:
+        parts = urlsplit(url)
+        if not parts.scheme or not parts.hostname:
+            return None
+        scheme = parts.scheme.lower()
+        host = parts.hostname.lower()
+        if any(ord(c) > 127 for c in host):
+            host = host.encode("idna").decode("ascii")
+        port = parts.port   # raises on malformed/out-of-range ports
+    except (ValueError, UnicodeError):
         return None
-    scheme = parts.scheme.lower()
-    host = parts.hostname.lower()
-    port = parts.port
     default = {"http": 80, "https": 443}.get(scheme)
     origin = f"{scheme}://{host}" + (f":{port}" if port and port != default
                                      else "")
-    pathname = parts.path or "/"
+    pathname = _remove_dot_segments(parts.path or "/")
     query = f"?{parts.query}" if parts.query else ""
     fragment = f"#{parts.fragment}" if parts.fragment else ""
     return origin, host, pathname, query, fragment
@@ -118,8 +155,15 @@ def normalize_url_for_comparison(url: str) -> str | None:
     return f"{origin}{pathname}{query}{fragment}"
 
 
+@lru_cache(maxsize=1024)
+def _compiled_glob(pattern: str) -> re.Pattern:
+    # dot=False: domainValidator calls minimatch with DEFAULT options —
+    # unlike the crawl-scope matcher, which passes {dot: true} upstream
+    return re.compile(glob_to_regex(pattern, dot=False))
+
+
 def _glob_match(value: str, pattern: str) -> bool:
-    return re.fullmatch(glob_to_regex(pattern), value) is not None
+    return _compiled_glob(pattern).fullmatch(value) is not None
 
 
 def validate_pattern(value: str, restriction: dict | None,
@@ -184,8 +228,9 @@ def validate_domain(url: str, restriction: dict | None) -> dict:
     if pieces is None:
         return {"is_valid": False, "error": f"Invalid URL format: {url!r}",
                 "code": "INVALID_URL"}
-    _, host, _, _, _ = pieces
-    target = normalize_url_for_comparison(url)
+    origin, host, pathname, query, fragment = pieces
+    target = f"{origin}{pathname}{query}{fragment}"
+    cands = None   # built once, not per pattern
     for pattern in restriction["patterns"]:
         if not pattern:
             continue
@@ -196,8 +241,9 @@ def validate_domain(url: str, restriction: dict | None) -> dict:
             if host == pattern.lower():
                 return {"is_valid": True, "error": None, "code": None}
         elif restriction.get("type") == "glob":
+            if cands is None:
+                cands = _glob_candidates(url)
             p = pattern.lower()
-            cands = _glob_candidates(url)
             if cands and any(_glob_match(c, p) for c in cands):
                 return {"is_valid": True, "error": None, "code": None}
     return {"is_valid": False,

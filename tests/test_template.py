@@ -186,3 +186,68 @@ class TestTemplateAllowedUdf:
                        "https://shop.test/products": True,
                        "https://shop.test/products/x": False,
                        "https://blog.test/": False}
+
+
+class TestReviewFixes:
+    """Parity/robustness fixes from the template-layer review."""
+
+    def test_trailing_newline_id_rejected(self):
+        # Python $ matches before a trailing newline; JS /...$/ does not
+        got = validate_template_id("tmpl\n")
+        assert not got["is_valid"]
+        assert got["code"] == "INVALID_TEMPLATE_ID_FORMAT"
+
+    def test_malformed_urls_return_invalid_url_not_raise(self):
+        r = {"type": "exact", "patterns": ["a.com"]}
+        for bad in ("https://example.com:99999/x", "https://example.com:abc/",
+                    "http://[::1"):
+            got = validate_domain(bad, r)
+            assert not got["is_valid"] and got["code"] == "INVALID_URL", bad
+
+    def test_udf_survives_malformed_url_rows(self, spark):
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            [("https://a.com/x",), ("https://example.com:99999/x",)],
+            "url string")
+        udf = make_template_allowed_udf({"type": "exact",
+                                         "patterns": ["a.com"]})
+        got = [r["ok"] for r in
+               df.select(udf(F.col("url")).alias("ok")).collect()]
+        assert got == [True, False]   # bad row fails closed, task survives
+
+    def test_glob_dot_false_semantics(self):
+        # minimatch DEFAULT options: '*' refuses a leading dot...
+        r = {"type": "glob", "patterns": ["a.test/*/security.txt"]}
+        assert not validate_domain("https://a.test/.well-known/security.txt",
+                                   r)["is_valid"]
+        # ...unless the pattern segment itself starts with a literal dot
+        r2 = {"type": "glob", "patterns": ["a.test/.well-known/*"]}
+        assert validate_domain("https://a.test/.well-known/security.txt",
+                               r2)["is_valid"]
+        # hostname wildcards unaffected ('api' has no leading dot)
+        r3 = {"type": "glob", "patterns": ["*.example.com"]}
+        assert validate_domain("https://api.example.com/", r3)["is_valid"]
+        # globstar also refuses dot segments at dot:false
+        r4 = {"type": "glob", "patterns": ["a.test/**/leaf"]}
+        assert not validate_domain("https://a.test/.hidden/leaf",
+                                   r4)["is_valid"]
+        assert validate_domain("https://a.test/pub/leaf", r4)["is_valid"]
+
+    def test_dot_segment_resolution_and_idn(self):
+        r = {"type": "exact", "patterns": ["https://example.com/a/b"]}
+        assert validate_domain("https://example.com/a/./b", r)["is_valid"]
+        assert validate_domain("https://example.com/a/x/../b", r)["is_valid"]
+        # JS URL punycodes unicode hosts; patterns are written punycoded
+        r2 = {"type": "exact", "patterns": ["xn--bcher-kva.test"]}
+        assert validate_domain("https://bücher.test/", r2)["is_valid"]
+
+    def test_explicit_null_type_fails_closed(self):
+        parsed = parse_domain_restriction({"type": None,
+                                           "patterns": ["evil.com"]})
+        assert parsed == {"type": None, "patterns": ["evil.com"]}
+        # null type matches neither branch -> everything rejected
+        assert not validate_domain("https://evil.com/", parsed)["is_valid"]
+        # absent type still defaults to exact
+        assert parse_domain_restriction(
+            {"patterns": ["a.com"]})["type"] == "exact"
