@@ -219,3 +219,229 @@ def charge_details(options: DataFrame, calculator: str,
                     F.col("__i.code").alias("item_code"),
                     F.col("__i.credits").alias("item_credits"),
                     "job_total"))
+
+
+# -- Billing ledger model (packages/db/src/model/Billing.ts) -----------------
+#
+# The reference books every charge as a ledger row inside the job's DB
+# transaction: chargeDeltaByJobId (mode 'delta') adds a positive delta to
+# the job's creditsUsed, chargeToUsedByJobId (mode 'target') raises it to a
+# target watermark; both reserve an idempotency-keyed ledger entry first
+# (ON CONFLICT DO NOTHING — a duplicate key books nothing and charges
+# nothing) and then deduct the charged amount from the api key's credits.
+# Replay = a per-job sequential fold (every reference-generated key embeds
+# the jobId, so dedup state is job-local) + a per-api-key running balance.
+
+import math as _math
+
+
+def _js_number(v) -> float:
+    """Number() coercion for the JSON scalars a charge payload can hold."""
+    if v is None:
+        return 0.0
+    if isinstance(v, bool):
+        return 1.0 if v else 0.0
+    if isinstance(v, (int, float)):
+        return float(v)
+    if isinstance(v, str):
+        t = v.strip()
+        if t == "":
+            return 0.0
+        try:
+            return float(t)
+        except ValueError:
+            return float("nan")
+    return float("nan")
+
+
+def normalize_positive_number(value) -> float:
+    """Billing.ts:52-56: non-finite or <= 0 -> 0."""
+    n = _js_number(value)
+    return n if _math.isfinite(n) and n > 0 else 0.0
+
+
+def normalize_non_negative_number(value) -> float:
+    """Billing.ts:58-62: non-finite or < 0 -> 0."""
+    n = _js_number(value)
+    return n if _math.isfinite(n) and n >= 0 else 0.0
+
+
+def normalize_idempotency_key(value) -> str | None:
+    """Billing.ts:64-68: trimmed non-empty strings only."""
+    if not isinstance(value, str):
+        return None
+    t = value.strip()
+    return t or None
+
+
+def _num_str(x: float) -> str:
+    """JS template-literal number rendering for default idempotency keys."""
+    if x == int(x) and abs(x) < 1e21:
+        return str(int(x))
+    return repr(x)
+
+
+def build_default_idempotency_key(mode: str, job_id: str, reason: str,
+                                  before_used: float,
+                                  after_used: float) -> str:
+    """Billing.ts:143-155: target keys pin only the watermark, delta keys
+    pin the before->after pair."""
+    if mode == "target":
+        return f"billing:target:{job_id}:{_num_str(after_used)}:{reason}"
+    return (f"billing:delta:{job_id}:{_num_str(before_used)}->"
+            f"{_num_str(after_used)}:{reason}")
+
+
+def normalize_charge_details(charge_details, charged, reason: str):
+    """Billing.ts:76-141 normalizeChargeDetails: validate the itemization
+    against the charged amount; on any mismatch (or no valid items) fall
+    back to a single unattributed_adjustment item carrying the source
+    total.  Returns None when nothing was charged or no items were sent."""
+    normalized_charged = normalize_positive_number(charged)
+    if (normalized_charged <= 0 or not charge_details
+            or not isinstance(charge_details.get("items"), list)):
+        return None
+
+    calculator = charge_details.get("calculator")
+    calculator = (calculator.strip()
+                  if isinstance(calculator, str) and calculator.strip()
+                  else "billing_v1")
+
+    items = []
+    for item in charge_details["items"]:
+        if not item or not isinstance(item, dict):
+            continue
+        code = item.get("code")
+        code = code.strip() if isinstance(code, str) else ""
+        credits = _js_number(item.get("credits", None))
+        if not code or not _math.isfinite(credits) or credits <= 0:
+            continue
+        normalized = {"code": code, "credits": credits}
+        if isinstance(item.get("meta"), dict):
+            normalized["meta"] = item["meta"]
+        items.append(normalized)
+
+    items_total = sum(i["credits"] for i in items)
+    if items and abs(items_total - normalized_charged) < 1e-9:
+        return {"version": 1, "basis": "charged_delta",
+                "calculator": calculator, "total": normalized_charged,
+                "items": items}
+    return {"version": 1, "basis": "charged_delta",
+            "calculator": calculator, "total": normalized_charged,
+            "items": [{"code": "unattributed_adjustment",
+                       "credits": normalized_charged,
+                       "meta": {"reason": reason,
+                                "source_total": items_total}}]}
+
+
+CHARGE_EVENT_SCHEMA = (
+    "seq long, job_id string, mode string, amount double, reason string, "
+    "idempotency_key string, calculator string, "
+    "items array<struct<code string, credits double>>"
+)
+
+_LEDGER_FOLD_SCHEMA = (
+    "job_id string, api_key string, seq long, mode string, reason string, "
+    "idempotency_key string, charged double, before_used double, "
+    "after_used double, detail_calculator string, detail_total double, "
+    "detail_code string, detail_n_items int"
+)
+
+
+def _fold_job_charges(pdf):
+    """Sequential replay of one job's charge calls (the reference
+    serializes them through the job-row transaction).  Emits one ledger
+    row per RESERVED charge; deduped/no-op calls book nothing and leave
+    the fold state untouched.  A duplicate target-mode key aborts the
+    reference's transaction (throw) — state unchanged, no row, same as a
+    no-op here; in a sequential replay it is unreachable anyway because a
+    repeated target watermark yields delta <= 0 first."""
+    import pandas as pd
+
+    pdf = pdf.sort_values("seq")
+    job_id = pdf["job_id"].iloc[0]
+    api_key = pdf["api_key"].iloc[0]
+    used = float(pdf["init_used"].iloc[0] or 0.0)
+    seen: set[str] = set()
+    rows = []
+    for ev in pdf.itertuples(index=False):
+        reason = ev.reason if isinstance(ev.reason, str) else "unknown"
+        if ev.mode == "target":
+            target = normalize_non_negative_number(ev.amount)
+            delta = target - used
+            if delta <= 0:
+                continue
+            before, after = used, target
+        else:
+            delta = normalize_positive_number(ev.amount)
+            if delta <= 0:
+                continue
+            before, after = used, used + delta
+        key = (normalize_idempotency_key(ev.idempotency_key)
+               or build_default_idempotency_key(ev.mode, job_id, reason,
+                                                before, after))
+        if key in seen:
+            continue   # ON CONFLICT DO NOTHING: nothing booked or charged
+        seen.add(key)
+        details = None
+        items = ev.items
+        if items is not None and not (isinstance(items, float)
+                                      and _math.isnan(items)):
+            details = normalize_charge_details(
+                {"calculator": ev.calculator,
+                 "items": [dict(i) for i in items]},
+                delta, reason)
+        rows.append({
+            "job_id": job_id, "api_key": api_key, "seq": ev.seq,
+            "mode": ev.mode, "reason": reason, "idempotency_key": key,
+            "charged": delta, "before_used": before, "after_used": after,
+            "detail_calculator": details["calculator"] if details else None,
+            "detail_total": details["total"] if details else None,
+            "detail_code": details["items"][0]["code"] if details else None,
+            "detail_n_items": len(details["items"]) if details else None,
+        })
+        used = after
+    cols = [c.split()[0] for c in _LEDGER_FOLD_SCHEMA.split(", ")]
+    return pd.DataFrame(rows, columns=cols)
+
+
+def ledger_rollup(charge_events: DataFrame, jobs: DataFrame,
+                  api_keys: DataFrame) -> DataFrame:
+    """Replay a charge-call log into the billing ledger plus running
+    api-key balances (Billing.ts:176-445).
+
+    ``charge_events``: CHARGE_EVENT_SCHEMA (amount = delta for mode
+    'delta', target watermark for mode 'target'; idempotency_key NULL =
+    derive the default key); ``jobs``: (job_id, api_key, credits_used)
+    initial job state; ``api_keys``: (api_key, credits) starting balances.
+
+    Scale shape: one hash shuffle groups each job's calls for the
+    sequential fold (applyInPandas — jobs fold in parallel, mirroring the
+    reference's per-job transaction serialization), then one keyed window
+    per api_key turns charged amounts into before/after balance snapshots
+    (fillLedgerCreditsSnapshot, :201-218).  The jobs and api_keys dims are
+    broadcast; no self-joins over the log.
+    """
+    from pyspark.sql import Window
+
+    enriched = charge_events.join(
+        F.broadcast(jobs.select("job_id", "api_key",
+                                F.col("credits_used").alias("init_used"))),
+        "job_id", "inner")
+    ledger = enriched.groupBy("job_id").applyInPandas(
+        _fold_job_charges, schema=_LEDGER_FOLD_SCHEMA)
+
+    w = (Window.partitionBy("api_key").orderBy("seq")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        ledger.join(F.broadcast(api_keys.select(
+            "api_key", F.col("credits").alias("__init_credits"))),
+            "api_key", "inner")
+        .withColumn("after_credits",
+                    F.col("__init_credits") - F.sum("charged").over(w))
+        .withColumn("before_credits",
+                    F.col("after_credits") + F.col("charged"))
+        .select("job_id", "seq", "api_key", "mode", "reason",
+                "idempotency_key", "charged", "before_used", "after_used",
+                "before_credits", "after_credits", "detail_calculator",
+                "detail_total", "detail_code", "detail_n_items"))

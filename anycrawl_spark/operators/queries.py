@@ -3322,6 +3322,434 @@ def q_extraction_markdown_parity(spark, sf_dir):
                  .alias("mismatches")))
 
 
+@register(
+    "template_render",
+    """SELECT doc_id,
+              CASE CAST(doc_id % 4 AS INT)
+                WHEN 0 THEN 'https://shop.test/dp/it '
+                            || (doc_id % 100)::VARCHAR || '/v#s'
+                WHEN 1 THEN 'https://shop.test/?q=a%20b%26c#s'
+                WHEN 2 THEN 'https://shop.test/it%20'
+                            || (doc_id % 100)::VARCHAR
+                            || '/v/x {{missing}}#s'
+                ELSE 'https://shop' || (doc_id % 5)::VARCHAR
+                     || '.test/{{item}}#s'
+              END AS url,
+              ['https://shop.test/dp/{{item}}',
+               'https://shop.test/?q={{q|query}}',
+               'https://shop.test/{{item|path}}/x {{missing}}',
+               'https://{{h|host}}/\\{{item}}']
+                  [CAST(doc_id % 4 AS INT) + 1] AS original_url,
+              'cheerio' AS engine,
+              CAST(CASE WHEN doc_id % 3 = 0 THEN 5000 ELSE 30000 END
+                   AS BIGINT) AS timeout,
+              CASE WHEN doc_id % 7 = 0 THEN 'de' ELSE 'us' END AS country
+       FROM documents""",
+    "Template merge + URL render pipeline (templateHandler.ts:314-421 "
+    "mergeRequestWithTemplate + ScrapeController.ts:91-95 render): request "
+    "options win over template reqOptions (timeout), variable defaults + "
+    "dotted-path mapping fill what the request omits (country), the "
+    "urlTransform append runs pre-render and pins original_url, and "
+    "{{var|filter}} placeholders render with query/path/host filters, "
+    "keep-on-missing, and backslash escaping (urlTemplate.ts:61-91). The "
+    "oracle predicts every rendered URL from doc_id arithmetic.",
+)
+def q_template_render(spark, sf_dir):
+    from anycrawl_spark.template_handler import make_process_request_udf
+
+    documents = load(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    item = F.concat(F.lit("it "), (d % 100).cast("string"), F.lit("/v"))
+    h = F.concat(F.lit("SHOP#"), (d % 5).cast("string"), F.lit(".TEST"))
+    url_tpl = F.element_at(F.array(
+        F.lit("https://shop.test/dp/{{item}}"),
+        F.lit("https://shop.test/?q={{q|query}}"),
+        F.lit("https://shop.test/{{item|path}}/x {{missing}}"),
+        F.lit("https://{{h|host}}/\\{{item}}"),
+    ), (d % 4).cast("int") + 1)
+    # null fields are omitted by to_json (= JS undefined): absent timeout
+    # lets the template's 30000 through, absent scrape_options lets the
+    # country variable's mapped default through
+    request = F.to_json(F.struct(
+        F.lit("render-fixture").alias("template_id"),
+        url_tpl.alias("url"),
+        F.struct(item.alias("item"), h.alias("h")).alias("variables"),
+        F.when(d % 3 == 0, F.lit(5000)).alias("timeout"),
+        F.when(d % 7 == 0, F.struct(F.lit("de").alias("country")))
+        .alias("scrape_options"),
+    ))
+    template = {
+        "templateId": "render-fixture",
+        "templateType": "scrape",
+        "reqOptions": {"engine": "cheerio", "timeout": 30000},
+        "metadata": {},
+        "customHandlers": {"urlTransform": {
+            "enabled": True, "mode": "append", "suffix": "#s"}},
+        "variables": {
+            "item": {"type": "string", "required": True},
+            "h": {"type": "string", "defaultValue": "x.test"},
+            "q": {"type": "string", "defaultValue": "a b&c"},
+            "country": {"type": "string", "defaultValue": "us",
+                        "mapping": {"target": "scrape_options.country"}},
+        },
+    }
+    udf = make_process_request_udf(template, "scrape")
+    parsed = F.from_json(
+        udf(request),
+        "url string, original_url string, engine string, timeout long, "
+        "scrape_options struct<country: string>")
+    return documents.select(
+        "doc_id",
+        parsed["url"].alias("url"),
+        parsed["original_url"].alias("original_url"),
+        parsed["engine"].alias("engine"),
+        parsed["timeout"].alias("timeout"),
+        parsed["scrape_options"]["country"].alias("country"))
+
+
+@register(
+    "execution_finalize",
+    """WITH ex AS (
+         SELECT 'ex-' || event_id::VARCHAR AS execution_uuid,
+                'task-' || (event_id % 37)::VARCHAR AS scheduled_task_uuid,
+                ['pending','running','running','completed','cancelled']
+                    [CAST(event_id % 5 AS INT) + 1] AS status
+         FROM events WHERE event_id < 300),
+       ev AS (
+         SELECT event_id AS seq,
+                'ex-' || (event_id % 350)::VARCHAR AS execution_uuid,
+                ['completed','failed','cancelled']
+                    [CAST(event_id % 3 AS INT) + 1] AS status,
+                CASE WHEN event_id % 13 = 0 THEN NULL
+                     WHEN event_id % 11 = 0 THEN false
+                     ELSE true END AS update_task_stats,
+                event_id % 2 = 0 AS allow_create_if_missing,
+                CASE WHEN event_id % 4 = 0 THEN NULL
+                     ELSE 'task-' || (event_id % 37)::VARCHAR
+                END AS create_task_uuid
+         FROM events),
+       open_w AS (
+         SELECT v.execution_uuid, min(v.seq) AS winner_seq,
+                arg_min(v.status, v.seq) AS final_status,
+                CAST(NULL AS VARCHAR) AS winner_task,
+                false AS created
+         FROM ev v JOIN ex ON v.execution_uuid = ex.execution_uuid
+         WHERE ex.status IN ('pending', 'running')
+         GROUP BY 1),
+       create_w AS (
+         SELECT v.execution_uuid, min(v.seq) AS winner_seq,
+                'failed' AS final_status,
+                arg_min(v.create_task_uuid, v.seq) AS winner_task,
+                true AS created
+         FROM ev v LEFT JOIN ex ON v.execution_uuid = ex.execution_uuid
+         WHERE ex.execution_uuid IS NULL AND v.status = 'failed'
+           AND coalesce(v.allow_create_if_missing, false)
+           AND v.create_task_uuid IS NOT NULL
+         GROUP BY 1),
+       w AS (SELECT * FROM open_w UNION ALL SELECT * FROM create_w)
+     SELECT coalesce(ex.execution_uuid, w.execution_uuid)
+                AS execution_uuid,
+            coalesce(ex.scheduled_task_uuid, w.winner_task)
+                AS scheduled_task_uuid,
+            coalesce(w.final_status, ex.status) AS final_status,
+            w.winner_seq,
+            coalesce(w.created, false) AS created,
+            w.winner_seq IS NOT NULL AS transitioned
+     FROM ex FULL JOIN w ON ex.execution_uuid = w.execution_uuid""",
+    "Execution finalize transitions (ExecutionLifecycle.ts:45-126): replay "
+    "a finalizeExecution call log — only the FIRST call per "
+    "pending/running execution transitions it (the status-guarded UPDATE), "
+    "calls against missing rows only materialize via the failed+"
+    "allowCreateIfMissing recovery insert, terminal rows never move. "
+    "Fixture executions/events synthesized from event_id arithmetic with "
+    "multi-call contention (350-uuid wrap) and 50 missing uuids.",
+)
+def q_execution_finalize(spark, sf_dir):
+    from anycrawl_spark.scheduler import finalize_executions
+
+    ev = load(spark, sf_dir, "events")
+    e = F.col("event_id")
+    executions = ev.where(e < 300).select(
+        F.concat(F.lit("ex-"), e.cast("string")).alias("execution_uuid"),
+        F.concat(F.lit("task-"), (e % 37).cast("string"))
+        .alias("scheduled_task_uuid"),
+        F.element_at(F.array(F.lit("pending"), F.lit("running"),
+                             F.lit("running"), F.lit("completed"),
+                             F.lit("cancelled")),
+                     (e % 5).cast("int") + 1).alias("status"))
+    events = ev.select(
+        e.alias("seq"),
+        F.concat(F.lit("ex-"), (e % 350).cast("string"))
+        .alias("execution_uuid"),
+        F.element_at(F.array(F.lit("completed"), F.lit("failed"),
+                             F.lit("cancelled")),
+                     (e % 3).cast("int") + 1).alias("status"),
+        F.when(e % 13 == 0, F.lit(None).cast("boolean"))
+        .when(e % 11 == 0, F.lit(False)).otherwise(F.lit(True))
+        .alias("update_task_stats"),
+        (e % 2 == 0).alias("allow_create_if_missing"),
+        F.when(e % 4 != 0, F.concat(F.lit("task-"), (e % 37).cast("string")))
+        .alias("create_task_uuid"))
+    return finalize_executions(executions, events)
+
+
+@register(
+    "execution_task_stats",
+    """WITH ex AS (
+         SELECT 'ex-' || event_id::VARCHAR AS execution_uuid,
+                'task-' || (event_id % 37)::VARCHAR AS scheduled_task_uuid,
+                ['pending','running','running','completed','cancelled']
+                    [CAST(event_id % 5 AS INT) + 1] AS status
+         FROM events WHERE event_id < 300),
+       ev AS (
+         SELECT event_id AS seq,
+                'ex-' || (event_id % 350)::VARCHAR AS execution_uuid,
+                ['completed','failed','cancelled']
+                    [CAST(event_id % 3 AS INT) + 1] AS status,
+                CASE WHEN event_id % 13 = 0 THEN NULL
+                     WHEN event_id % 11 = 0 THEN false
+                     ELSE true END AS update_task_stats,
+                event_id % 2 = 0 AS allow_create_if_missing,
+                CASE WHEN event_id % 4 = 0 THEN NULL
+                     ELSE 'task-' || (event_id % 37)::VARCHAR
+                END AS create_task_uuid
+         FROM events),
+       tasks AS (
+         SELECT 'task-' || event_id::VARCHAR AS task_uuid,
+                CAST(event_id % 5 AS INT) AS successful_executions,
+                CAST(event_id % 4 AS INT) AS failed_executions,
+                CAST(event_id % 3 AS INT) AS consecutive_failures
+         FROM events WHERE event_id < 37),
+       open_w AS (
+         SELECT ex.scheduled_task_uuid, min(v.seq) AS winner_seq,
+                arg_min(v.status, v.seq) AS final_status,
+                arg_min(coalesce(v.update_task_stats, true), v.seq)
+                    AS stats_on
+         FROM ev v JOIN ex ON v.execution_uuid = ex.execution_uuid
+         WHERE ex.status IN ('pending', 'running')
+         GROUP BY ex.execution_uuid, ex.scheduled_task_uuid),
+       create_w AS (
+         SELECT arg_min(v.create_task_uuid, v.seq) AS scheduled_task_uuid,
+                min(v.seq) AS winner_seq, 'failed' AS final_status,
+                arg_min(coalesce(v.update_task_stats, true), v.seq)
+                    AS stats_on
+         FROM ev v LEFT JOIN ex ON v.execution_uuid = ex.execution_uuid
+         WHERE ex.execution_uuid IS NULL AND v.status = 'failed'
+           AND coalesce(v.allow_create_if_missing, false)
+           AND v.create_task_uuid IS NOT NULL
+         GROUP BY v.execution_uuid),
+       t AS (
+         SELECT * FROM (SELECT * FROM open_w UNION ALL
+                        SELECT * FROM create_w)
+         WHERE stats_on AND final_status IN ('completed', 'failed')),
+       per_task AS (
+         SELECT scheduled_task_uuid,
+                sum(CASE WHEN final_status = 'completed' THEN 1 ELSE 0 END)
+                    AS n_completed,
+                sum(CASE WHEN final_status = 'failed' THEN 1 ELSE 0 END)
+                    AS n_failed,
+                max(CASE WHEN final_status = 'completed' THEN winner_seq
+                    END) AS last_completed_seq
+         FROM t GROUP BY 1),
+       tails AS (
+         SELECT t.scheduled_task_uuid, count(*) AS tail_failed
+         FROM t JOIN per_task p USING (scheduled_task_uuid)
+         WHERE t.final_status = 'failed'
+           AND (p.last_completed_seq IS NULL
+                OR t.winner_seq > p.last_completed_seq)
+         GROUP BY 1)
+     SELECT k.task_uuid,
+            CAST(k.successful_executions + coalesce(p.n_completed, 0)
+                 AS INT) AS successful_executions,
+            CAST(k.failed_executions + coalesce(p.n_failed, 0) AS INT)
+                AS failed_executions,
+            CAST(CASE WHEN p.last_completed_seq IS NOT NULL
+                      THEN coalesce(tl.tail_failed, 0)
+                      ELSE k.consecutive_failures
+                           + coalesce(tl.tail_failed, 0) END AS INT)
+                AS consecutive_failures
+     FROM tasks k
+     LEFT JOIN per_task p ON k.task_uuid = p.scheduled_task_uuid
+     LEFT JOIN tails tl ON k.task_uuid = tl.scheduled_task_uuid""",
+    "Scheduled-task counter deltas from the finalize replay "
+    "(ExecutionLifecycle.ts:128-153): successful/failed execution counts "
+    "bump on real stats-updating transitions only; consecutiveFailures "
+    "resets on completed and stacks failed transitions after the last "
+    "completed one (or on the initial counter when the task never "
+    "completed). Same fixture as execution_finalize plus initial task "
+    "counters.",
+)
+def q_execution_task_stats(spark, sf_dir):
+    from anycrawl_spark.scheduler import finalize_task_stats
+
+    ev = load(spark, sf_dir, "events")
+    e = F.col("event_id")
+    executions = ev.where(e < 300).select(
+        F.concat(F.lit("ex-"), e.cast("string")).alias("execution_uuid"),
+        F.concat(F.lit("task-"), (e % 37).cast("string"))
+        .alias("scheduled_task_uuid"),
+        F.element_at(F.array(F.lit("pending"), F.lit("running"),
+                             F.lit("running"), F.lit("completed"),
+                             F.lit("cancelled")),
+                     (e % 5).cast("int") + 1).alias("status"))
+    events = ev.select(
+        e.alias("seq"),
+        F.concat(F.lit("ex-"), (e % 350).cast("string"))
+        .alias("execution_uuid"),
+        F.element_at(F.array(F.lit("completed"), F.lit("failed"),
+                             F.lit("cancelled")),
+                     (e % 3).cast("int") + 1).alias("status"),
+        F.when(e % 13 == 0, F.lit(None).cast("boolean"))
+        .when(e % 11 == 0, F.lit(False)).otherwise(F.lit(True))
+        .alias("update_task_stats"),
+        (e % 2 == 0).alias("allow_create_if_missing"),
+        F.when(e % 4 != 0, F.concat(F.lit("task-"), (e % 37).cast("string")))
+        .alias("create_task_uuid"))
+    tasks = ev.where(e < 37).select(
+        F.concat(F.lit("task-"), e.cast("string")).alias("task_uuid"),
+        (e % 5).cast("int").alias("successful_executions"),
+        (e % 4).cast("int").alias("failed_executions"),
+        (e % 3).cast("int").alias("consecutive_failures"))
+    return finalize_task_stats(executions, events, tasks)
+
+
+@register(
+    "ledger_rollup",
+    """WITH jobs AS (
+         SELECT 'job-' || event_id::VARCHAR AS job_id,
+                'key-' || (event_id % 7)::VARCHAR AS api_key,
+                CAST(event_id % 3 AS DOUBLE) AS init_used
+         FROM events WHERE event_id < 25),
+       keys AS (
+         SELECT 'key-' || event_id::VARCHAR AS api_key,
+                CAST(1000 + event_id * 10 AS DOUBLE) AS init_credits
+         FROM events WHERE event_id < 7),
+       ev AS (
+         SELECT event_id AS seq,
+                'job-' || (event_id % 25)::VARCHAR AS job_id,
+                CASE WHEN event_id % 10 = 9 THEN 'target'
+                     ELSE 'delta' END AS mode,
+                CASE WHEN event_id % 10 = 9
+                     THEN CAST(1000 + event_id AS DOUBLE)
+                     ELSE [2.5, 1.0, 0.0, -3.0, 4.0, 1.5]
+                          [CAST(event_id % 6 AS INT) + 1] END AS amount,
+                'r' || (event_id % 3)::VARCHAR AS reason,
+                CASE WHEN event_id % 10 = 9 THEN NULL
+                     ELSE 'k-' || (event_id % 25)::VARCHAR || '-'
+                          || (event_id % 40)::VARCHAR
+                END AS idempotency_key,
+                CASE WHEN event_id % 4 = 0 THEN 'calcA'
+                     ELSE 'billing_v1' END AS detail_calculator,
+                event_id % 2 = 0 AS items_match
+         FROM events),
+       booked_delta_seqs AS (
+         SELECT seq FROM (
+           SELECT seq, row_number() OVER (
+             PARTITION BY job_id, idempotency_key ORDER BY seq) AS rn
+           FROM ev WHERE mode = 'delta' AND amount > 0)
+         WHERE rn = 1),
+       cums AS (
+         SELECT e.*, b.seq IS NOT NULL AS booked_delta,
+                sum(CASE WHEN b.seq IS NOT NULL THEN e.amount ELSE 0 END)
+                  OVER (PARTITION BY e.job_id ORDER BY e.seq
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  AS cum_before,
+                sum(CASE WHEN b.seq IS NOT NULL THEN e.amount ELSE 0 END)
+                  OVER (PARTITION BY e.job_id ORDER BY e.seq
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS cum_incl,
+                max(CASE WHEN e.mode = 'target' THEN e.seq END)
+                  OVER (PARTITION BY e.job_id ORDER BY e.seq
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  AS last_target_seq
+         FROM ev e LEFT JOIN booked_delta_seqs b ON e.seq = b.seq),
+       -- every synthesized target books (the watermark 1000+seq grows
+       -- faster than any job's delta stream), so used resets to the last
+       -- target's amount and accumulates booked deltas after it
+       with_before AS (
+         SELECT c.*, j.init_used, j.api_key,
+                CASE WHEN c.last_target_seq IS NULL
+                     THEN j.init_used + coalesce(c.cum_before, 0)
+                     ELSE 1000 + c.last_target_seq
+                          + (coalesce(c.cum_before, 0) - t.cum_at_target)
+                END AS before_used
+         FROM cums c
+         JOIN jobs j USING (job_id)
+         LEFT JOIN (SELECT job_id, seq AS tseq, cum_incl AS cum_at_target
+                    FROM cums WHERE mode = 'target') t
+           ON c.job_id = t.job_id AND c.last_target_seq = t.tseq),
+       booked AS (
+         SELECT job_id, seq, api_key, mode, reason,
+                idempotency_key, amount AS charged,
+                before_used, before_used + amount AS after_used,
+                detail_calculator,
+                amount AS detail_total,
+                CASE WHEN items_match THEN 'page'
+                     ELSE 'unattributed_adjustment' END AS detail_code,
+                CAST(1 AS INT) AS detail_n_items
+         FROM with_before WHERE booked_delta
+         UNION ALL
+         SELECT job_id, seq, api_key, mode, reason,
+                'billing:target:' || job_id || ':'
+                    || CAST(amount AS BIGINT)::VARCHAR || ':' || reason,
+                amount - before_used, before_used, amount,
+                NULL, NULL, NULL, NULL
+         FROM with_before WHERE mode = 'target')
+     SELECT b.job_id, b.seq, b.api_key, b.mode, b.reason,
+            b.idempotency_key, b.charged, b.before_used, b.after_used,
+            k.init_credits - sum(b.charged)
+              OVER (PARTITION BY b.api_key ORDER BY b.seq) + b.charged
+              AS before_credits,
+            k.init_credits - sum(b.charged)
+              OVER (PARTITION BY b.api_key ORDER BY b.seq)
+              AS after_credits,
+            b.detail_calculator, b.detail_total, b.detail_code,
+            b.detail_n_items
+     FROM booked b JOIN keys k USING (api_key)""",
+    "Billing ledger replay (Billing.ts:176-445): chargeDeltaByJobId / "
+    "chargeToUsedByJobId calls fold into idempotency-keyed ledger rows — "
+    "non-positive deltas and already-reached targets book nothing, "
+    "duplicate keys dedup without charging, default target keys derive "
+    "from the watermark, chargeDetails itemizations are validated with "
+    "the unattributed_adjustment fallback, and api-key balances snapshot "
+    "before/after each charge (fillLedgerCreditsSnapshot). The amounts "
+    "are exact binary fractions so the running sums hash identically.",
+)
+def q_ledger_rollup(spark, sf_dir):
+    from anycrawl_spark.billing import ledger_rollup
+
+    ev = load(spark, sf_dir, "events")
+    e = F.col("event_id")
+    is_target = e % 10 == 9
+    amount = F.when(is_target, (e + 1000).cast("double")).otherwise(
+        F.element_at(F.array(F.lit(2.5), F.lit(1.0), F.lit(0.0),
+                             F.lit(-3.0), F.lit(4.0), F.lit(1.5)),
+                     (e % 6).cast("int") + 1))
+    item_code = F.when(e % 2 == 0, F.lit("page")).otherwise(F.lit(""))
+    charge_events = ev.select(
+        e.alias("seq"),
+        F.concat(F.lit("job-"), (e % 25).cast("string")).alias("job_id"),
+        F.when(is_target, F.lit("target")).otherwise(F.lit("delta"))
+        .alias("mode"),
+        amount.alias("amount"),
+        F.concat(F.lit("r"), (e % 3).cast("string")).alias("reason"),
+        F.when(~is_target,
+               F.concat(F.lit("k-"), (e % 25).cast("string"), F.lit("-"),
+                        (e % 40).cast("string"))).alias("idempotency_key"),
+        F.when(e % 4 == 0, F.lit("calcA")).alias("calculator"),
+        F.when(~is_target,
+               F.array(F.struct(item_code.alias("code"),
+                                amount.alias("credits")))).alias("items"))
+    jobs = ev.where(e < 25).select(
+        F.concat(F.lit("job-"), e.cast("string")).alias("job_id"),
+        F.concat(F.lit("key-"), (e % 7).cast("string")).alias("api_key"),
+        (e % 3).cast("double").alias("credits_used"))
+    api_keys = ev.where(e < 7).select(
+        F.concat(F.lit("key-"), e.cast("string")).alias("api_key"),
+        (e * 10 + 1000).cast("double").alias("credits"))
+    return ledger_rollup(charge_events, jobs, api_keys)
+
+
 # ===========================================================================
 # Driver-visible ordering
 # ===========================================================================
@@ -3346,24 +3774,40 @@ DRIVER_ORDER: list[str] = [
     # Webhook / scheduler / billing subsystems (S10, Scheduler.ts, A10)
     "webhook_match", "webhook_retry_schedule", "scheduled_runs",
     "credit_rollup",
+    # r6 promotions: the three reference subsystems VERDICT r5 ranked as
+    # the remaining deterministic cores — template merge+render
+    # (templateHandler.ts), execution finalize transitions
+    # (ExecutionLifecycle.ts), billing ledger (Billing.ts)
+    "template_render", "execution_finalize", "ledger_rollup",
     # Crawl rounds + extraction parity (+ T18 LLM-extract pipeline, r5)
     "fetch_join", "crawl_e2e", "extraction_text_parity",
     "extraction_markdown_parity", "link_explode", "llm_extract_stats",
     # SERP + map
-    "serp_parse", "searxng_parse", "ac_engine_parse", "auto_engine_decision",
+    "serp_parse", "searxng_parse", "auto_engine_decision",
     "serp_scrape_merge", "map_union_dedup",
     # LLM-data pipeline: text quality + fingerprints
     "dedup_exact", "token_count", "lang_id",
-    "gopher_quality", "c4_filters", "fingerprint", "winnow_fingerprints",
+    "gopher_quality", "fingerprint", "winnow_fingerprints",
     # Dedup/similarity scale paths
     "lsh_candidate_pairs", "dedup_clusters_two_star", "simhash_near_pairs",
-    "jaccard_over_candidates", "cosine_over_candidates",
+    "cosine_over_candidates",
     # ANN + multimodal
     "ann_bruteforce_topk", "ann_ivf_real", "media_decode_meta",
     # Time-series / relational
     "sessionize_events", "asof_join_events",
     "hypertable_rollup",
     # --- driver cutoff: first 50 above are the correctness-gate window ---
+    # r6 swaps (rationale in COVERAGE.md): promoted template_render,
+    # execution_finalize, ledger_rollup; demoted the named twins —
+    # ac_engine_parse (G-family JSON-SERP parsing stays gated via
+    # serp_parse + searxng_parse), c4_filters (text-quality family via
+    # gopher_quality, which shares the heuristic machinery),
+    # jaccard_over_candidates (candidate-bounded exact scorer family via
+    # cosine_over_candidates + lsh_candidate_pairs).
+    "ac_engine_parse", "c4_filters", "jaccard_over_candidates",
+    # counter-delta sibling of execution_finalize (same resolved
+    # transitions, per-task grain) — oracled outside the window
+    "execution_task_stats",
     # r5 swap 2: promoted llm_extract_stats (T18 — a reference format the
     # window lacked entirely); demoted range_join_events (generic bucketed
     # interval join, twin of asof_join_events' union+window machinery and

@@ -492,3 +492,152 @@ def subscription_excess_tasks(tasks: DataFrame, api_keys: DataFrame,
             .select("task_uuid", "name", "user_id",
                     build_auto_pause_reason_col(F.col("user_limit"))
                     .alias("pause_reason")))
+
+
+# -- Execution finalize transitions (ExecutionLifecycle.ts:44-178) -----------
+
+TERMINAL_STATUSES = ("completed", "failed", "cancelled")
+OPEN_STATUSES = ("pending", "running")
+
+
+def _resolve_transitions(executions: DataFrame,
+                         events: DataFrame) -> DataFrame:
+    """The winning finalize call per execution: (execution_uuid,
+    scheduled_task_uuid, winner_seq, final_status, stats_on, created).
+
+    - only executions whose table status is pending/running can
+      transition, and only their FIRST finalize call does (the reference's
+      ``status IN ('pending','running')`` UPDATE guard,
+      ExecutionLifecycle.ts:75-87);
+    - a call for a missing execution row transitions nothing unless it is
+      the first ``failed`` call with allowCreateIfMissing and a payload
+      task uuid — that one INSERTs the row as failed (the
+      recovered-from-rollback path, :91-126); earlier calls in the log
+      no-op against the absent row, later ones hit a terminal row.
+
+    Shuffle profile: hash partition by execution_uuid for the two winner
+    windows and the equi-joins; nothing is broadcast, so the operator
+    scales with the size of the call log.
+    """
+    from pyspark.sql import Window
+
+    ex = executions.select(
+        "execution_uuid", "scheduled_task_uuid",
+        F.col("status").alias("initial_status"))
+    w = Window.partitionBy("execution_uuid").orderBy("seq")
+    # updateTaskStats !== false: absent/NULL means true (ts:129)
+    stats_on = F.coalesce(F.col("update_task_stats"), F.lit(True))
+
+    open_winners = (
+        events.join(ex.where(F.col("initial_status").isin(*OPEN_STATUSES)),
+                    "execution_uuid", "inner")
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("execution_uuid", "scheduled_task_uuid",
+                F.col("seq").alias("winner_seq"),
+                F.col("status").alias("final_status"),
+                stats_on.alias("stats_on"),
+                F.lit(False).alias("created")))
+
+    create_winners = (
+        events.join(ex, "execution_uuid", "left_anti")
+        .where((F.col("status") == "failed")
+               & F.coalesce(F.col("allow_create_if_missing"), F.lit(False))
+               & F.col("create_task_uuid").isNotNull())
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("execution_uuid",
+                F.col("create_task_uuid").alias("scheduled_task_uuid"),
+                F.col("seq").alias("winner_seq"),
+                F.col("status").alias("final_status"),
+                stats_on.alias("stats_on"),
+                F.lit(True).alias("created")))
+
+    return open_winners.unionByName(create_winners)
+
+
+def finalize_executions(executions: DataFrame,
+                        events: DataFrame) -> DataFrame:
+    """Replay a log of finalizeExecution calls over an executions table:
+    one row per execution (existing or rollback-recovered) with its final
+    status, the winning call's seq (NULL when no call transitioned it),
+    and whether the row was created by the replay
+    (ExecutionLifecycle.ts:45-126 — see _resolve_transitions).
+
+    ``executions``: (execution_uuid, scheduled_task_uuid, status);
+    ``events``: (seq, execution_uuid, status, update_task_stats,
+    allow_create_if_missing, create_task_uuid).
+    """
+    winners = (_resolve_transitions(executions, events)
+               .withColumnRenamed("scheduled_task_uuid", "__winner_task"))
+    ex = executions.select(
+        "execution_uuid", "scheduled_task_uuid",
+        F.col("status").alias("initial_status"))
+    return (
+        ex.join(winners, "execution_uuid", "full_outer")
+        .select(
+            "execution_uuid",
+            F.coalesce("scheduled_task_uuid", "__winner_task")
+            .alias("scheduled_task_uuid"),
+            F.coalesce("final_status", "initial_status")
+            .alias("final_status"),
+            "winner_seq",
+            F.coalesce("created", F.lit(False)).alias("created"),
+            F.col("winner_seq").isNotNull().alias("transitioned")))
+
+
+def finalize_task_stats(executions: DataFrame, events: DataFrame,
+                        tasks: DataFrame) -> DataFrame:
+    """Scheduled-task counter updates driven by the replay
+    (ExecutionLifecycle.ts:128-153): each transition with updateTaskStats
+    not false bumps successfulExecutions (completed — and resets
+    consecutiveFailures to 0) or failedExecutions (failed — and increments
+    consecutiveFailures); cancelled transitions touch no counters.  The
+    final consecutiveFailures is therefore the stats-updating failed
+    transitions after the task's last stats-updating completed transition,
+    stacked on the initial counter when the task never completed.
+
+    ``tasks``: (task_uuid, successful_executions, failed_executions,
+    consecutive_failures) initial counters; one output row per task.
+    Single hash groupBy over the resolved transitions — map-side
+    combinable, no window over the full log.
+    """
+    from pyspark.sql import Window
+
+    # one keyed window (same hash partitioning the groupBy reuses) carries
+    # each task's last completed seq onto every transition row — no
+    # self-join of the resolved log against its own aggregate
+    w = Window.partitionBy("scheduled_task_uuid")
+    t = (_resolve_transitions(executions, events)
+         .where(F.col("stats_on")
+                & F.col("final_status").isin("completed", "failed"))
+         .withColumn("__last_completed_seq",
+                     F.max(F.when(F.col("final_status") == "completed",
+                                  F.col("winner_seq"))).over(w)))
+
+    per_task = t.groupBy("scheduled_task_uuid").agg(
+        F.sum((F.col("final_status") == "completed").cast("int"))
+        .alias("__n_completed"),
+        F.sum((F.col("final_status") == "failed").cast("int"))
+        .alias("__n_failed"),
+        F.max("__last_completed_seq").alias("__last_completed_seq"),
+        F.sum(((F.col("final_status") == "failed")
+               & (F.col("__last_completed_seq").isNull()
+                  | (F.col("winner_seq") > F.col("__last_completed_seq"))))
+              .cast("int")).cast("int").alias("__tail_failed"))
+
+    return (
+        tasks.join(per_task, tasks["task_uuid"]
+                   == per_task["scheduled_task_uuid"], "left")
+        .select(
+            "task_uuid",
+            (F.col("successful_executions")
+             + F.coalesce("__n_completed", F.lit(0)))
+            .cast("int").alias("successful_executions"),
+            (F.col("failed_executions") + F.coalesce("__n_failed", F.lit(0)))
+            .cast("int").alias("failed_executions"),
+            F.when(F.col("__last_completed_seq").isNotNull(),
+                   F.coalesce("__tail_failed", F.lit(0)))
+            .otherwise(F.col("consecutive_failures")
+                       + F.coalesce("__tail_failed", F.lit(0)))
+            .cast("int").alias("consecutive_failures")))
