@@ -388,6 +388,165 @@ class CrawlEngine:
         )
         return _canonical_cols(seed, "url").select(*FRONTIER_COLS)
 
+    # -- TTL eviction / monitor recrawl --------------------------------------
+    # Deployment story (cuckoo.py module docstring): when a page-cache entry
+    # passes its TTL tier (cache.py — page 2d / sitemap 7d), the monitor
+    # evicts the URL from the URL-seen structures and re-enqueues it, so the
+    # next `run(cfg, resume=True)` fetches a fresh copy. Both steps are
+    # atomic manifest commits between runs.
+
+    def _canonical_rows(self, cfg: CrawlConfig, urls: list[str]) -> list:
+        frontier = _canonical_cols(
+            self.spark.createDataFrame([(cfg.job_id, u) for u in urls],
+                                       schema="job_id string, url string"),
+            "url")
+        rows, seen_h = [], set()
+        for row in frontier.collect():           # a monitor batch is small
+            if row["url_hash"] not in seen_h:
+                seen_h.add(row["url_hash"])
+                rows.append(row)
+        return rows
+
+    def _write_filter_driver(self, cache: dict[int, bytes],
+                             round_no: int) -> None:
+        import pyarrow as pa
+
+        self.catalog.append_round_local(
+            pa.table({
+                "bucket": pa.array(sorted(cache), type=pa.int32()),
+                "bitmap": pa.array([cache[b] for b in sorted(cache)],
+                                   type=pa.binary()),
+            }), "bloom", round_no)
+
+    def evict_urls(self, cfg: CrawlConfig, urls: list[str]) -> dict:
+        """Remove URLs from the committed seen state (TTL expiry): the
+        exact seen set is rewritten compacted minus the evicted hashes,
+        and the cumulative filter is amended — cuckoo via true deletion
+        (fam.delete_driver; one copy per distinct key makes it
+        collision-safe), bloom or a saturated cuckoo segment via a full
+        rebuild from the compacted exact seen (the same rebuild-from-
+        history remedy resume applies to corrupt segments). One commit,
+        replace=['seen','bloom']."""
+        spark = self.spark
+        progress = self._progress()
+        if progress["round"] < 0:
+            raise ValueError("no committed crawl state to evict from")
+        if not progress.get("finalized"):
+            # resume reads only the newest round's pending table — an
+            # eviction round on an unfinished job would orphan its frontier
+            raise ValueError("evict_urls runs between jobs — resume the "
+                             "crawl to completion first")
+        r = progress["round"] + 1
+        fam = cfg.filter_family()
+        hashes = [row["url_hash"] for row in self._canonical_rows(cfg, urls)]
+
+        seen = self._read_seen(spark, progress["round"])
+        if seen is None:
+            raise ValueError("no seen state committed yet")
+        evict_df = spark.createDataFrame([(h,) for h in hashes],
+                                         "url_hash string")
+        remaining = seen.join(F.broadcast(evict_df), "url_hash", "left_anti")
+        self.catalog.append_round(remaining, "seen", r)
+
+        deleted = False
+        if (fam.delete_driver is not None
+                and fam.total_bytes <= DRIVER_MERGE_MAX_BYTES):
+            prior = self._latest_bloom(spark, progress["round"])
+            if prior is not None:
+                cache, skipped = fam.delete_driver(
+                    segments_to_driver(prior), sorted(hashes))
+                if not skipped:
+                    self._write_filter_driver(cache, r)
+                    deleted = True
+        if not deleted:
+            # bloom (no deletion) / saturated segment / oversized filter:
+            # rebuild the cumulative filter from the compacted exact seen
+            self.catalog.append_round(
+                fam.build_segments(
+                    self.catalog.read_round_uncommitted(spark, "seen", r)),
+                "bloom", r)
+
+        meta = {**progress, "round": r, "finalized": True,
+                "pending_next": 0, "phase": "evicted",
+                "evicted": len(hashes), "filter_deletion": deleted}
+        self.catalog.commit_round(r, ["seen", "bloom"], meta,
+                                  replace=["seen", "bloom"])
+        self._bloom_mem, self._bloom_mem_round = None, -1
+        return meta
+
+    def reenqueue_urls(self, cfg: CrawlConfig, urls: list[str]) -> dict:
+        """Enqueue URLs as a fresh pending round (the monitor re-check):
+        frontier rows at depth 0 with enqueue seqs continuing the job's
+        dense numbering, hashes re-marked seen, and the cumulative filter
+        re-inserted — the other half of the cuckoo delete/insert round
+        trip. `run(cfg, resume=True)` then fetches them (the admission
+        limit still applies: pass a limit above the job's done count)."""
+        import pyarrow as pa
+
+        spark = self.spark
+        progress = self._progress()
+        if progress["round"] < 0:
+            raise ValueError("no committed crawl state to enqueue into")
+        if not progress.get("finalized"):
+            raise ValueError("reenqueue_urls runs between jobs — resume "
+                             "the crawl to completion first")
+        r = progress["round"] + 1
+        fam = cfg.filter_family()
+        rows = self._canonical_rows(cfg, urls)
+        base = progress["enqueued"]
+
+        pa_schema = pa.schema([
+            ("job_id", pa.string()), ("url", pa.string()),
+            ("url_hash", pa.string()), ("host", pa.string()),
+            ("origin", pa.string()), ("path", pa.string()),
+            ("depth", pa.int32()), ("seq", pa.int64()),
+            ("round_added", pa.int32()), ("attempt", pa.int32()),
+        ])
+        cols = {
+            "job_id": [row["job_id"] for row in rows],
+            "url": [row["url"] for row in rows],
+            "url_hash": [row["url_hash"] for row in rows],
+            "host": [row["host"] for row in rows],
+            "origin": [row["origin"] for row in rows],
+            "path": [row["path"] for row in rows],
+            "depth": [0] * len(rows),
+            "seq": [base + i for i in range(len(rows))],
+            "round_added": [r] * len(rows),
+            "attempt": [1] * len(rows),
+        }
+        self.catalog.append_round_local(pa.table(cols, schema=pa_schema),
+                                        "pending", r)
+        hashes = [row["url_hash"] for row in rows]
+        self.catalog.append_round_local(
+            pa.table({"url_hash": pa.array(hashes, type=pa.string())}),
+            "seen", r)
+
+        if fam.total_bytes <= DRIVER_MERGE_MAX_BYTES:
+            prior = self._latest_bloom(spark, progress["round"])
+            cache = segments_to_driver(prior) if prior is not None else {}
+            cache = fam.merge_driver(cache, fam.build_driver(hashes))
+            self._write_filter_driver(cache, r)
+        else:
+            # distributed-size filter: cumulative write = prior checkpoint
+            # OR-merged with the delta built from the new pending rows
+            delta = fam.build_segments(
+                self.catalog.read_round_uncommitted(spark, "pending", r))
+            prior = self._latest_bloom(spark, progress["round"])
+            segs = (delta if prior is None
+                    else fam.merge_segments(prior.unionByName(delta)))
+            self.catalog.append_round(segs, "bloom", r)
+
+        meta = {**progress, "round": r, "finalized": False,
+                "enqueued": base + len(rows), "pending_next": len(rows),
+                "pending_seq_range": [base, max(base, base + len(rows) - 1)],
+                "phase": "recrawl_enqueued"}
+        # cumulative filter: retire the prior copy, like the round loop
+        self.catalog.commit_round(r, ["pending", "seen", "bloom"], meta,
+                                  replace=["bloom"])
+        self._bloom_mem, self._bloom_mem_round = None, -1
+        self._pending_mem = None
+        return meta
+
     # -- the round loop -----------------------------------------------------
     def run(self, cfg: CrawlConfig, resume: bool = False) -> dict:
         t0 = time.time()

@@ -152,7 +152,8 @@ class SeenFilterFamily:
     and the exact anti-join (tests/test_crawl.py cuckoo-parity test)."""
 
     def __init__(self, name, total_bytes, geometry, build_segments,
-                 build_driver, merge_driver, merge_segments, filter_new):
+                 build_driver, merge_driver, merge_segments, filter_new,
+                 delete_driver=None):
         self.name = name
         self.total_bytes = total_bytes     # serialized bytes across buckets
         self.geometry = geometry           # resume-fingerprint (JSON list)
@@ -161,6 +162,9 @@ class SeenFilterFamily:
         self.merge_driver = merge_driver
         self.merge_segments = merge_segments
         self.filter_new = filter_new
+        # TTL/recrawl eviction: cuckoo supports true deletion; bloom does
+        # not (callers rebuild from the exact seen history instead)
+        self.delete_driver = delete_driver
 
 
 def filter_family(name: str = "bloom", *,
@@ -202,6 +206,8 @@ def filter_family(name: str = "bloom", *,
             lambda segs: cuckoo.merge_segments(segs, n_slots=slots),
             lambda cand, segs, seen: cuckoo.filter_new(
                 cand, segs, seen, num_buckets=num_buckets, n_slots=slots),
+            delete_driver=lambda cache, hashes: cuckoo.delete_driver(
+                cache, hashes, num_buckets=num_buckets, n_slots=slots),
         )
     raise ValueError(f"unknown seen-filter family: {name!r}")
 

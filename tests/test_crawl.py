@@ -675,3 +675,90 @@ class TestPipelinedCheckpointing:
                                     respect_robots=False,
                                     bloom_num_buckets=8), resume=True)
         assert engine2._writes is None
+
+
+class TestRecrawlEviction:
+    """TTL eviction → re-enqueue → recrawl round trip (the cuckoo.py
+    deployment story): a page-cache entry passes its TTL tier, the monitor
+    evicts the URL from the seen structures (true deletion on the cuckoo
+    family; rebuild-from-exact-seen on bloom) and re-enqueues it, and a
+    resumed run fetches exactly those URLs again with dense visit
+    numbering intact and every rediscovered link still deduped."""
+
+    @pytest.mark.parametrize("fam_name", ["cuckoo", "bloom"])
+    def test_cache_expiry_roundtrip(self, spark, small_corpus, tmp_root,
+                                    fam_name):
+        from anycrawl_spark.cache import cache_lookup
+
+        kw = dict(seed_url=SEED, strategy="all", max_depth=4, limit=40,
+                  respect_robots=False, seen_filter=fam_name)
+        eng = CrawlEngine(spark, small_corpus,
+                          os.path.join(tmp_root, f"recrawl_{fam_name}"))
+        s1 = eng.run(CrawlConfig(job_id="rc", **kw))
+        visits1 = eng.visits().collect()
+        ok_urls = sorted(v["url"] for v in visits1 if v["status"] == 200)
+        victims = ok_urls[1:4]          # 3 pages whose cache entries expire
+
+        # --- cache-TTL wiring: victims scraped 3 days ago (page tier = 2d)
+        cache = spark.createDataFrame(
+            [(v["url_hash"], "h0", "md", "tx", "t",)
+             for v in visits1 if v["status"] == 200],
+            "url_hash string, options_hash string, markdown string, "
+            "text string, title string",
+        ).withColumn(
+            "scraped_at",
+            F.when(F.col("url_hash").isin(
+                [v["url_hash"] for v in visits1 if v["url"] in victims]),
+                F.expr("current_timestamp() - INTERVAL 3 DAY"))
+            .otherwise(F.expr("current_timestamp()")))
+        frontier = spark.createDataFrame(
+            [(v["url"], v["url_hash"]) for v in visits1
+             if v["status"] == 200], "url string, url_hash string")
+        looked = cache_lookup(frontier, cache, "h0", tier="page")
+        expired = sorted(r["url"] for r in looked
+                         .where(~F.col("cache_hit")).collect())
+        assert expired == sorted(victims)   # page-tier TTL flags exactly them
+
+        # --- evict: seen state loses exactly the victim hashes
+        cfg = CrawlConfig(job_id="rc", **kw)
+        meta_e = eng.evict_urls(cfg, expired)
+        assert meta_e["evicted"] == 3
+        assert meta_e["filter_deletion"] is (fam_name == "cuckoo")
+        victim_hashes = {v["url_hash"] for v in visits1
+                         if v["url"] in victims}
+        seen_now = {r["url_hash"] for r in eng.catalog.read(
+            spark, "seen").select("url_hash").collect()}
+        assert victim_hashes.isdisjoint(seen_now)
+        assert len(seen_now) == s1["enqueued"] - 3
+        # the amended filter + exact seen treat victims as new again
+        fam = cfg.filter_family()
+        cand = eng._canonical_rows(cfg, expired)
+        cand_df = spark.createDataFrame(cand)
+        segs = eng._latest_bloom(spark, meta_e["round"])
+        fresh = fam.filter_new(cand_df, segs,
+                               eng.catalog.read(spark, "seen"))
+        assert {r["url_hash"] for r in fresh.collect()} == victim_hashes
+
+        # --- re-enqueue + resumed run fetches exactly the victims again
+        meta_q = eng.reenqueue_urls(cfg, expired)
+        assert meta_q["pending_next"] == 3
+        assert meta_q["enqueued"] == s1["enqueued"] + 3
+        s2 = eng.run(CrawlConfig(job_id="rc", **{**kw, "limit": 43}),
+                     resume=True)
+        assert s2["done"] == s1["done"] + 3
+        # rediscovered links all dedupe: nothing new enqueued beyond the 3
+        assert s2["enqueued"] == s1["enqueued"] + 3
+
+        visits2 = eng.visits().collect()
+        counts = {}
+        for v in visits2:
+            counts[v["url"]] = counts.get(v["url"], 0) + 1
+        assert all(counts[u] == 2 for u in victims)
+        assert all(n == 1 for u, n in counts.items() if u not in victims)
+        seqs = sorted(v["seq"] for v in visits2)
+        assert seqs == list(range(s2["done"]))   # dense numbering intact
+
+        # seen state is whole again: victims re-marked at enqueue
+        seen_after = {r["url_hash"] for r in eng.catalog.read(
+            spark, "seen").select("url_hash").collect()}
+        assert victim_hashes <= seen_after
