@@ -55,6 +55,7 @@ from .politeness import (
 )
 from .seen import (
     DRIVER_MERGE_MAX_BYTES,
+    exact_antijoin,
     segments_from_driver,
     segments_to_driver,
 )
@@ -125,6 +126,20 @@ class CrawlConfig:
                                          # 0 disables
     simulate_fetch_errors: bool = False  # F11: draw all five failure classes
                                          # from corpus misses (tests/fixtures)
+    fetch_semi_max: int = 1_000_000      # semi-reduce the corpus side of the
+                                         # fetch join with a broadcast of the
+                                         # admitted key set when the frontier
+                                         # round is at most this many rows;
+                                         # 0 disables (always shuffle join)
+    prefilter_min_seen: int = 25_000     # engage the bloom/cuckoo PROBE only
+                                         # once the seen set exceeds this many
+                                         # hashes; below it the exact anti-join
+                                         # alone is measurably cheaper than the
+                                         # segment broadcast + Arrow probe
+                                         # stage (BENCH.md r6). The filter is
+                                         # still built/checkpointed every
+                                         # round — this gates the physical
+                                         # plan only, never membership
 
     def __post_init__(self) -> None:
         # zod schema bounds (CrawlSchema.ts:31-47) — parse() rejects, so do we
@@ -751,8 +766,31 @@ class CrawlEngine:
         # keeps >= defaultParallelism partitions, so the extraction UDF runs
         # at full width without an extra shuffle of the html payload (an
         # explicit repartition here measured 3.6x slower in the bulk path).
+        #
+        # Small-frontier fast path: a BFS round's frontier is orders of
+        # magnitude smaller than the standing corpus, and a left join can't
+        # broadcast its left side — so the plain plan re-EXCHANGES the full
+        # corpus (html payloads included) every round, which measured as
+        # ~3.5 s/round of pure fixed cost at sf0.1 regardless of round size.
+        # Semi-reducing the corpus with a broadcast of the admitted key set
+        # first means the join shuffles only the matched pages (≤ admitted
+        # rows). Identity-preserving: reducing the right side of a left
+        # join by the left side's keys changes nothing. Gated on the
+        # driver-known pending count: a 10^10-frontier round with millions
+        # of admitted rows would blow the key broadcast, and falls back to
+        # the hash join (deployment posture there: corpus bucketed by
+        # url_hash, which removes the corpus exchange instead).
+        corpus_side = self.corpus
+        if (cfg.fetch_semi_max > 0 and known_pending is not None
+                and 0 < known_pending <= cfg.fetch_semi_max):
+            keys = admitted.select(
+                F.col("url_hash").alias("page_url_hash"))
+            corpus_side = self.corpus.join(F.broadcast(keys),
+                                           "page_url_hash", "left_semi")
         fetched = (
-            admitted.join(self.corpus, admitted["url_hash"] == self.corpus["page_url_hash"], "left")
+            admitted.join(corpus_side,
+                          admitted["url_hash"] == corpus_side["page_url_hash"],
+                          "left")
             .drop("page_url_hash")
             .withColumn("status", F.when(F.col("html").isNotNull(), 200).otherwise(404))
         )
@@ -860,16 +898,33 @@ class CrawlEngine:
             # round's segments at write time), so reading the seen-filter is
             # one round directory — O(1) per round, not O(rounds) re-merges.
             driver_bloom = fam.total_bytes <= DRIVER_MERGE_MAX_BYTES
-            if (driver_bloom and self._bloom_mem is not None
-                    and self._bloom_mem_round == r - 1):
-                segments = segments_from_driver(spark, self._bloom_mem)
+            seen = self._read_seen(spark, r - 1)
+            # The probabilistic pre-filter earns its keep only once the
+            # seen set is large: below prefilter_min_seen hashes the exact
+            # anti-join alone is measurably cheaper per round than the
+            # segment broadcast + Arrow probe stage it would precede
+            # (BENCH.md r6 probe: 0.57s vs 1.09s at 5k seen hashes), so
+            # small standing frontiers skip the probe. The filter is still
+            # primed and maintained every round — checkpoints, resume
+            # geometry, and the at-scale path are untouched; like
+            # budget_salt_n='auto' this gates only the physical plan,
+            # never membership results.
+            prefilter_on = progress["enqueued"] > cfg.prefilter_min_seen
+            segments = None
+            if driver_bloom:
+                if self._bloom_mem is None or self._bloom_mem_round != r - 1:
+                    seg_df = self._latest_bloom(spark, up_to_round=r - 1)
+                    if seg_df is not None:
+                        self._bloom_mem = segments_to_driver(seg_df)
+                        self._bloom_mem_round = r - 1
+                if prefilter_on and self._bloom_mem is not None:
+                    segments = segments_from_driver(spark, self._bloom_mem)
             else:
                 segments = self._latest_bloom(spark, up_to_round=r - 1)
-                if driver_bloom and segments is not None:
-                    self._bloom_mem = segments_to_driver(segments)
-                    segments = segments_from_driver(spark, self._bloom_mem)
-            seen = self._read_seen(spark, r - 1)
-            links = fam.filter_new(links, segments, seen)
+            if prefilter_on:
+                links = fam.filter_new(links, segments, seen)
+            elif seen is not None:
+                links = exact_antijoin(links, seen)
 
             n_buckets = 4 * spark.sparkContext.defaultParallelism
 
@@ -905,6 +960,7 @@ class CrawlEngine:
             bounds = progress.get("pending_seq_range")
             if bounds is not None:
                 disc_fut = writes.submit(disc_build, bounds[0], bounds[1])
+        _t_plan = time.time()
 
         # One job: outcome counts (progress/retry math) + the admitted seq
         # range (dense-seq bucketing fallback for checkpoints without a
@@ -971,6 +1027,7 @@ class CrawlEngine:
             # capacity are pruned before the offsets join.
             if disc_fut is not None:
                 ranked = disc_fut.result()
+                _t_ranked = time.time()
             else:
                 # no recorded pending_seq_range (resume/legacy checkpoint):
                 # the outcome job's min/max seq supplies the bounds
@@ -981,9 +1038,11 @@ class CrawlEngine:
                 seq_hi = max((row["max_seq"] for row in outcome_rows),
                              default=0)
                 ranked = disc_build(seq_lo, seq_hi)
+                _t_ranked = time.time()
             counts = {row["__bucket"]: row["cnt"] for row in
                       ranked.groupBy("__bucket").agg(
                           F.max("__lrn").alias("cnt")).collect()}
+            _t_counts = time.time()
             total = sum(counts.values())
             offsets, acc = [], 0
             for b in sorted(counts):
@@ -1203,6 +1262,14 @@ class CrawlEngine:
             "timings": {
                 "compute": round(_t_discover - _t0, 3),
                 "state_writes": round(_t_writes - _t_discover, 3),
+                # compute sub-phases: plan = driver-side build + submits,
+                # disc = the discovery checkpoint job (docs materialize),
+                # counts = the per-bucket count collect
+                "plan": round(_t_plan - _t0, 3),
+                "disc": round((_t_ranked - _t_plan), 3)
+                if disc_build is not None else 0.0,
+                "counts": round((_t_counts - _t_ranked), 3)
+                if disc_build is not None else 0.0,
             },
         }
         tables = ["pending", "results", "visits", "metrics"]

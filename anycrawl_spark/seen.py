@@ -264,10 +264,23 @@ def prefilter_antijoin(candidates: DataFrame, segments: DataFrame | None,
             yield out
 
     tested = joined.mapInPandas(test, schema=schema)
-    definitely_new = tested.where(~F.col("__maybe_seen")).drop("__maybe_seen")
-    maybe_seen = tested.where(F.col("__maybe_seen")).drop("__maybe_seen")
-    return definitely_new.unionByName(
-        exact_antijoin(maybe_seen, seen_exact, url_hash_col))
+    # ONE anti-join whose residual condition exempts probe-negative rows:
+    # a definitely-new row satisfies the condition against no seen row and
+    # passes through; a maybe-seen row survives only if absent from the
+    # exact history. Equivalent to splitting into (definitely_new ∪
+    # maybe_seen-anti-join) — but the split's union re-evaluated the whole
+    # candidate subtree (corpus join, extraction, dedup window, probe)
+    # once per branch, which measured as ~half the BFS round's fixed cost.
+    # The equi key keeps the hash distribution (no null-key skew), so the
+    # probe-negative majority still flows partition-aligned at any scale.
+    seen_keys = seen_exact.select(
+        F.col(url_hash_col).alias("__seen_hash")).distinct()
+    return (tested.join(
+                seen_keys,
+                (tested[url_hash_col] == seen_keys["__seen_hash"])
+                & F.col("__maybe_seen"),
+                "left_anti")
+            .drop("__maybe_seen"))
 
 
 def filter_new(candidates: DataFrame, segments: DataFrame | None,

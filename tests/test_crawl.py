@@ -762,3 +762,24 @@ class TestRecrawlEviction:
         seen_after = {r["url_hash"] for r in eng.catalog.read(
             spark, "seen").select("url_hash").collect()}
         assert victim_hashes <= seen_after
+
+
+class TestPrefilterGate:
+    def test_gate_never_changes_results(self, spark, small_corpus, tmp_root):
+        """prefilter_min_seen gates only the physical plan (probe vs plain
+        exact anti-join) — visit order, statuses, and the seen set must be
+        byte-identical on both sides of the threshold."""
+        runs = {}
+        for tag, threshold in (("probe", 0), ("exact", 1 << 30)):
+            eng = CrawlEngine(spark, small_corpus,
+                              os.path.join(tmp_root, f"pf_{tag}"))
+            eng.run(CrawlConfig(job_id="pf", seed_url=SEED, strategy="all",
+                                max_depth=6, limit=60, respect_robots=False,
+                                prefilter_min_seen=threshold))
+            runs[tag] = (
+                [(r["seq"], r["url"], r["status"])
+                 for r in eng.visit_order().collect()],
+                sorted(r["url_hash"] for r in
+                       eng.catalog.read(spark, "seen").collect()),
+            )
+        assert runs["probe"] == runs["exact"]

@@ -178,10 +178,14 @@ class TestCuckooCrawlParity:
             engine = CrawlEngine(
                 spark, small_corpus,
                 os.path.join(tmp_root, f"fam_{fam_name}"))
+            # prefilter_min_seen=0 forces the probe path even at this
+            # small seen size (the engine's default would take the plain
+            # exact anti-join below 25k hashes) — the parity under test is
+            # the families' PROBE routing, so keep it engaged
             engine.run(CrawlConfig(
                 job_id=f"fam_{fam_name}", seed_url=SEED, strategy="all",
                 max_depth=6, limit=60, respect_robots=False,
-                seen_filter=fam_name))
+                seen_filter=fam_name, prefilter_min_seen=0))
             runs[fam_name] = (
                 [(r["seq"], r["url"], r["status"])
                  for r in engine.visit_order().collect()],
@@ -195,7 +199,8 @@ class TestCuckooCrawlParity:
         root = os.path.join(tmp_root, "fam_resume")
         engine = CrawlEngine(spark, small_corpus, root)
         kw = dict(seed_url=SEED, strategy="all", max_depth=6, limit=30,
-                  respect_robots=False, seen_filter="cuckoo")
+                  respect_robots=False, seen_filter="cuckoo",
+                  prefilter_min_seen=0)
         # killed after 2 rounds (max_rounds=2 simulates the kill)
         engine.run(CrawlConfig(job_id="fr", max_rounds=2, **kw))
         # family switch on resume must be rejected (geometry fingerprint)

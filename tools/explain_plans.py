@@ -360,8 +360,10 @@ def main() -> None:
         "markdown parity must evaluate the kernel exactly once"
 
     # 19. cuckoo seen-filter: segment table broadcast onto candidates, one
-    # Arrow-batched membership test, exact anti-join only on the maybe-seen
-    # remainder (same plan contract as the bloom family)
+    # Arrow-batched membership test, then ONE anti-join whose residual
+    # condition exempts probe-negative rows (r6: replaced the split+union,
+    # which re-evaluated the candidate subtree once per branch; same plan
+    # contract as the bloom family)
     p = plan_of(REGISTRY["cuckoo_seen_filter"].fn(
         spark, "/root/testdata/sf0.01"))
     sections.append((
@@ -417,6 +419,52 @@ def main() -> None:
             "rank shuffle keyed by user_id": r"hashpartitioning\(user_id",
             "over-quota groups broadcast onto the ranked tasks":
                 r"BroadcastHashJoin",
+        },
+    ))
+
+    # 23. template render pipeline: one Arrow-batched UDF over the
+    # documents scan — request synthesis, merge, and render are all
+    # row-local, so the whole query is shuffle-free
+    p = plan_of(REGISTRY["template_render"].fn(spark, "/root/testdata/sf0.01"))
+    sections.append((
+        "template_render: one Arrow UDF, shuffle-free row-local pipeline",
+        p,
+        {
+            "one Arrow-batched process_request UDF": r"ArrowEvalPython",
+        },
+    ))
+    assert "Exchange hashpartitioning" not in p, \
+        "template render must not shuffle"
+    assert len(re.findall(r"^\(\d+\) ArrowEvalPython", p, re.M)) == 1, \
+        "template render must evaluate the pipeline exactly once"
+
+    # 24. execution finalize: winner resolution = row_number windows keyed
+    # by execution_uuid; the (large) call log is never broadcast
+    p = plan_of(REGISTRY["execution_finalize"].fn(
+        spark, "/root/testdata/sf0.01"))
+    sections.append((
+        "execution_finalize: first-call-wins windows keyed by execution",
+        p,
+        {
+            "winner windows keyed by execution_uuid":
+                r"hashpartitioning\(execution_uuid",
+            "row_number picks the first finalize call": r"row_number",
+        },
+    ))
+    assert "EvalPython" not in p, "finalize replay must stay JVM-side"
+
+    # 25. billing ledger: per-job sequential fold via applyInPandas (jobs
+    # fold in parallel), dims broadcast, one keyed balance window
+    p = plan_of(REGISTRY["ledger_rollup"].fn(spark, "/root/testdata/sf0.01"))
+    sections.append((
+        "ledger_rollup: per-job fold + broadcast dims + keyed balance window",
+        p,
+        {
+            "per-job sequential fold (parallel across jobs)":
+                r"FlatMapGroupsInPandas",
+            "jobs/api_keys dims broadcast": r"BroadcastHashJoin",
+            "balance snapshots via one window keyed by api_key":
+                r"hashpartitioning\(api_key",
         },
     ))
 
