@@ -137,6 +137,45 @@ def cmd_map(args) -> None:
     print(json.dumps({"out": args.out}))
 
 
+def cmd_recrawl(args) -> None:
+    """TTL eviction + monitor re-enqueue against a finished crawl
+    checkpoint (the cuckoo deployment story): evict the given URLs from
+    the seen structures, enqueue them as a fresh pending round, and —
+    unless --no-run — resume the crawl to fetch them again. The limit is
+    raised automatically to cover the re-enqueued URLs."""
+    from anycrawl_spark.catalog import Catalog
+    from anycrawl_spark.crawl import CrawlConfig, CrawlEngine
+
+    spark = build_session("anycrawl-recrawl")
+    corpus = spark.read.parquet(args.corpus)
+    engine = CrawlEngine(spark, corpus, args.checkpoint)
+    cat = Catalog(args.checkpoint)
+    done = (cat.round_meta(cat.last_round()) or {}).get("done", 0)
+    # family + geometry are baked into the checkpoint (round-0 meta);
+    # resolving them here keeps eviction family-consistent by construction
+    geometry = (cat.round_meta(0) or {}).get("bloom_geometry") or []
+    if geometry and geometry[0] == "cuckoo":
+        fam_kw = {"seen_filter": "cuckoo", "bloom_num_buckets": geometry[1],
+                  "cuckoo_n_slots": geometry[2]}
+    elif geometry:
+        fam_kw = {"seen_filter": "bloom", "bloom_num_buckets": geometry[0],
+                  "bloom_m_bits": geometry[1], "bloom_k": geometry[2]}
+    else:
+        fam_kw = {}
+    cfg = CrawlConfig(job_id=args.job_id, seed_url=args.urls[0],
+                      strategy="all",
+                      limit=min(50_000, done + len(args.urls)),
+                      respect_robots=False, **fam_kw)
+    evicted = engine.evict_urls(cfg, args.urls)
+    enqueued = engine.reenqueue_urls(cfg, args.urls)
+    summary = {"evicted": evicted["evicted"],
+               "filter_deletion": evicted["filter_deletion"],
+               "reenqueued": enqueued["pending_next"]}
+    if not args.no_run:
+        summary["run"] = engine.run(cfg, resume=True)
+    print(json.dumps(summary))
+
+
 def cmd_cancel(args) -> None:
     """Cancel (or un-cancel) a running/resumable crawl by its checkpoint —
     the batch analogue of ProgressManager.cancel (Progress.ts:434-448).
@@ -182,6 +221,16 @@ def main(argv=None) -> None:
                    help="rewrite the seen table cumulatively every K "
                         "seen-writing rounds (0 disables)")
     p.set_defaults(fn=cmd_crawl)
+
+    p = sub.add_parser("recrawl")
+    p.add_argument("--corpus", required=True)
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--urls", nargs="+", required=True,
+                   help="TTL-expired URLs to evict from seen and refetch")
+    p.add_argument("--job-id", default="job")
+    p.add_argument("--no-run", action="store_true",
+                   help="evict + enqueue only; fetch on the next --resume")
+    p.set_defaults(fn=cmd_recrawl)
 
     p = sub.add_parser("cancel")
     p.add_argument("--checkpoint", required=True)
