@@ -229,8 +229,10 @@ def charge_details(options: DataFrame, calculator: str,
 # target watermark; both reserve an idempotency-keyed ledger entry first
 # (ON CONFLICT DO NOTHING — a duplicate key books nothing and charges
 # nothing) and then deduct the charged amount from the api key's credits.
-# Replay = a per-job sequential fold (every reference-generated key embeds
-# the jobId, so dedup state is job-local) + a per-api-key running balance.
+# Replay = a global first-per-explicit-key pass (the constraint is a
+# GLOBAL unique index; caller keys need not embed the jobId) + a per-job
+# sequential fold (default keys are job-scoped by construction) + a
+# per-api-key running balance.
 
 import math as _math
 
@@ -275,10 +277,11 @@ def normalize_idempotency_key(value) -> str | None:
 
 
 def _num_str(x: float) -> str:
-    """JS template-literal number rendering for default idempotency keys."""
-    if x == int(x) and abs(x) < 1e21:
-        return str(int(x))
-    return repr(x)
+    """JS template-literal number rendering for default idempotency keys
+    (`${beforeUsed}` interpolates via Number::toString)."""
+    from anycrawl_spark.template_handler import js_number_to_string
+
+    return js_number_to_string(x)
 
 
 def build_default_idempotency_key(mode: str, job_id: str, reason: str,
@@ -361,7 +364,12 @@ def _fold_job_charges(pdf):
     pdf = pdf.sort_values("seq")
     job_id = pdf["job_id"].iloc[0]
     api_key = pdf["api_key"].iloc[0]
-    used = float(pdf["init_used"].iloc[0] or 0.0)
+    # Number(creditsUsed ?? 0): a NULL arrives as pandas NaN (truthy!) —
+    # guard it explicitly or NaN poisons every before/after in the fold
+    init = pdf["init_used"].iloc[0]
+    used = (float(init) if init is not None
+            and not (isinstance(init, float) and _math.isnan(init))
+            else 0.0)
     seen: set[str] = set()
     rows = []
     for ev in pdf.itertuples(index=False):
@@ -428,6 +436,32 @@ def ledger_rollup(charge_events: DataFrame, jobs: DataFrame,
         F.broadcast(jobs.select("job_id", "api_key",
                                 F.col("credits_used").alias("init_used"))),
         "job_id", "inner")
+
+    # The reference's idempotency constraint is GLOBAL (the ledger's unique
+    # key index), while the fold's dedup state is job-local. Reference-
+    # generated keys embed the jobId, but caller-supplied explicit keys
+    # need not — so explicit-key events that would attempt a reservation
+    # (positive finite deltas; any target) keep only their first occurrence
+    # by seq ACROSS jobs before the fold. One corner stays as-if-aborted:
+    # a target whose first occurrence books nothing leaves its key
+    # unconsumed in the reference, while the later duplicate here was
+    # already dropped — but that true duplicate would have thrown in the
+    # reference transaction, so ledger and balances cannot diverge.
+    norm_key = F.when(F.trim("idempotency_key") == "", F.lit(None)) \
+        .otherwise(F.trim("idempotency_key"))
+    attempts = F.coalesce(
+        norm_key.isNotNull()
+        & ((F.col("mode") == "target")
+           | ((F.col("amount") > 0) & ~F.isnan("amount")
+              & (F.col("amount") != float("inf")))),
+        F.lit(False))
+    w_key = Window.partitionBy(norm_key).orderBy("seq")
+    first_attempts = (
+        enriched.where(attempts)
+        .withColumn("__rn", F.row_number().over(w_key))
+        .where(F.col("__rn") == 1).drop("__rn"))
+    enriched = enriched.where(~attempts).unionByName(first_attempts)
+
     ledger = enriched.groupBy("job_id").applyInPandas(
         _fold_job_charges, schema=_LEDGER_FOLD_SCHEMA)
 

@@ -410,6 +410,18 @@ class CrawlEngine:
     # next `run(cfg, resume=True)` fetches a fresh copy. Both steps are
     # atomic manifest commits between runs.
 
+    def _check_geometry(self, fam) -> None:
+        """Same guard as resume (ExecutionLifecycle of the filter state):
+        family + geometry are baked into every checkpointed segment, so an
+        eviction/re-enqueue with a mismatched config would misread blobs or
+        commit wrong-geometry segments that a later resume then trusts."""
+        seeded = self.catalog.round_meta(0) or {}
+        fp = seeded.get("bloom_geometry")
+        if fp is not None and fp != fam.geometry:
+            raise ValueError(
+                f"seen-filter geometry mismatch: checkpoint has {fp}, "
+                f"config asks {fam.geometry}")
+
     def _canonical_rows(self, cfg: CrawlConfig, urls: list[str]) -> list:
         frontier = _canonical_cols(
             self.spark.createDataFrame([(cfg.job_id, u) for u in urls],
@@ -453,13 +465,22 @@ class CrawlEngine:
                              "crawl to completion first")
         r = progress["round"] + 1
         fam = cfg.filter_family()
-        hashes = [row["url_hash"] for row in self._canonical_rows(cfg, urls)]
+        self._check_geometry(fam)
 
         seen = self._read_seen(spark, progress["round"])
         if seen is None:
             raise ValueError("no seen state committed yet")
-        evict_df = spark.createDataFrame([(h,) for h in hashes],
+        requested = [row["url_hash"] for row in self._canonical_rows(cfg,
+                                                                     urls)]
+        evict_df = spark.createDataFrame([(h,) for h in requested],
                                          "url_hash string")
+        # Evict only hashes actually IN the seen set: cuckoo deletion is
+        # defined only for tracked insertions — deleting a never-inserted
+        # hash could zero a colliding member's only fingerprint copy and
+        # break the no-false-negative contract (cuckoo.py _delete).
+        hashes = sorted(row["url_hash"] for row in seen.join(
+            F.broadcast(evict_df), "url_hash", "left_semi")
+            .select("url_hash").distinct().collect())
         remaining = seen.join(F.broadcast(evict_df), "url_hash", "left_anti")
         self.catalog.append_round(remaining, "seen", r)
 
@@ -507,6 +528,7 @@ class CrawlEngine:
                              "the crawl to completion first")
         r = progress["round"] + 1
         fam = cfg.filter_family()
+        self._check_geometry(fam)
         rows = self._canonical_rows(cfg, urls)
         base = progress["enqueued"]
 

@@ -3635,17 +3635,18 @@ def q_execution_task_stats(spark, sf_dir):
                           [CAST(event_id % 6 AS INT) + 1] END AS amount,
                 'r' || (event_id % 3)::VARCHAR AS reason,
                 CASE WHEN event_id % 10 = 9 THEN NULL
-                     ELSE 'k-' || (event_id % 25)::VARCHAR || '-'
-                          || (event_id % 40)::VARCHAR
+                     ELSE 'k-' || (event_id % 40)::VARCHAR
                 END AS idempotency_key,
                 CASE WHEN event_id % 4 = 0 THEN 'calcA'
                      ELSE 'billing_v1' END AS detail_calculator,
                 event_id % 2 = 0 AS items_match
          FROM events),
+       -- explicit keys dedup GLOBALLY (the ledger's unique index), not
+       -- per job: 'k-N' collides across jobs here by construction
        booked_delta_seqs AS (
          SELECT seq FROM (
            SELECT seq, row_number() OVER (
-             PARTITION BY job_id, idempotency_key ORDER BY seq) AS rn
+             PARTITION BY idempotency_key ORDER BY seq) AS rn
            FROM ev WHERE mode = 'delta' AND amount > 0)
          WHERE rn = 1),
        cums AS (
@@ -3734,8 +3735,8 @@ def q_ledger_rollup(spark, sf_dir):
         amount.alias("amount"),
         F.concat(F.lit("r"), (e % 3).cast("string")).alias("reason"),
         F.when(~is_target,
-               F.concat(F.lit("k-"), (e % 25).cast("string"), F.lit("-"),
-                        (e % 40).cast("string"))).alias("idempotency_key"),
+               F.concat(F.lit("k-"), (e % 40).cast("string")))
+        .alias("idempotency_key"),
         F.when(e % 4 == 0, F.lit("calcA")).alias("calculator"),
         F.when(~is_target,
                F.array(F.struct(item_code.alias("code"),

@@ -78,17 +78,52 @@ def js_trim(s: str) -> str:
     return s.strip(_JS_TRIM_CHARS)
 
 
-def _js_number_str(x) -> str:
-    """String(number) for the JSON-scalar range a template variable holds."""
+def js_number_to_string(x) -> str:
+    """ECMA-262 Number::toString(10): shortest-roundtrip digits with JS
+    notation rules — fixed notation for decimal exponents in (-6, 21],
+    otherwise exponential with an UNPADDED exponent ('1e-7', '1.2e+21';
+    Python repr would give '1e-07' and switch to e-notation at 1e-5)."""
+    if isinstance(x, bool):
+        return "true" if x else "false"
     if isinstance(x, int):
         return str(x)
     if math.isnan(x):
         return "NaN"
     if math.isinf(x):
         return "Infinity" if x > 0 else "-Infinity"
-    if x == int(x) and abs(x) < 1e21:
-        return str(int(x))
-    return repr(x)
+    if x == 0:
+        return "0"                       # String(-0) === "0"
+    sign = "-" if x < 0 else ""
+    # shortest round-trip digit string + decimal-point position n:
+    # value = 0.digits * 10^n
+    s = repr(abs(x))
+    if "e" in s:
+        mant, exp = s.split("e")
+        digits = mant.replace(".", "").rstrip("0") or "0"
+        point = mant.index(".") if "." in mant else len(mant)
+        n = int(exp) + point
+    elif "." in s:
+        int_part, frac = s.split(".")
+        if int_part == "0":
+            stripped = frac.lstrip("0")
+            n = -(len(frac) - len(stripped))
+            digits = stripped.rstrip("0")
+        else:
+            digits = (int_part + frac).rstrip("0")
+            n = len(int_part)
+    else:
+        digits = s.rstrip("0") or "0"
+        n = len(s)
+    k = len(digits)
+    if k <= n <= 21:
+        return sign + digits + "0" * (n - k)
+    if 0 < n <= 21:
+        return sign + digits[:n] + "." + digits[n:]
+    if -6 < n <= 0:
+        return sign + "0." + "0" * (-n) + digits
+    e = n - 1
+    head = digits[0] + ("." + digits[1:] if k > 1 else "")
+    return sign + head + "e" + ("+" if e >= 0 else "-") + str(abs(e))
 
 
 def to_string_value(v) -> str:
@@ -102,7 +137,7 @@ def to_string_value(v) -> str:
     if isinstance(v, bool):
         return "true" if v else "false"
     if isinstance(v, (int, float)):
-        return _js_number_str(v)
+        return js_number_to_string(v)
     try:
         return json.dumps(v, separators=(",", ":"), ensure_ascii=False)
     except (TypeError, ValueError):
@@ -685,7 +720,6 @@ def make_process_request_udf(template: dict, template_type: str,
             try:
                 processed = process_request(json.loads(raw), template,
                                             template_type, current_user_id)
-                processed.pop("template", None)
                 out.append(json.dumps(processed, sort_keys=True,
                                       separators=(",", ":"),
                                       ensure_ascii=False))

@@ -719,9 +719,17 @@ class TestRecrawlEviction:
                          .where(~F.col("cache_hit")).collect())
         assert expired == sorted(victims)   # page-tier TTL flags exactly them
 
-        # --- evict: seen state loses exactly the victim hashes
+        # --- evict: seen state loses exactly the victim hashes. A never-
+        # crawled URL in the batch must NOT be deleted (cuckoo deletion of
+        # a non-member could zero a colliding member's only fingerprint),
+        # and a mismatched filter geometry must be rejected before any
+        # state is touched (the resume guard, applied to eviction too).
         cfg = CrawlConfig(job_id="rc", **kw)
-        meta_e = eng.evict_urls(cfg, expired)
+        with pytest.raises(ValueError, match="geometry mismatch"):
+            eng.evict_urls(CrawlConfig(job_id="rc", **{
+                **kw, "bloom_num_buckets": 8}), expired)
+        meta_e = eng.evict_urls(
+            cfg, expired + ["https://never-crawled.test/x"])
         assert meta_e["evicted"] == 3
         assert meta_e["filter_deletion"] is (fam_name == "cuckoo")
         victim_hashes = {v["url_hash"] for v in visits1

@@ -162,3 +162,15 @@ class TestLedgerFold:
         out = _fold([{"amount": 0}])
         assert len(out) == 0
         assert "idempotency_key" in out.columns
+
+
+class TestLedgerFoldGuards:
+    def test_null_init_used_treated_as_zero(self):
+        # Number(creditsUsed ?? 0): pandas NULL arrives as NaN (truthy!)
+        out = _fold([{"amount": 2}], init_used=math.nan)
+        assert list(out["before_used"]) == [0.0]
+        assert list(out["after_used"]) == [2.0]
+
+    def test_default_keys_use_js_number_rendering(self):
+        out = _fold([{"amount": 1e-7, "reason": "x"}])
+        assert out["idempotency_key"].iloc[0] == "billing:delta:j1:0->1e-7:x"

@@ -418,3 +418,26 @@ class TestPipeline:
         req = {"template_id": "amazon-product", "query": "find {{q|query}}"}
         out = process_request(req, t, "search")
         assert out["query"] == "find a b"
+
+
+class TestJsNumberToString:
+    def test_v8_reference_values(self):
+        from anycrawl_spark.template_handler import js_number_to_string as f
+
+        # values cross-checked against V8 String(x)
+        cases = [
+            (0.000001, "0.000001"), (1e-7, "1e-7"), (1.5, "1.5"),
+            (3.0, "3"), (1e21, "1e+21"), (1.2e21, "1.2e+21"),
+            (123456789012345680000.0, "123456789012345680000"),
+            (-0.0, "0"), (0.1, "0.1"), (1e-5, "0.00001"),
+            (2.5e-7, "2.5e-7"), (1234.5678, "1234.5678"), (-42.0, "-42"),
+            (9007199254740993.0, "9007199254740992"),
+            (1.7976931348623157e+308, "1.7976931348623157e+308"),
+            (5e-324, "5e-324"), (100.0, "100"), (True, "true"), (7, "7"),
+        ]
+        assert [(x, f(x)) for x, want in cases] \
+            == [(x, want) for x, want in cases]
+
+    def test_render_uses_js_notation(self):
+        assert render_url_template("{{n}}", {"n": 1e-7}) == "1e-7"
+        assert render_url_template("{{n}}", {"n": 0.000001}) == "0.000001"
