@@ -441,3 +441,16 @@ class TestJsNumberToString:
     def test_render_uses_js_notation(self):
         assert render_url_template("{{n}}", {"n": 1e-7}) == "1e-7"
         assert render_url_template("{{n}}", {"n": 0.000001}) == "0.000001"
+
+    def test_roundtrip_property(self):
+        from hypothesis import given, strategies as st
+
+        from anycrawl_spark.template_handler import js_number_to_string as f
+
+        @given(st.floats(allow_nan=False, allow_infinity=False))
+        def roundtrip(x):
+            # shortest-roundtrip digits: parsing the JS rendering must
+            # recover the exact double
+            assert float(f(x)) == x
+
+        roundtrip()
