@@ -269,10 +269,13 @@ def normalize_non_negative_number(value) -> float:
 
 
 def normalize_idempotency_key(value) -> str | None:
-    """Billing.ts:64-68: trimmed non-empty strings only."""
+    """Billing.ts:64-68: trimmed non-empty strings only (JS String.trim's
+    whitespace set, which differs from Python str.strip on e.g. \\x85)."""
+    from anycrawl_spark.template_handler import js_trim
+
     if not isinstance(value, str):
         return None
-    t = value.strip()
+    t = js_trim(value)
     return t or None
 
 
@@ -440,22 +443,32 @@ def ledger_rollup(charge_events: DataFrame, jobs: DataFrame,
     # The reference's idempotency constraint is GLOBAL (the ledger's unique
     # key index), while the fold's dedup state is job-local. Reference-
     # generated keys embed the jobId, but caller-supplied explicit keys
-    # need not — so explicit-key events that would attempt a reservation
-    # (positive finite deltas; any target) keep only their first occurrence
-    # by seq ACROSS jobs before the fold. One corner stays as-if-aborted:
-    # a target whose first occurrence books nothing leaves its key
-    # unconsumed in the reference, while the later duplicate here was
-    # already dropped — but that true duplicate would have thrown in the
-    # reference transaction, so ledger and balances cannot diverge.
-    norm_key = F.when(F.trim("idempotency_key") == "", F.lit(None)) \
-        .otherwise(F.trim("idempotency_key"))
+    # need not — so explicit-key DELTA events that would attempt a
+    # reservation (positive finite amounts) keep only their first
+    # occurrence across jobs before the fold: a positive delta ALWAYS
+    # attempts reservation, so first-wins is exact. Target-mode keys stay
+    # fold-local by contract: whether a target even reaches reservation
+    # depends on the fold state (an already-reached watermark returns
+    # before touching the key), so a global pre-pass would mis-consume
+    # keys — and every reference chargeToUsed call site uses default or
+    # job-embedding keys, so cross-job target-key collisions cannot occur
+    # in replayed logs (documented contract, not silent truncation).
+    # Trim with the JS String.trim whitespace set, matching the fold's
+    # normalize_idempotency_key byte-for-byte.
+    from anycrawl_spark.template_handler import _JS_TRIM_CHARS
+
+    cls = "[" + "".join(f"\\u{ord(c):04x}" for c in _JS_TRIM_CHARS) + "]"
+    trimmed = F.regexp_replace(F.col("idempotency_key"),
+                               f"^{cls}+|{cls}+$", "")
+    norm_key = F.when(trimmed == "", F.lit(None)).otherwise(trimmed)
     attempts = F.coalesce(
-        norm_key.isNotNull()
-        & ((F.col("mode") == "target")
-           | ((F.col("amount") > 0) & ~F.isnan("amount")
-              & (F.col("amount") != float("inf")))),
+        norm_key.isNotNull() & (F.col("mode") != "target")
+        & (F.col("amount") > 0) & ~F.isnan("amount")
+        & (F.col("amount") != float("inf")),
         F.lit(False))
-    w_key = Window.partitionBy(norm_key).orderBy("seq")
+    # seq is the global call order; job_id breaks (malformed) ties
+    # deterministically so the surviving event never flips between runs
+    w_key = Window.partitionBy(norm_key).orderBy("seq", "job_id")
     first_attempts = (
         enriched.where(attempts)
         .withColumn("__rn", F.row_number().over(w_key))

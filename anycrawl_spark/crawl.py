@@ -411,16 +411,21 @@ class CrawlEngine:
     # atomic manifest commits between runs.
 
     def _check_geometry(self, fam) -> None:
-        """Same guard as resume (ExecutionLifecycle of the filter state):
-        family + geometry are baked into every checkpointed segment, so an
-        eviction/re-enqueue with a mismatched config would misread blobs or
-        commit wrong-geometry segments that a later resume then trusts."""
+        """Filter family + geometry are baked into every checkpointed
+        segment — resuming, evicting, or re-enqueuing with different
+        parameters would read wrong bit positions / fingerprints (false
+        negatives or IndexError in the tester) or commit wrong-geometry
+        segments a later resume then trusts. Bloom keeps the historic
+        [nb, m_bits, k] fingerprint shape; cuckoo prepends its family tag,
+        so a family switch always mismatches."""
         seeded = self.catalog.round_meta(0) or {}
         fp = seeded.get("bloom_geometry")
         if fp is not None and fp != fam.geometry:
             raise ValueError(
-                f"seen-filter geometry mismatch: checkpoint has {fp}, "
-                f"config asks {fam.geometry}")
+                f"seen-filter geometry mismatch (bloom geometry "
+                f"[nb, m_bits, k] or cuckoo geometry ['cuckoo', nb, "
+                f"n_slots] is baked into checkpointed segments): "
+                f"checkpoint has {fp}, config asks {fam.geometry}")
 
     def _canonical_rows(self, cfg: CrawlConfig, urls: list[str]) -> list:
         frontier = _canonical_cols(
@@ -490,7 +495,7 @@ class CrawlEngine:
             prior = self._latest_bloom(spark, progress["round"])
             if prior is not None:
                 cache, skipped = fam.delete_driver(
-                    segments_to_driver(prior), sorted(hashes))
+                    segments_to_driver(prior), hashes)
                 if not skipped:
                     self._write_filter_driver(cache, r)
                     deleted = True
@@ -616,20 +621,7 @@ class CrawlEngine:
             self.catalog.drop_uncommitted()
             progress = self._progress()
             round_no = progress["round"] + 1
-            # filter family + geometry are baked into every checkpointed
-            # segment — resuming with different parameters would read wrong
-            # bit positions / fingerprints (false negatives or IndexError
-            # in the tester). Bloom keeps the historic [nb, m_bits, k]
-            # fingerprint shape; cuckoo prepends its family tag, so a
-            # family switch always mismatches.
-            seeded = self.catalog.round_meta(0)
-            fp = seeded.get("bloom_geometry")
-            if fp is not None and fp != fam.geometry:
-                raise ValueError(
-                    f"resume seen-filter geometry mismatch (bloom geometry "
-                    f"[nb, m_bits, k] or cuckoo geometry ['cuckoo', nb, "
-                    f"n_slots] is baked into checkpointed segments): "
-                    f"checkpoint has {fp}, config asks {fam.geometry}")
+            self._check_geometry(fam)
         else:
             self.catalog.destroy()
             self.catalog = Catalog(self.catalog.root)

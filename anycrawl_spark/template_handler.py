@@ -86,7 +86,9 @@ def js_number_to_string(x) -> str:
     if isinstance(x, bool):
         return "true" if x else "false"
     if isinstance(x, int):
-        return str(x)
+        if -(2**53) < x < 2**53:
+            return str(x)
+        x = float(x)    # JSON ints are doubles in JS: 2^53+1 -> ...992
     if math.isnan(x):
         return "NaN"
     if math.isinf(x):
@@ -111,9 +113,8 @@ def js_number_to_string(x) -> str:
         else:
             digits = (int_part + frac).rstrip("0")
             n = len(int_part)
-    else:
-        digits = s.rstrip("0") or "0"
-        n = len(s)
+    else:   # float repr always carries '.' or 'e'
+        raise AssertionError(f"unexpected float repr {s!r}")
     k = len(digits)
     if k <= n <= 21:
         return sign + digits + "0" * (n - k)
