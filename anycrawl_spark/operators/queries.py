@@ -3752,6 +3752,438 @@ def q_ledger_rollup(spark, sf_dir):
 
 
 # ===========================================================================
+# Proxy decision core + IP access control (Proxy.ts / ProxyCacheManager.ts /
+# ipUtils.ts) — round 6
+# ===========================================================================
+
+_PROXY_REASONS = ("cloudflare_challenge", "http_error", "timeout",
+                  "blocked", "proxy_error")
+
+
+@register(
+    "proxy_cache_replay",
+    """WITH ev AS (
+         SELECT 'd' || CAST(event_id % 37 AS VARCHAR) || '.example.com'
+                  AS domain,
+                event_id AS seq,
+                1700000000000 + event_id * 997 AS ts,
+                CASE WHEN event_id % 5 < 3 THEN 'failure'
+                     ELSE 'success' END AS kind,
+                CASE WHEN event_id % 5 < 3
+                     THEN (['auto','base','stealth','custom'])
+                          [CAST(event_id % 4 AS INT) + 1]
+                     ELSE (['auto','base','stealth',
+                            'http://custom-proxy:3128'])
+                          [CAST(event_id % 4 AS INT) + 1] END AS mode,
+                CASE WHEN event_id % 5 >= 3
+                     THEN 'http://p' || CAST(event_id % 4 AS VARCHAR)
+                          || ':8080' END AS proxy_url,
+                CASE WHEN event_id % 5 < 3
+                     THEN (['cloudflare_challenge','http_error','timeout',
+                            'blocked','proxy_error'])
+                          [CAST((event_id // 5) % 5 AS INT) + 1]
+                END AS reason
+         FROM events),
+       filt AS (
+         SELECT * FROM ev
+         WHERE kind = 'success' OR mode <> 'custom'),
+       w AS (
+         SELECT *,
+                max(CASE WHEN kind = 'success' THEN seq END)
+                  OVER (PARTITION BY domain) AS last_succ_seq,
+                (kind = 'failure' AND NOT (mode = 'base' AND reason NOT IN
+                   ('cloudflare_challenge','blocked'))) AS trig
+         FROM filt),
+       agg AS (
+         SELECT domain,
+                arg_max(mode, CASE WHEN kind = 'success' THEN seq END)
+                  AS last_succ_mode,
+                arg_max(proxy_url, CASE WHEN kind = 'success' THEN seq END)
+                  AS working_proxy_url,
+                arg_max(proxy_url, CASE WHEN kind = 'success'
+                        AND mode = 'base' THEN seq END)
+                  AS base_working_proxy,
+                arg_max(proxy_url, CASE WHEN kind = 'success'
+                        AND mode = 'stealth' THEN seq END)
+                  AS stealth_working_proxy,
+                max(CASE WHEN kind = 'failure' THEN ts END)
+                  AS last_failure_at,
+                arg_max(reason, CASE WHEN kind = 'failure' THEN seq END)
+                  AS last_failure_reason,
+                CAST(sum(CASE WHEN kind = 'failure'
+                         AND seq > coalesce(last_succ_seq, -1)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS total_failures,
+                max(CASE WHEN kind = 'success' THEN ts END)
+                  AS last_success_at,
+                min(ts) AS created_at,
+                max(ts) AS updated_at,
+                min(CASE WHEN (kind = 'success' AND mode = 'stealth')
+                         OR trig THEN ts END) AS first_stealth_at,
+                max(CASE WHEN kind = 'failure'
+                    AND seq > coalesce(last_succ_seq, -1) AND trig
+                    THEN 1 ELSE 0 END) AS trig_after
+         FROM w GROUP BY domain)
+     SELECT domain,
+            CASE WHEN total_failures = 0 THEN last_succ_mode
+                 WHEN last_succ_mode = 'stealth' OR trig_after = 1
+                   THEN 'stealth'
+                 ELSE 'base' END AS mode,
+            working_proxy_url, base_working_proxy, stealth_working_proxy,
+            last_failure_at, last_failure_reason, total_failures,
+            last_success_at, created_at, updated_at, first_stealth_at
+     FROM agg""",
+    "Proxy domain-cache fold (ProxyCacheManager.ts:196-280 + "
+    "computeNewMode :437-466): success/failure events fold into final "
+    "DomainCacheEntry rows — custom-mode failures are dropped before "
+    "touching state, success overwrites mode verbatim (including "
+    "stealth->base downgrades and non-keyword strings), per-mode working "
+    "proxies update only under their exact keyword, total_failures "
+    "resets on success, mode escalation between successes is monotone, "
+    "and first_stealth_at is sticky. Pure conditional aggregation (one "
+    "keyed window + one groupBy), no sequential state.",
+)
+def q_proxy_cache_replay(spark, sf_dir):
+    from anycrawl_spark.proxy import proxy_cache_replay
+
+    e = F.col("event_id")
+    ev = load(spark, sf_dir, "events").select(
+        F.concat(F.lit("d"), (e % 37).cast("string"),
+                 F.lit(".example.com")).alias("domain"),
+        e.alias("seq"),
+        (F.lit(1700000000000) + e * 997).alias("ts"),
+        F.when(e % 5 < 3, F.lit("failure")).otherwise(F.lit("success"))
+        .alias("kind"),
+        F.when(e % 5 < 3,
+               F.element_at(F.array(F.lit("auto"), F.lit("base"),
+                                    F.lit("stealth"), F.lit("custom")),
+                            (e % 4).cast("int") + 1))
+        .otherwise(
+            F.element_at(F.array(F.lit("auto"), F.lit("base"),
+                                 F.lit("stealth"),
+                                 F.lit("http://custom-proxy:3128")),
+                         (e % 4).cast("int") + 1)).alias("mode"),
+        F.when(e % 5 >= 3,
+               F.concat(F.lit("http://p"), (e % 4).cast("string"),
+                        F.lit(":8080"))).alias("proxy_url"),
+        F.when(e % 5 < 3,
+               F.element_at(F.array(*[F.lit(r) for r in _PROXY_REASONS]),
+                            (F.floor(e / 5) % 5).cast("int") + 1))
+        .alias("reason"))
+    return proxy_cache_replay(ev)
+
+
+_IP_WL_CASES = {
+    2: ["10.0.0.0/8"],
+    3: ["192.168.1.0/24", "172.16.0.0/12"],
+    4: ["10.1.0.5"],
+    5: ["1.2.3.0/24abc", "10.0.0.0/33"],
+}
+
+
+@register(
+    "ip_allowlist",
+    """WITH req AS (
+         SELECT event_id AS rid,
+                CASE WHEN event_id % 7 = 0 THEN '  '
+                     WHEN event_id % 7 = 1
+                       THEN '10.' || CAST(event_id % 3 AS VARCHAR) || '.0.'
+                            || CAST(event_id % 50 AS VARCHAR) END AS cf,
+                CASE WHEN event_id % 5 = 0 THEN ' , 9.9.9.9'
+                     WHEN event_id % 5 = 1
+                       THEN '172.16.' || CAST(event_id % 8 AS VARCHAR)
+                            || '.5, 10.0.0.1' END AS xff,
+                CASE WHEN event_id % 3 = 0
+                       THEN '192.168.1.' || CAST(event_id % 300 AS VARCHAR)
+                END AS rip,
+                CASE WHEN event_id % 11 <> 0
+                       THEN '10.9.8.' || CAST(event_id % 9 AS VARCHAR)
+                END AS reqip,
+                CAST(event_id % 6 AS INT) AS wl
+         FROM events),
+       resolved AS (
+         SELECT rid, wl,
+                CASE WHEN cf IS NOT NULL AND cf <> ''
+                       THEN trim(cf)
+                     WHEN xff IS NOT NULL AND xff <> ''
+                          AND trim(string_split(xff, ',')[1]) <> ''
+                       THEN trim(string_split(xff, ',')[1])
+                     WHEN rip IS NOT NULL AND rip <> ''
+                       THEN trim(rip)
+                     WHEN reqip IS NOT NULL AND reqip <> ''
+                       THEN reqip
+                END AS client_ip
+         FROM req),
+       nums AS (
+         SELECT *,
+                CASE WHEN client_ip IS NOT NULL
+                     AND regexp_matches(client_ip,
+                         '^\\d+\\.\\d+\\.\\d+\\.\\d+$')
+                     AND CAST(string_split(client_ip, '.')[1] AS BIGINT)
+                         <= 255
+                     AND CAST(string_split(client_ip, '.')[2] AS BIGINT)
+                         <= 255
+                     AND CAST(string_split(client_ip, '.')[3] AS BIGINT)
+                         <= 255
+                     AND CAST(string_split(client_ip, '.')[4] AS BIGINT)
+                         <= 255
+                THEN CAST(string_split(client_ip, '.')[1] AS BIGINT)
+                     * 16777216
+                     + CAST(string_split(client_ip, '.')[2] AS BIGINT)
+                     * 65536
+                     + CAST(string_split(client_ip, '.')[3] AS BIGINT)
+                     * 256
+                     + CAST(string_split(client_ip, '.')[4] AS BIGINT)
+                END AS ipn
+         FROM resolved)
+     SELECT rid, client_ip,
+            CASE WHEN wl IN (0, 1) THEN true
+                 WHEN client_ip IS NULL OR client_ip = '' THEN false
+                 WHEN wl = 2 THEN ipn IS NOT NULL AND ipn // 16777216 = 10
+                 WHEN wl = 3 THEN ipn IS NOT NULL AND
+                      (ipn // 256 = (192 * 65536 + 168 * 256 + 1)
+                       OR ipn // 1048576 = (172 * 16 + 1))
+                 WHEN wl = 4 THEN client_ip = '10.1.0.5'
+                 ELSE ipn IS NOT NULL AND ipn // 256
+                      = (1 * 65536 + 2 * 256 + 3)
+            END AS allowed
+     FROM nums""",
+    "IP access control (ipUtils.ts:13-78 + CIDR math :105-173): client-IP "
+    "header precedence (whitespace-only CF header resolves to '' and is "
+    "denied; an empty first X-Forwarded-For hop falls through; req.ip is "
+    "untrimmed) and exact-or-CIDR whitelist verdicts, including the "
+    "parseInt-lenient '/24abc' prefix and the /33-128 RangeError->deny "
+    "band. The oracle enumerates the synthesized whitelist shapes; the "
+    "generic matcher is covered by tests/test_ipaccess.py's randomized "
+    "JS-semantics simulator.",
+)
+def q_ip_allowlist(spark, sf_dir):
+    from anycrawl_spark.ipaccess import ip_allowlist
+
+    e = F.col("event_id")
+    wl_arr = (
+        F.when(e % 6 == 2, F.array(F.lit("10.0.0.0/8")))
+        .when(e % 6 == 3, F.array(F.lit("192.168.1.0/24"),
+                                  F.lit("172.16.0.0/12")))
+        .when(e % 6 == 4, F.array(F.lit("10.1.0.5")))
+        .when(e % 6 == 5, F.array(F.lit("1.2.3.0/24abc"),
+                                  F.lit("10.0.0.0/33")))
+        .when(e % 6 == 1, F.array().cast("array<string>")))
+    req = load(spark, sf_dir, "events").select(
+        e.alias("rid"),
+        F.when(e % 7 == 0, F.lit("  "))
+        .when(e % 7 == 1,
+              F.concat(F.lit("10."), (e % 3).cast("string"), F.lit(".0."),
+                       (e % 50).cast("string"))).alias("cf_connecting_ip"),
+        F.when(e % 5 == 0, F.lit(" , 9.9.9.9"))
+        .when(e % 5 == 1,
+              F.concat(F.lit("172.16."), (e % 8).cast("string"),
+                       F.lit(".5, 10.0.0.1"))).alias("x_forwarded_for"),
+        F.when(e % 3 == 0,
+               F.concat(F.lit("192.168.1."), (e % 300).cast("string")))
+        .alias("x_real_ip"),
+        F.when(e % 11 != 0,
+               F.concat(F.lit("10.9.8."), (e % 9).cast("string")))
+        .alias("req_ip"),
+        wl_arr.alias("whitelist"))
+    return ip_allowlist(req).select("rid", "client_ip", "allowed")
+
+
+_PSEL_BASE = ["http://base-0:8080", "http://base-1:8080"]
+_PSEL_STEALTH = ["http://stealth-0:9090"]
+
+
+@register(
+    "proxy_select_replay",
+    """WITH req AS (
+         SELECT event_id AS seq,
+                CASE CAST(event_id % 6 AS INT)
+                     WHEN 0 THEN 'https://exact.example.com/page'
+                     WHEN 1 THEN 'https://a.github.com/api/v'
+                                 || CAST(event_id % 3 AS VARCHAR)
+                     WHEN 2 THEN 'https://sub.gov.au/p'
+                                 || CAST(event_id % 7 AS VARCHAR)
+                     WHEN 3 THEN 'https://cached.example.com/p'
+                                 || CAST(event_id % 7 AS VARCHAR)
+                     WHEN 4 THEN 'https://plain.example.com/p'
+                                 || CAST(event_id % 7 AS VARCHAR)
+                     ELSE 'https://other.net/p'
+                          || CAST(event_id % 7 AS VARCHAR) END AS url,
+                CASE WHEN event_id % 10 = 0
+                     THEN 'https://sub.gov.au/r'
+                          || CAST(event_id AS VARCHAR) END AS original_url,
+                ([0,0,0,1,2])[CAST(event_id % 5 AS INT) + 1] AS retry,
+                CASE CAST((event_id // 7) % 5 AS INT)
+                     WHEN 1 THEN 'auto' WHEN 2 THEN 'base'
+                     WHEN 3 THEN 'stealth'
+                     WHEN 4 THEN 'http://custom:3128' END AS opt,
+                CASE WHEN event_id % 9 >= 6 THEN 1
+                     WHEN event_id % 9 >= 3 THEN 0 END AS user_tier
+         FROM events),
+       s1 AS (
+         SELECT *,
+                CASE WHEN original_url IS NOT NULL AND original_url <> ''
+                     THEN original_url ELSE url END AS match_url
+         FROM req),
+       s2 AS (
+         SELECT *,
+                lower(regexp_extract(match_url,
+                      '^[a-zA-Z]+://([^/:?#]+)', 1)) AS host,
+                CASE WHEN match_url = 'https://exact.example.com/page'
+                       THEN 'http://rule-exact:1'
+                     WHEN regexp_matches(match_url,
+                          '^(?i)https://.*\\.github\\.com/api/.*$')
+                       THEN 'http://rule-pattern:1'
+                     WHEN regexp_matches(lower(regexp_extract(match_url,
+                          '^[a-zA-Z]+://([^/:?#]+)', 1)),
+                          '^(?i).*\\.gov\\.au$')
+                       THEN 'http://rule-domain:1' END AS rule_proxy
+         FROM s1),
+       s3 AS (
+         SELECT *,
+                opt IN ('auto','base','stealth') AS is_mode,
+                CASE WHEN opt = 'auto' AND host = 'cached.example.com'
+                     THEN 'stealth' ELSE opt END AS eff_mode
+         FROM s2),
+       s4 AS (
+         SELECT *,
+                CASE WHEN is_mode AND host = 'cached.example.com'
+                          AND eff_mode = 'stealth' THEN 'http://sw:1'
+                     WHEN is_mode AND host = 'cached.example.com'
+                          AND eff_mode = 'base' THEN 'http://bw:1'
+                END AS cached,
+                CASE WHEN eff_mode = 'auto' AND retry >= 1 THEN 1
+                     ELSE coalesce(user_tier, 0) END AS eff_tier
+         FROM s3),
+       s5 AS (
+         SELECT *,
+                -- http://bw:1 is inside the 7-day failure cooldown
+                cached IS NOT NULL AND cached <> 'http://bw:1' AS cached_ok,
+                CASE WHEN rule_proxy IS NOT NULL AND retry = 0
+                       THEN 'rule'
+                     WHEN is_mode AND cached IS NOT NULL
+                          AND cached <> 'http://bw:1' THEN 'cached'
+                     WHEN is_mode AND rule_proxy IS NOT NULL AND retry > 0
+                       THEN 'merge_rotation'
+                     WHEN is_mode THEN 'mode_rotation'
+                     WHEN opt IS NOT NULL AND opt <> '' THEN 'custom'
+                     WHEN rule_proxy IS NOT NULL AND retry > 0
+                       THEN 'env_rotation'
+                     WHEN rule_proxy IS NOT NULL THEN 'rule'
+                     ELSE 'env_fallback' END AS source
+         FROM s4),
+       s6 AS (
+         SELECT *,
+                CASE WHEN source IN ('merge_rotation','mode_rotation',
+                                     'env_rotation')
+                     THEN 1 ELSE 0 END AS tick
+         FROM s5),
+       s7 AS (
+         SELECT *,
+                CAST(sum(tick) OVER (ORDER BY seq) - tick AS BIGINT)
+                  AS rot
+         FROM s6),
+       s8 AS (
+         SELECT *,
+                CASE WHEN source = 'merge_rotation' THEN
+                       CASE eff_mode
+                            WHEN 'auto' THEN [rule_proxy,
+                              'http://base-0:8080','http://base-1:8080',
+                              'http://stealth-0:9090']
+                            WHEN 'base' THEN [rule_proxy,
+                              'http://base-0:8080','http://base-1:8080']
+                            ELSE [rule_proxy, 'http://stealth-0:9090',
+                              'http://base-0:8080','http://base-1:8080']
+                       END
+                     WHEN source = 'mode_rotation' THEN
+                       CASE WHEN eff_mode = 'auto' AND eff_tier <= 0
+                              THEN ['http://base-0:8080',
+                                    'http://base-1:8080']
+                            WHEN eff_mode = 'auto'
+                              THEN ['http://stealth-0:9090']
+                            WHEN eff_mode = 'base'
+                              THEN ['http://base-0:8080',
+                                    'http://base-1:8080']
+                            WHEN eff_mode = 'stealth' AND eff_tier <= 0
+                              THEN ['http://stealth-0:9090']
+                            ELSE ['http://base-0:8080',
+                                  'http://base-1:8080']
+                       END
+                     WHEN source = 'env_rotation'
+                       THEN [rule_proxy, 'http://base-0:8080',
+                             'http://base-1:8080']
+                END AS pool
+         FROM s7)
+     SELECT seq, url, host, rule_proxy,
+            CASE WHEN is_mode THEN eff_mode END AS effective_mode,
+            CASE WHEN source IN ('merge_rotation','mode_rotation')
+                 THEN CAST(eff_tier AS BIGINT) END AS effective_tier,
+            source, rot AS rotation_before,
+            CASE WHEN source = 'rule' THEN rule_proxy
+                 WHEN source = 'cached' THEN cached
+                 WHEN source = 'custom' THEN opt
+                 WHEN source IN ('merge_rotation','mode_rotation',
+                                 'env_rotation')
+                   THEN pool[CAST(rot % len(pool) AS INT) + 1]
+                 WHEN source = 'env_fallback' THEN 'http://base-0:8080'
+            END AS selected_proxy
+     FROM s8""",
+    "newUrlFunction replay (Proxy.ts:763-885): rule-first-attempt, "
+    "cached-working-proxy lookup with failure cooldown, auto->stealth "
+    "cache upgrade, auto tier escalation on retry, merged rule+mode "
+    "rotation pools, and the single global rotation counter shared by "
+    "every rotation branch — rebuilt distributively from range-bucketed "
+    "partial sums (no unpartitioned window). The oracle reconstructs the "
+    "same tree with a DuckDB running sum.",
+)
+def q_proxy_select_replay(spark, sf_dir):
+    from anycrawl_spark.proxy import proxy_select
+
+    e = F.col("event_id")
+    req = load(spark, sf_dir, "events").select(
+        e.alias("seq"),
+        F.when(e % 6 == 0, F.lit("https://exact.example.com/page"))
+        .when(e % 6 == 1, F.concat(F.lit("https://a.github.com/api/v"),
+                                   (e % 3).cast("string")))
+        .when(e % 6 == 2, F.concat(F.lit("https://sub.gov.au/p"),
+                                   (e % 7).cast("string")))
+        .when(e % 6 == 3, F.concat(F.lit("https://cached.example.com/p"),
+                                   (e % 7).cast("string")))
+        .when(e % 6 == 4, F.concat(F.lit("https://plain.example.com/p"),
+                                   (e % 7).cast("string")))
+        .otherwise(F.concat(F.lit("https://other.net/p"),
+                            (e % 7).cast("string"))).alias("url"),
+        F.when(e % 10 == 0, F.concat(F.lit("https://sub.gov.au/r"),
+                                     e.cast("string")))
+        .alias("original_url"),
+        F.element_at(F.array(F.lit(0), F.lit(0), F.lit(0), F.lit(1),
+                             F.lit(2)), (e % 5).cast("int") + 1)
+        .cast("long").alias("retry_count"),
+        F.when(F.floor(e / 7) % 5 == 1, F.lit("auto"))
+        .when(F.floor(e / 7) % 5 == 2, F.lit("base"))
+        .when(F.floor(e / 7) % 5 == 3, F.lit("stealth"))
+        .when(F.floor(e / 7) % 5 == 4, F.lit("http://custom:3128"))
+        .alias("proxy_option"),
+        F.when(e % 9 >= 6, F.lit(1)).when(e % 9 >= 3, F.lit(0))
+        .cast("long").alias("user_tier"))
+    rules = spark.createDataFrame(
+        [(0, "https://exact.example.com/page", None, None,
+          "http://rule-exact:1"),
+         (1, None, "https://*.github.com/api/*", None,
+          "http://rule-pattern:1"),
+         (2, None, None, "*.gov.au", "http://rule-domain:1")],
+        "rule_idx long, url string, pattern string, domain string, "
+        "proxy string")
+    cache = spark.createDataFrame(
+        [("cached.example.com", "stealth", "http://bw:1", "http://sw:1")],
+        "domain string, mode string, base_working_proxy string, "
+        "stealth_working_proxy string")
+    fails = spark.createDataFrame(
+        [("cached.example.com", "http://bw:1", True)],
+        "domain string, proxy_url string, failure_active boolean")
+    return proxy_select(req, rules, cache, fails, _PSEL_BASE, _PSEL_STEALTH)
+
+
+# ===========================================================================
 # Driver-visible ordering
 # ===========================================================================
 #
@@ -3780,6 +4212,11 @@ DRIVER_ORDER: list[str] = [
     # (templateHandler.ts), execution finalize transitions
     # (ExecutionLifecycle.ts), billing ledger (Billing.ts)
     "template_render", "execution_finalize", "ledger_rollup",
+    # r6 promotions, second wave: the proxy subsystem's deterministic
+    # core (Proxy.ts/ProxyCacheManager.ts — the largest remaining
+    # scope-out outside live browser/network machinery) and the API
+    # access-control layer (ipUtils.ts)
+    "proxy_cache_replay", "proxy_select_replay", "ip_allowlist",
     # Crawl rounds + extraction parity (+ T18 LLM-extract pipeline, r5)
     "fetch_join", "crawl_e2e", "extraction_text_parity",
     "extraction_markdown_parity", "link_explode", "llm_extract_stats",
@@ -3788,16 +4225,25 @@ DRIVER_ORDER: list[str] = [
     "serp_scrape_merge", "map_union_dedup",
     # LLM-data pipeline: text quality + fingerprints
     "dedup_exact", "token_count", "lang_id",
-    "gopher_quality", "fingerprint", "winnow_fingerprints",
+    "gopher_quality", "fingerprint",
     # Dedup/similarity scale paths
-    "lsh_candidate_pairs", "dedup_clusters_two_star", "simhash_near_pairs",
+    "lsh_candidate_pairs", "dedup_clusters_two_star",
     "cosine_over_candidates",
     # ANN + multimodal
-    "ann_bruteforce_topk", "ann_ivf_real", "media_decode_meta",
+    "ann_ivf_real", "media_decode_meta",
     # Time-series / relational
     "sessionize_events", "asof_join_events",
     "hypertable_rollup",
     # --- driver cutoff: first 50 above are the correctness-gate window ---
+    # r6 swaps, second wave (rationale in COVERAGE.md): promoted
+    # proxy_cache_replay, proxy_select_replay, ip_allowlist; demoted the
+    # named twins — winnow_fingerprints (document-fingerprint family
+    # stays gated via fingerprint; the winnowing window machinery is
+    # pytest-covered), simhash_near_pairs (banded near-dup candidate
+    # family via lsh_candidate_pairs + cosine_over_candidates),
+    # ann_bruteforce_topk (ANN family via ann_ivf_real, whose full-probe
+    # oracle must EQUAL the brute-force result exactly, subsuming it)
+    "winnow_fingerprints", "simhash_near_pairs", "ann_bruteforce_topk",
     # r6 swaps (rationale in COVERAGE.md): promoted template_render,
     # execution_finalize, ledger_rollup; demoted the named twins —
     # ac_engine_parse (G-family JSON-SERP parsing stays gated via
