@@ -468,6 +468,51 @@ def main() -> None:
         },
     ))
 
+    # 26. proxy domain-cache fold: one keyed window + one hash aggregate
+    # per domain — no Python, no sequential state
+    p = plan_of(REGISTRY["proxy_cache_replay"].fn(
+        spark, "/root/testdata/sf0.01"))
+    sections.append((
+        "proxy_cache_replay: keyed window + hash aggregate per domain",
+        p,
+        {
+            "last-success window keyed by domain":
+                r"hashpartitioning\(domain",
+            "conditional aggregation (max_by family)": r"HashAggregate",
+        },
+    ))
+    assert "EvalPython" not in p, "cache fold must stay JVM-side"
+
+    # 27. ip allowlist: pure row-local expressions — zero exchanges,
+    # zero UDFs over any request-log scale
+    p = plan_of(REGISTRY["ip_allowlist"].fn(spark, "/root/testdata/sf0.01"))
+    sections.append((
+        "ip_allowlist: shuffle-free JVM map over the request log",
+        p,
+        {
+            "whole-stage codegen project": r"Project",
+        },
+    ))
+    assert "Exchange hashpartitioning" not in p, \
+        "ip allowlist must not shuffle"
+    assert "EvalPython" not in p, "ip allowlist must stay JVM-side"
+
+    # 28. proxy select replay: rules/cache/failure dims broadcast; the
+    # only hash exchanges are the rule-pick window and the rotation
+    # counter's range buckets (both keyed)
+    p = plan_of(REGISTRY["proxy_select_replay"].fn(
+        spark, "/root/testdata/sf0.01"))
+    sections.append((
+        "proxy_select_replay: broadcast dims + keyed rotation buckets",
+        p,
+        {
+            "rule/cache/failure tables broadcast": r"BroadcastHashJoin",
+            "rotation cumsum keyed by range bucket":
+                r"hashpartitioning\(__bkt",
+        },
+    ))
+    assert "EvalPython" not in p, "selection replay must stay JVM-side"
+
     with open(os.path.join(REPO, "PLANS.md"), "w") as f:
         f.write("# PLANS — physical-plan evidence (auto-generated by "
                 "tools/explain_plans.py)\n\n"
