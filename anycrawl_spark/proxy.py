@@ -488,9 +488,11 @@ def _rotation_counter_before(df: DataFrame, seq: str, tick: str) -> DataFrame:
     df = df.withColumn(
         "__rot_local",
         F.sum(F.col(tick)).over(w).cast("long") - F.col(tick))
-    # materialize once: the per-bucket sums job and the final plan would
-    # otherwise each re-evaluate the upstream join subtree
-    df = df.localCheckpoint(eager=False)
+    # the per-bucket sums job evaluates the upstream subtree once more
+    # than strictly needed; that subtree is row-local broadcast-join work
+    # (no shuffle), so the extra pass is cheaper than a checkpoint that
+    # would truncate lineage and hide the plan. Callers replaying very
+    # large logs can persist() the input beforehand.
     sums = {int(r["__bkt"]): r["s"] for r in
             df.groupBy("__bkt").agg(F.sum(tick).alias("s")).collect()}
     offsets, acc = {}, 0
@@ -506,29 +508,39 @@ def _rotation_counter_before(df: DataFrame, seq: str, tick: str) -> DataFrame:
             .drop("__bkt", "__rot_local"))
 
 
-def prepare_rules(rules: DataFrame) -> DataFrame:
-    """Attach anchored case-insensitive regex columns for the pattern and
-    domain fields of a proxy-rule table (wildcard translation of
-    Proxy.ts:556-566, done JVM-side so the rule table can live in the
-    cluster).  Expects columns rule_idx, url, pattern, domain, proxy."""
-    def rx(col: Column) -> Column:
-        escaped = F.regexp_replace(
-            col, r"([.+^$\{\}()|\[\]\\])", r"\\$1")
-        wild = F.regexp_replace(
-            F.regexp_replace(escaped, r"\*", ".*"), r"\?", ".")
-        return F.concat(F.lit("(?i)^"), wild, F.lit("$"))
-
-    return rules.withColumn(
-        "__pattern_rx", F.when(F.col("pattern").isNotNull(),
-                               rx(F.col("pattern")))
-    ).withColumn(
-        "__domain_rx", F.when(F.col("domain").isNotNull(),
-                              rx(F.col("domain"))))
+def _rule_match_col(match_url: Column, host: Column,
+                    rules: Sequence[dict]) -> Column:
+    """findProxyForUrl as one driver-built CASE chain (proxy-config rule
+    tables are config files — tens of rules — so the sequential scan
+    compiles to a row-local expression with zero joins or shuffles).
+    Rule order beats field priority, exactly like the reference loop;
+    the host-null guard reproduces the parse-URL-first behaviour."""
+    expr = F.lit(None).cast("string")
+    for rule in reversed(list(rules)):
+        conds = []
+        if rule.get("url"):
+            conds.append(match_url == rule["url"])
+        if rule.get("pattern"):
+            conds.append(F.regexp_like(
+                match_url, F.lit(wildcard_regex(rule["pattern"])
+                                 .replace("^", "(?i)^", 1))))
+        if rule.get("domain"):
+            conds.append(F.regexp_like(
+                host, F.lit(wildcard_regex(rule["domain"])
+                            .replace("^", "(?i)^", 1))))
+        if not conds:
+            continue
+        any_field = conds[0]
+        for c in conds[1:]:
+            any_field = any_field | c
+        expr = F.when(host.isNotNull() & any_field,
+                      F.lit(rule["proxy"])).otherwise(expr)
+    return expr
 
 
 def proxy_select(
     requests: DataFrame,
-    rules: DataFrame,
+    rules: Sequence[dict] | DataFrame,
     domain_cache: DataFrame,
     failure_state: DataFrame,
     base_urls: Sequence[str],
@@ -543,9 +555,11 @@ def proxy_select(
       (nullable - ``userData.original_url``), retry_count long,
       proxy_option (nullable - ``userData.options.proxy``), user_tier
       (nullable long - ``userData._proxyTier``).
-    * ``rules``: rule_idx long (array order), url, pattern, domain,
-      proxy - the proxy-config rule table (broadcast: config files are
-      tiny by construction).
+    * ``rules``: the proxy-config rule list (dicts with url / pattern /
+      domain / proxy, in array order), or a DataFrame with those columns
+      plus ``rule_idx`` - config files are tens of rules by construction,
+      so the sequential rule scan compiles to one row-local CASE chain
+      (zero joins for rule matching).
     * ``domain_cache``: :func:`proxy_cache_replay` output (broadcast -
       one row per domain that ever recorded an event; for truly huge
       domain sets drop the hint and let AQE pick the join).
@@ -567,29 +581,21 @@ def proxy_select(
         .otherwise(F.lit(0)).cast("long")
     tier0 = F.coalesce(F.col("user_tier"), F.lit(0)).cast("int")
 
+    if isinstance(rules, DataFrame):
+        rules = [r.asDict() for r in
+                 rules.orderBy("rule_idx").collect()]
+
     req = requests.select(
         "seq", "url", "proxy_option",
         match_url.alias("__match_url"), host.alias("__host"),
         retry.alias("__retry"), tier0.alias("__tier"),
     )
 
-    # --- rule matching: first rule (array order) any of whose fields hits
-    r = prepare_rules(rules).select(
-        "rule_idx", F.col("url").alias("__r_url"), "__pattern_rx",
-        "__domain_rx", F.col("proxy").alias("__r_proxy"))
-    cond = F.col("__host").isNotNull() & (
-        (F.col("__r_url").isNotNull()
-         & (F.col("__r_url") == F.col("__match_url")))
-        | (F.col("__pattern_rx").isNotNull()
-           & F.regexp_like(F.col("__match_url"), F.col("__pattern_rx")))
-        | (F.col("__domain_rx").isNotNull()
-           & F.regexp_like(F.col("__host"), F.col("__domain_rx"))))
-    matched = req.join(F.broadcast(r), cond, "left")
-    wr = Window.partitionBy("seq").orderBy(
-        F.col("rule_idx").asc_nulls_last())
-    req = (matched.withColumn("__rn", F.row_number().over(wr))
-           .where(F.col("__rn") == 1)
-           .select(req.columns + [F.col("__r_proxy").alias("__rule")]))
+    # --- rule matching: first rule (array order) any of whose fields
+    # hits, as one row-local CASE chain
+    req = req.withColumn(
+        "__rule",
+        _rule_match_col(F.col("__match_url"), F.col("__host"), rules))
 
     # --- cache + failure-state joins
     cache = domain_cache.select(

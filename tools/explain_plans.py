@@ -473,15 +473,19 @@ def main() -> None:
     p = plan_of(REGISTRY["proxy_cache_replay"].fn(
         spark, "/root/testdata/sf0.01"))
     sections.append((
-        "proxy_cache_replay: keyed window + hash aggregate per domain",
+        "proxy_cache_replay: one exchange — aggregate reuses the window "
+        "partitioning",
         p,
         {
             "last-success window keyed by domain":
                 r"hashpartitioning\(domain",
-            "conditional aggregation (max_by family)": r"HashAggregate",
+            "conditional aggregation (max_by is typed-imperative, so "
+            "SortAggregate)": r"SortAggregate",
         },
     ))
     assert "EvalPython" not in p, "cache fold must stay JVM-side"
+    assert len(re.findall(r"^\(\d+\) Exchange", p, re.M)) == 1, \
+        "cache fold must shuffle exactly once (window + agg share it)"
 
     # 27. ip allowlist: pure row-local expressions — zero exchanges,
     # zero UDFs over any request-log scale
@@ -503,15 +507,19 @@ def main() -> None:
     p = plan_of(REGISTRY["proxy_select_replay"].fn(
         spark, "/root/testdata/sf0.01"))
     sections.append((
-        "proxy_select_replay: broadcast dims + keyed rotation buckets",
+        "proxy_select_replay: rule CASE chain + broadcast dims + keyed "
+        "rotation buckets",
         p,
         {
-            "rule/cache/failure tables broadcast": r"BroadcastHashJoin",
+            "cache/failure dims broadcast": r"BroadcastHashJoin",
             "rotation cumsum keyed by range bucket":
                 r"hashpartitioning\(__bkt",
         },
     ))
     assert "EvalPython" not in p, "selection replay must stay JVM-side"
+    assert not re.search(r"hashpartitioning\(seq", p), \
+        "rule matching must be the row-local CASE chain, not a per-seq " \
+        "window"
 
     with open(os.path.join(REPO, "PLANS.md"), "w") as f:
         f.write("# PLANS — physical-plan evidence (auto-generated by "
