@@ -4183,6 +4183,115 @@ def q_proxy_select_replay(spark, sf_dir):
     return proxy_select(req, rules, cache, fails, _PSEL_BASE, _PSEL_STEALTH)
 
 
+_RV_SCRAPE_DEFAULTS = ('"proxy":"auto","formats":["markdown"],'
+                       '"timeout":60000,"retry":false,'
+                       '"only_main_content":true,'
+                       '"extract_source":"markdown","ocr_options":false,'
+                       '"store_in_cache":true')
+
+
+@register(
+    "request_validate",
+    f"""WITH req AS (
+         SELECT event_id AS rid, CAST(event_id % 8 AS INT) AS c,
+                'https://site' || CAST(event_id % 50 AS VARCHAR)
+                  || '.test/p' AS u,
+                1000 + CAST(event_id % 1000 AS INT) AS t5,
+                1 + CAST(event_id % 100 AS INT) AS l5,
+                1 + CAST(event_id % 50 AS INT) AS d5,
+                2000 + CAST(event_id % 100 AS INT) AS t7
+         FROM events)
+     SELECT rid,
+            c IN (0, 5, 7) AS success,
+            CASE WHEN c IN (0, 5, 7) THEN 0 ELSE 1 END AS n_issues,
+            CASE c WHEN 1 THEN 'invalid_string'
+                   WHEN 2 THEN 'invalid_enum_value'
+                   WHEN 3 THEN 'too_big'
+                   WHEN 4 THEN 'unrecognized_keys'
+                   WHEN 6 THEN 'too_small' END AS first_code,
+            CASE c WHEN 1 THEN 'url' WHEN 2 THEN 'engine'
+                   WHEN 3 THEN 'limit' WHEN 4 THEN ''
+                   WHEN 6 THEN 'timeout' END AS first_path,
+            CASE c WHEN 1 THEN 'Invalid url'
+                   WHEN 2 THEN 'Invalid enum value. Expected ''auto'' | '
+                        || '''playwright'' | ''cheerio'' | ''puppeteer'', '
+                        || 'received ''chrome'
+                        || CAST(rid % 3 AS VARCHAR) || ''''
+                   WHEN 3 THEN 'Number must be less than or equal to 50000'
+                   WHEN 4 THEN 'Unrecognized key(s) in object: ''zzz'''
+                   WHEN 6 THEN 'Number must be greater than or equal '
+                        || 'to 1000' END AS first_message,
+            CASE WHEN c = 0 THEN
+                   '{{"url":"' || u || '","engine":"auto","options":'
+                   || '{{"max_depth":10,"limit":100,'
+                   || '"strategy":"same-domain","scrape_options":'
+                   || '{{{_RV_SCRAPE_DEFAULTS}}}}}}}'
+                 WHEN c = 5 THEN
+                   '{{"url":"' || u || '","engine":"auto","options":'
+                   || '{{"max_depth":' || CAST(d5 AS VARCHAR)
+                   || ',"limit":' || CAST(l5 AS VARCHAR)
+                   || ',"strategy":"all","scrape_options":'
+                   || '{{"proxy":"stealth","formats":["markdown"],'
+                   || '"timeout":' || CAST(t5 AS VARCHAR)
+                   || ',"retry":false,"only_main_content":true,'
+                   || '"extract_source":"markdown","ocr_options":false,'
+                   || '"store_in_cache":true}}}}}}'
+                 WHEN c = 7 THEN
+                   '{{"url":"' || u || '","engine":"auto","options":'
+                   || '{{"max_depth":10,"limit":100,'
+                   || '"strategy":"same-domain","scrape_options":'
+                   || '{{"proxy":"auto","formats":["markdown"],'
+                   || '"timeout":' || CAST(t7 AS VARCHAR)
+                   || ',"retry":false,"only_main_content":true,'
+                   || '"extract_source":"markdown","ocr_options":false,'
+                   || '"store_in_cache":true}}}}}}'
+            END AS config_json
+     FROM req""",
+    "zod intake gate (BaseSchema.ts:36-190, CrawlSchema.ts:6-110, "
+    "ScrapeSchema.ts:4-48): crawl requests parse through the mini zod-v3 "
+    "runtime — defaults only for undefined, bounds/enum/union/strict "
+    "issues with zod 3.25's codes and en-locale messages, the "
+    "json_options preprocess, and the transform's nested scrape-option "
+    "re-normalization. The oracle predicts the verdict AND the "
+    "JSON.stringify-parity config for every synthesized case; the "
+    "Arrow-batched gate is row-local (no shuffle at any log scale).",
+)
+def q_request_validate(spark, sf_dir):
+    from anycrawl_spark.schemas import validate_requests
+
+    e = F.col("event_id")
+    c = (e % 8).cast("int")
+    u = F.concat(F.lit('https://site'), (e % 50).cast("string"),
+                 F.lit('.test/p'))
+    body = (
+        F.when(c == 0, F.concat(F.lit('{"url":"'), u, F.lit('"}')))
+        .when(c == 1, F.concat(F.lit('{"url":"not-a-url-'),
+                               e.cast("string"), F.lit('"}')))
+        .when(c == 2, F.concat(F.lit('{"url":"'), u,
+                               F.lit('","engine":"chrome'),
+                               (e % 3).cast("string"), F.lit('"}')))
+        .when(c == 3, F.concat(F.lit('{"url":"'), u, F.lit('","limit":'),
+                               (e % 5 + 50001).cast("string"), F.lit('}')))
+        .when(c == 4, F.concat(F.lit('{"url":"'), u,
+                               F.lit('","zzz":1}')))
+        .when(c == 5, F.concat(
+            F.lit('{"url":"'), u,
+            F.lit('","limit":'), (e % 100 + 1).cast("string"),
+            F.lit(',"max_depth":'), (e % 50 + 1).cast("string"),
+            F.lit(',"strategy":"all","timeout":'),
+            (e % 1000 + 1000).cast("string"),
+            F.lit(',"proxy":"stealth"}')))
+        .when(c == 6, F.concat(F.lit('{"url":"'), u, F.lit('","timeout":'),
+                               (e % 1000).cast("string"), F.lit('}')))
+        .otherwise(F.concat(
+            F.lit('{"url":"'), u,
+            F.lit('","scrape_options":{"timeout":'),
+            (e % 100 + 2000).cast("string"), F.lit('}}'))))
+    req = load(spark, sf_dir, "events").select(
+        e.alias("rid"), body.alias("request_json"))
+    return validate_requests(req, "crawl")
+
+
 # ===========================================================================
 # Driver-visible ordering
 # ===========================================================================
@@ -4199,7 +4308,7 @@ def q_proxy_select_replay(spark, sf_dir):
 DRIVER_ORDER: list[str] = [
     # Crawl-engine core: seen-set, politeness, cache, limits, progress
     "seen_antijoin", "bloom_seen_filter", "perhost_topk", "cache_ttl_tiers",
-    "limit_admission", "progress_agg", "status_classify", "bandwidth_rollup",
+    "limit_admission", "progress_agg", "status_classify",
     # URL kernel + filters (§2.7, F-family)
     "canonicalize", "url_hash", "base_domain",
     "robots_spec_filter", "sitemap_parse", "strategy_filter",
@@ -4214,9 +4323,11 @@ DRIVER_ORDER: list[str] = [
     "template_render", "execution_finalize", "ledger_rollup",
     # r6 promotions, second wave: the proxy subsystem's deterministic
     # core (Proxy.ts/ProxyCacheManager.ts — the largest remaining
-    # scope-out outside live browser/network machinery) and the API
-    # access-control layer (ipUtils.ts)
+    # scope-out outside live browser/network machinery), the API
+    # access-control layer (ipUtils.ts), and the zod intake gate
+    # (BaseSchema/CrawlSchema/ScrapeSchema)
     "proxy_cache_replay", "proxy_select_replay", "ip_allowlist",
+    "request_validate",
     # Crawl rounds + extraction parity (+ T18 LLM-extract pipeline, r5)
     "fetch_join", "crawl_e2e", "extraction_text_parity",
     "extraction_markdown_parity", "link_explode", "llm_extract_stats",
@@ -4242,8 +4353,11 @@ DRIVER_ORDER: list[str] = [
     # pytest-covered), simhash_near_pairs (banded near-dup candidate
     # family via lsh_candidate_pairs + cosine_over_candidates),
     # ann_bruteforce_topk (ANN family via ann_ivf_real, whose full-probe
-    # oracle must EQUAL the brute-force result exactly, subsuming it)
+    # oracle must EQUAL the brute-force result exactly, subsuming it),
+    # bandwidth_rollup (A-family counter-rollup machinery twin of
+    # progress_agg, which stays in-window)
     "winnow_fingerprints", "simhash_near_pairs", "ann_bruteforce_topk",
+    "bandwidth_rollup",
     # r6 swaps (rationale in COVERAGE.md): promoted template_render,
     # execution_finalize, ledger_rollup; demoted the named twins —
     # ac_engine_parse (G-family JSON-SERP parsing stays gated via
