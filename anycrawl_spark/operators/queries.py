@@ -4292,6 +4292,40 @@ def q_request_validate(spark, sf_dir):
     return validate_requests(req, "crawl")
 
 
+@register(
+    "serialize_snake",
+    """SELECT event_id AS rid,
+              '{"job_id":' || CAST(event_id AS VARCHAR)
+              || ',"credits_used":' || CAST(event_id % 90 AS VARCHAR)
+              || ',"is_success":'
+              || CASE WHEN event_id % 2 = 0 THEN 'true' ELSE 'false' END
+              || ',"job_results":[{"data_blob":{"inner_key":'
+              || CAST(event_id % 7 AS VARCHAR)
+              || '}}],"error_message":null}' AS response_json
+       FROM events""",
+    "API response serialization (serializer.ts:9-52): recursive "
+    "camelCase->snake_case key rewrite — every ASCII capital "
+    "independently becomes _lower (no acronym smarts), values and key "
+    "order untouched, nested objects/arrays recursed. Row-local Arrow "
+    "batch; oracle constructs the expected snake JSON directly.",
+)
+def q_serialize_snake(spark, sf_dir):
+    from anycrawl_spark.serializer import serialize_records
+
+    e = F.col("event_id")
+    rec = F.concat(
+        F.lit('{"jobId":'), e.cast("string"),
+        F.lit(',"creditsUsed":'), (e % 90).cast("string"),
+        F.lit(',"isSuccess":'),
+        F.when(e % 2 == 0, F.lit("true")).otherwise(F.lit("false")),
+        F.lit(',"jobResults":[{"dataBlob":{"innerKey":'),
+        (e % 7).cast("string"),
+        F.lit('}}],"errorMessage":null}'))
+    return serialize_records(
+        load(spark, sf_dir, "events").select(e.alias("rid"),
+                                             rec.alias("record_json")))
+
+
 # ===========================================================================
 # Driver-visible ordering
 # ===========================================================================
@@ -4358,6 +4392,10 @@ DRIVER_ORDER: list[str] = [
     # progress_agg, which stays in-window)
     "winnow_fingerprints", "simhash_near_pairs", "ann_bruteforce_topk",
     "bandwidth_rollup",
+    # §2.7 scalar sibling (r6): snake_case response serialization —
+    # oracled outside the window; the API-surface family is gated
+    # in-window through request_validate
+    "serialize_snake",
     # r6 swaps (rationale in COVERAGE.md): promoted template_render,
     # execution_finalize, ledger_rollup; demoted the named twins —
     # ac_engine_parse (G-family JSON-SERP parsing stays gated via
