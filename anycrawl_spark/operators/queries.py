@@ -4293,6 +4293,69 @@ def q_request_validate(spark, sf_dir):
 
 
 @register(
+    "search_request_validate",
+    """SELECT event_id AS rid,
+              CAST(event_id % 6 AS INT) IN (0, 1, 4) AS success,
+              CASE WHEN CAST(event_id % 6 AS INT) IN (0, 1, 4) THEN 0
+                   ELSE 1 END AS n_issues,
+              CASE CAST(event_id % 6 AS INT)
+                   WHEN 2 THEN 'invalid_type'
+                   WHEN 3 THEN 'too_big'
+                   WHEN 5 THEN 'invalid_enum_value' END AS first_code,
+              CASE CAST(event_id % 6 AS INT)
+                   WHEN 2 THEN 'query' WHEN 3 THEN 'limit'
+                   WHEN 5 THEN 'sources' END AS first_path,
+              CASE CAST(event_id % 6 AS INT)
+                   WHEN 2 THEN 'Required'
+                   WHEN 3 THEN 'Number must be less than or equal to 100'
+                   WHEN 5 THEN 'Invalid enum value. Expected ''web'' | '
+                        || '''images'' | ''news'', received ''videos'''
+              END AS first_message,
+              CASE CAST(event_id % 6 AS INT)
+                   WHEN 0 THEN '{"query":"q'
+                        || CAST(event_id % 40 AS VARCHAR)
+                        || '","limit":10,"offset":0}'
+                   WHEN 1 THEN '{"query":"q'
+                        || CAST(event_id % 40 AS VARCHAR)
+                        || '","limit":' || CAST(1 + event_id % 100
+                                                AS VARCHAR)
+                        || ',"offset":' || CAST(event_id % 50 AS VARCHAR)
+                        || ',"timeRange":"week"}'
+                   WHEN 4 THEN '{"query":"q","limit":10,"offset":0,'
+                        || '"lang":"zh-CN","safe_search":null}'
+              END AS config_json
+       FROM events""",
+    "Search intake gate (SearchSchema.ts:28-42): strip-mode parse with "
+    "defaults (limit 10, offset 0), z.custom locale pass-through, "
+    "nullable safe_search, enum sources — no transform, the controller "
+    "consumes the parsed object. Same mini zod-v3 runtime as "
+    "request_validate; oracle predicts verdict + config JSON.",
+)
+def q_search_request_validate(spark, sf_dir):
+    from anycrawl_spark.schemas import validate_requests
+
+    e = F.col("event_id")
+    c = (e % 6).cast("int")
+    body = (
+        F.when(c == 0, F.concat(F.lit('{"query":"q'),
+                                (e % 40).cast("string"), F.lit('"}')))
+        .when(c == 1, F.concat(
+            F.lit('{"query":"q'), (e % 40).cast("string"),
+            F.lit('","limit":'), (e % 100 + 1).cast("string"),
+            F.lit(',"offset":'), (e % 50).cast("string"),
+            F.lit(',"timeRange":"week"}')))
+        .when(c == 2, F.lit('{}'))
+        .when(c == 3, F.concat(F.lit('{"query":"q","limit":'),
+                               (e % 5 + 101).cast("string"), F.lit('}')))
+        .when(c == 4, F.lit('{"query":"q","lang":"zh-CN",'
+                            '"safe_search":null}'))
+        .otherwise(F.lit('{"query":"q","sources":"videos"}')))
+    req = load(spark, sf_dir, "events").select(
+        e.alias("rid"), body.alias("request_json"))
+    return validate_requests(req, "search")
+
+
+@register(
     "serialize_snake",
     """SELECT event_id AS rid,
               '{"job_id":' || CAST(event_id AS VARCHAR)
@@ -4396,6 +4459,9 @@ DRIVER_ORDER: list[str] = [
     # oracled outside the window; the API-surface family is gated
     # in-window through request_validate
     "serialize_snake",
+    # intake-gate sibling (r6): search-schema parse over the same zod
+    # runtime — oracled outside the window next to request_validate
+    "search_request_validate",
     # r6 swaps (rationale in COVERAGE.md): promoted template_render,
     # execution_finalize, ledger_rollup; demoted the named twins —
     # ac_engine_parse (G-family JSON-SERP parsing stays gated via

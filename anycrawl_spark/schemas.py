@@ -257,6 +257,23 @@ class ZOptional(Z):
         return self.inner._parse(v, path, issues)
 
 
+class ZNullable(Z):
+    def __init__(self, inner: Z):
+        self.inner = inner
+
+    def _parse(self, v, path, issues):
+        if v is None:
+            return None
+        return self.inner._parse(v, path, issues)
+
+
+class ZCustom(Z):
+    """z.custom<T>() with no check function: accepts anything present."""
+
+    def _parse(self, v, path, issues):
+        return v
+
+
 class ZDefault(Z):
     def __init__(self, inner: Z, default):
         self.inner, self.default = inner, default
@@ -537,6 +554,55 @@ def parse_crawl_request(obj) -> dict:
     return {"success": True, "data": out, "issues": []}
 
 
+# SearchSchema.ts:28-42 — search request (strip mode, NO transform; the
+# controller consumes the parsed object directly).  Note scrape_options
+# here is the full picked base shape WITH defaults (not .partial() like
+# crawl's): a present scrape_options object comes back default-filled.
+AVAILABLE_SEARCH_ENGINES = ("google", "searxng", "ac-engine")
+
+SEARCH_SCHEMA = ZObject({
+    "template_id": ZString().optional(),
+    "variables": ZRecord().optional(),
+    "engine": ZEnum(AVAILABLE_SEARCH_ENGINES).optional(),
+    "query": ZString(),
+    # source chains .max(100).min(1) in that order
+    "limit": ZDefault(ZNumber(min=1, max=100), 10),
+    "offset": ZDefault(ZNumber(min=0), 0),
+    "pages": ZNumber(min=1, max=20).optional(),
+    "lang": ZCustom().optional(),
+    "country": ZCustom().optional(),
+    "timeRange": ZEnum(["day", "week", "month", "year"]).optional(),
+    "sources": ZEnum(["web", "images", "news"]).optional(),
+    "scrape_options": BASE_SCHEMA.pick(
+        "template_id", "variables", "engine", "proxy", "formats",
+        "timeout", "wait_until", "wait_for", "wait_for_selector",
+        "include_tags", "exclude_tags", "only_main_content",
+        "json_options", "extract_source", "ocr_options", "max_age",
+        "store_in_cache").strict_().optional(),
+    "safe_search": ZNullable(ZNumber(min=0, max=2)).optional(),
+})
+
+# MapSchema.ts:17-50 — map request (strict, no transform)
+MAP_SCHEMA = ZObject({
+    "url": ZString(url=True),
+    "limit": ZDefault(ZNumber(min=1, max=50000), 5000),
+    "include_subdomains": ZDefault(ZBoolean(), False),
+    "ignore_sitemap": ZDefault(ZBoolean(), False),
+    "max_age": ZNumber(min=0).optional(),
+    "use_index": ZDefault(ZBoolean(), True),
+}, strict=True)
+
+
+def parse_search_request(obj) -> dict:
+    """searchSchema.parse (SearchSchema.ts:28-42): no transform."""
+    return SEARCH_SCHEMA.parse(obj)
+
+
+def parse_map_request(obj) -> dict:
+    """mapSchema.parse (MapSchema.ts:17-50): no transform."""
+    return MAP_SCHEMA.parse(obj)
+
+
 # ---------------------------------------------------------------------------
 # Batch surface
 # ---------------------------------------------------------------------------
@@ -578,7 +644,10 @@ def validate_requests(requests, kind: str = "crawl",
     (row-local mapInPandas - no shuffle at any log scale)."""
     import pandas as pd  # noqa: F401
 
-    parse = parse_crawl_request if kind == "crawl" else parse_scrape_request
+    parse = {"crawl": parse_crawl_request,
+             "scrape": parse_scrape_request,
+             "search": parse_search_request,
+             "map": parse_map_request}[kind]
 
     schema = (f"{id_col} long, success boolean, n_issues int, "
               "first_code string, first_path string, first_message string, "

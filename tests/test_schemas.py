@@ -250,6 +250,73 @@ class TestCrawlSchema:
         assert '"max_depth":3' in s and '"include_paths":["/docs/*"]' in s
 
 
+class TestSearchSchema:
+    def test_defaults_and_strip(self):
+        from anycrawl_spark.schemas import parse_search_request
+        res = parse_search_request({"query": "anycrawl", "junk": 1})
+        assert res["success"]  # strip mode: unknown keys dropped silently
+        d = res["data"]
+        assert d == {"query": "anycrawl", "limit": 10, "offset": 0}
+
+    def test_query_required_limit_bounds(self):
+        from anycrawl_spark.schemas import parse_search_request
+        res = parse_search_request({})
+        assert issues_of(res) == [("invalid_type", "query", "Required")]
+        res = parse_search_request({"query": "x", "limit": 101})
+        assert issues_of(res) == [(
+            "too_big", "limit",
+            "Number must be less than or equal to 100")]
+
+    def test_safe_search_nullable(self):
+        from anycrawl_spark.schemas import parse_search_request
+        res = parse_search_request({"query": "x", "safe_search": None})
+        assert res["success"] and res["data"]["safe_search"] is None
+        res = parse_search_request({"query": "x", "safe_search": 3})
+        assert issues_of(res) == [(
+            "too_big", "safe_search",
+            "Number must be less than or equal to 2")]
+
+    def test_lang_custom_accepts_anything(self):
+        from anycrawl_spark.schemas import parse_search_request
+        res = parse_search_request({"query": "x", "lang": "zh-CN",
+                                    "country": 42})
+        assert res["success"]
+        assert res["data"]["country"] == 42  # z.custom() has no check
+
+    def test_scrape_options_full_defaults_not_partial(self):
+        from anycrawl_spark.schemas import parse_search_request
+        # unlike crawl's .partial(), search scrape_options default-fills
+        res = parse_search_request({"query": "x",
+                                    "scrape_options": {"timeout": 5000}})
+        so = res["data"]["scrape_options"]
+        assert so["timeout"] == 5000
+        assert so["engine"] == "auto" and so["formats"] == ["markdown"]
+        # and it is strict
+        res = parse_search_request({"query": "x",
+                                    "scrape_options": {"zzz": 1}})
+        assert issues_of(res) == [(
+            "unrecognized_keys", "scrape_options",
+            "Unrecognized key(s) in object: 'zzz'")]
+
+
+class TestMapSchema:
+    def test_defaults_and_strict(self):
+        from anycrawl_spark.schemas import parse_map_request
+        res = parse_map_request({"url": "https://e.com"})
+        assert res["data"] == {"url": "https://e.com", "limit": 5000,
+                               "include_subdomains": False,
+                               "ignore_sitemap": False, "use_index": True}
+        res = parse_map_request({"url": "https://e.com", "zz": 1})
+        assert issues_of(res) == [(
+            "unrecognized_keys", "",
+            "Unrecognized key(s) in object: 'zz'")]
+
+    def test_limit_cap(self):
+        from anycrawl_spark.schemas import parse_map_request
+        res = parse_map_request({"url": "https://e.com", "limit": 50001})
+        assert issues_of(res)[0][0] == "too_big"
+
+
 class TestJsUrlCheck:
     @pytest.mark.parametrize("url,ok", [
         ("https://example.com", True),
