@@ -104,20 +104,41 @@ class Z:
 
 
 class ZString(Z):
-    def __init__(self, url: bool = False, uuid: bool = False):
-        self.url, self.uuid = url, uuid
+    def __init__(self, url: bool = False, uuid: bool = False,
+                 email: bool = False, min: Optional[int] = None,
+                 max: Optional[int] = None):
+        self.url, self.uuid, self.email = url, uuid, email
+        self.min_len, self.max_len = min, max
 
     def _parse(self, v, path, issues):
         if parsed_type(v) != "string":
             issues.append(_invalid_type("string", v, path))
             return MISSING
+        before = len(issues)
+        # checks run in chained order (.min().max() etc.), all collected
+        if self.min_len is not None and len(v) < self.min_len:
+            issues.append(_issue(
+                "too_small", path,
+                f"String must contain at least {self.min_len} "
+                f"character(s)"))
+        if self.max_len is not None and len(v) > self.max_len:
+            issues.append(_issue(
+                "too_big", path,
+                f"String must contain at most {self.max_len} "
+                f"character(s)"))
         if self.url and not _js_url_ok(v):
             issues.append(_issue("invalid_string", path, "Invalid url"))
-            return MISSING
         if self.uuid and not _UUID_RE.match(v):
             issues.append(_issue("invalid_string", path, "Invalid uuid"))
-            return MISSING
-        return v
+        if self.email and not _EMAIL_RE.match(v):
+            issues.append(_issue("invalid_string", path, "Invalid email"))
+        return MISSING if len(issues) > before else v
+
+
+# zod 3.25 email regex (zod/src/types.ts emailRegex)
+_EMAIL_RE = re.compile(
+    r"^(?!\.)(?!.*\.\.)([A-Z0-9_'+\-\.]*)[A-Z0-9_+-]@([A-Z0-9][A-Z0-9\-]*"
+    r"\.)+[A-Z]{2,}$", re.IGNORECASE)
 
 
 _UUID_RE = re.compile(
@@ -147,27 +168,34 @@ def _js_url_ok(s: str) -> bool:
 
 class ZNumber(Z):
     def __init__(self, min: Optional[float] = None,
-                 max: Optional[float] = None):
+                 max: Optional[float] = None, int_: bool = False,
+                 positive: bool = False):
         self.min, self.max = min, max
+        self.int_, self.positive = int_, positive
 
     def _parse(self, v, path, issues):
         if parsed_type(v) != "number":
             issues.append(_invalid_type("number", v, path))
             return MISSING
-        bad = False
+        before = len(issues)
+        # checks in chained order: .int() precedes .min()/.positive()
+        if self.int_ and (isinstance(v, float) and v != int(v)):
+            issues.append(_issue(
+                "invalid_type", path, "Expected integer, received float"))
+        if self.positive and v <= 0:
+            issues.append(_issue(
+                "too_small", path, "Number must be greater than 0"))
         if self.min is not None and v < self.min:
             issues.append(_issue(
                 "too_small", path,
                 f"Number must be greater than or equal to "
                 f"{_num_str(self.min)}"))
-            bad = True
         if self.max is not None and v > self.max:
             issues.append(_issue(
                 "too_big", path,
                 f"Number must be less than or equal to "
                 f"{_num_str(self.max)}"))
-            bad = True
-        return MISSING if bad else v
+        return MISSING if len(issues) > before else v
 
 
 class ZBoolean(Z):
@@ -200,19 +228,27 @@ class ZEnum(Z):
 
 
 class ZArray(Z):
-    def __init__(self, inner: Z, nonempty: bool = False):
+    def __init__(self, inner: Z, nonempty: bool = False,
+                 min: Optional[int] = None, max: Optional[int] = None):
         self.inner, self.nonempty = inner, nonempty
+        self.min_len = 1 if nonempty else min
+        self.max_len = max
 
     def _parse(self, v, path, issues):
         if parsed_type(v) != "array":
             issues.append(_invalid_type("array", v, path))
             return MISSING
-        if self.nonempty and len(v) == 0:
+        before = len(issues)
+        # zod adds the size issues, then still parses the elements
+        if self.min_len is not None and len(v) < self.min_len:
             issues.append(_issue(
-                "too_small", path, "Array must contain at least 1 "
-                "element(s)"))
-            return MISSING
-        out, before = [], len(issues)
+                "too_small", path,
+                f"Array must contain at least {self.min_len} element(s)"))
+        if self.max_len is not None and len(v) > self.max_len:
+            issues.append(_issue(
+                "too_big", path,
+                f"Array must contain at most {self.max_len} element(s)"))
+        out = []
         for i, item in enumerate(v):
             out.append(self.inner._parse(item, path + [i], issues))
         return MISSING if len(issues) > before else out
@@ -274,6 +310,46 @@ class ZCustom(Z):
         return v
 
 
+class ZRefine(Z):
+    """schema.refine(fn, message): custom issue at the field path when
+    the predicate rejects an otherwise-valid value."""
+
+    def __init__(self, inner: Z, fn: Callable[[Any], bool], message: str):
+        self.inner, self.fn, self.message = inner, fn, message
+
+    def _parse(self, v, path, issues):
+        before = len(issues)
+        out = self.inner._parse(v, path, issues)
+        if len(issues) > before:
+            return MISSING
+        if not self.fn(out):
+            issues.append(_issue("custom", path, self.message))
+            return MISSING
+        return out
+
+
+class ZSuperRefine(Z):
+    """object.superRefine(fn): fn(value, add_issue) runs only when the
+    inner parse produced no issues (zod skips effects on aborted
+    results)."""
+
+    def __init__(self, inner: Z, fn: Callable):
+        self.inner, self.fn = inner, fn
+
+    def _parse(self, v, path, issues):
+        before = len(issues)
+        out = self.inner._parse(v, path, issues)
+        if len(issues) > before:
+            return MISSING
+        def add_issue(sub_path: list, message: str):
+            issues.append(_issue("custom", path + sub_path, message))
+        self.fn(out, add_issue)
+        return MISSING if len(issues) > before else out
+
+    def partial_inner(self) -> "ZObject":
+        return self.inner
+
+
 class ZDefault(Z):
     def __init__(self, inner: Z, default):
         self.inner, self.default = inner, default
@@ -302,11 +378,14 @@ class ZLazy(Z):
 
 
 class ZObject(Z):
-    """strip (default) or strict; shape-order issue accumulation with the
-    unrecognized_keys issue appended last (ZodObject._parse order)."""
+    """strip (default), strict, or passthrough; shape-order issue
+    accumulation with the unrecognized_keys issue appended last
+    (ZodObject._parse order)."""
 
-    def __init__(self, shape: dict[str, Z], strict: bool = False):
+    def __init__(self, shape: dict[str, Z], strict: bool = False,
+                 passthrough: bool = False):
         self.shape, self.strict = dict(shape), strict
+        self.passthrough = passthrough
 
     def _parse(self, v, path, issues):
         if parsed_type(v) != "object":
@@ -318,7 +397,11 @@ class ZObject(Z):
             parsed = schema._parse(val, path + [key], issues)
             if parsed is not MISSING:
                 out[key] = parsed
-        if self.strict:
+        if self.passthrough:
+            for k, val in v.items():
+                if k not in self.shape:
+                    out[k] = val
+        elif self.strict:
             extra = [k for k in v if k not in self.shape]
             if extra:
                 keys = ", ".join(f"'{k}'" for k in extra)
@@ -601,6 +684,209 @@ def parse_search_request(obj) -> dict:
 def parse_map_request(obj) -> dict:
     """mapSchema.parse (MapSchema.ts:17-50): no transform."""
     return MAP_SCHEMA.parse(obj)
+
+
+# --- Webhook / scheduled-task / monitor creation schemas -------------------
+
+
+def _cron_ok(val) -> bool:
+    """cron-parser acceptance via the scheduler core's Vixie parser
+    (5-field; cron-parser's optional leading seconds field validated as
+    0-59 over the remaining five)."""
+    from anycrawl_spark.scheduler import parse_cron
+
+    try:
+        parse_cron(val)
+        return True
+    except Exception:
+        fields = str(val).split()
+        if len(fields) == 6:
+            try:
+                parse_cron(" ".join(fields[1:]))
+                sec = int(fields[0])
+                return 0 <= sec <= 59
+            except Exception:
+                return False
+        return False
+
+
+def _cron_field() -> Z:
+    return ZRefine(ZString(), _cron_ok, "Invalid cron expression")
+
+
+def _webhook_event_types() -> tuple:
+    from anycrawl_spark.webhooks import WEBHOOK_EVENT_TYPES
+    return tuple(WEBHOOK_EVENT_TYPES)
+
+
+# WebhookSchema.ts:4-20 (createWebhookSchema)
+def _webhook_create_schema() -> ZObject:
+    evs = _webhook_event_types()
+    return ZObject({
+        "name": ZString(min=1, max=255),
+        "description": ZString().optional(),
+        "webhook_url": ZString(url=True),
+        "event_types": ZRefine(
+            ZArray(ZString(), min=1),
+            lambda types: all(t in evs for t in types),
+            "Invalid event type"),
+        "scope": ZDefault(ZEnum(["all", "specific"]), "all"),
+        "specific_task_ids": ZArray(ZString(uuid=True)).optional(),
+        "custom_headers": ZRecordOf(ZString()).optional(),
+        "timeout_seconds": ZDefault(ZNumber(min=1, max=60, int_=True), 10),
+        "max_retries": ZDefault(ZNumber(min=0, max=10, int_=True), 3),
+        "retry_backoff_multiplier": ZDefault(ZNumber(min=1, max=10), 2),
+        "tags": ZArray(ZString()).optional(),
+        "metadata": ZRecord().optional(),
+    })
+
+
+def parse_webhook_create(obj) -> dict:
+    return _webhook_create_schema().parse(obj)
+
+
+def parse_webhook_update(obj) -> dict:
+    """updateWebhookSchema = createWebhookSchema.partial()."""
+    return _webhook_create_schema().partial().parse(obj)
+
+
+# ScheduledTaskSchema.ts:4-28 (createTaskSchema)
+def _task_create_schema() -> ZObject:
+    return ZObject({
+        "name": ZString(min=1, max=255),
+        "description": ZNullable(ZString()).optional(),
+        "cron_expression": _cron_field(),
+        "timezone": ZDefault(ZString(), "UTC"),
+        "task_type": ZEnum(["scrape", "crawl", "search", "template"]),
+        "task_payload": ZObject({}, passthrough=True),
+        "concurrency_mode": ZDefault(ZEnum(["skip", "queue"]), "skip"),
+        "max_executions_per_day":
+            ZNullable(ZNumber(int_=True, positive=True)).optional(),
+        "tags": ZArray(ZString()).optional(),
+        "metadata": ZRecord().optional(),
+        "webhook_ids": ZArray(ZString(uuid=True)).optional(),
+        "webhook_url": ZString(url=True).optional(),
+    })
+
+
+def parse_task_create(obj) -> dict:
+    return _task_create_schema().parse(obj)
+
+
+def parse_task_update(obj) -> dict:
+    return _task_create_schema().partial().parse(obj)
+
+
+# MonitorSchema.ts:18-89 (monitorTargetSchema + createMonitorSchema)
+MONITOR_TARGET_SCHEMA = ZObject({
+    "url": ZString(url=True),
+    "engine": ZDefault(ZEnum(ALLOWED_ENGINES), "auto"),
+    "options": ZObject({}, passthrough=True).optional(),
+    "location": ZObject({"country": ZString()}).optional(),
+})
+
+_DIFF_OPTIONS = ZObject({
+    "ignore_selectors": ZArray(ZString(), max=50).optional(),
+    "only_main_content": ZBoolean().optional(),
+    "min_change_ratio": ZNumber(min=0, max=1).optional(),
+})
+
+_NOTIFY_OPTIONS = ZObject({
+    "channels": ZDefault(ZArray(ZEnum(["webhook", "email"])),
+                         lambda: ["webhook"]),
+    "email_recipients": ZArray(ZString(email=True), max=20).optional(),
+    "only_meaningful": ZDefault(ZBoolean(), True),
+    "thresholds": ZObject({
+        "price_change_pct": ZNumber().optional()}).optional(),
+})
+
+
+def _monitor_super_refine(data, add_issue):
+    """createMonitorSchema.superRefine (MonitorSchema.ts:72-89)."""
+    if data.get("monitor_type") == "price" and "extract_schema" not in data:
+        add_issue(["extract_schema"],
+                  "extract_schema is required when monitor_type is 'price'")
+    notify = data.get("notify_options") or {}
+    if "email" in (notify.get("channels") or []) \
+            and not notify.get("email_recipients"):
+        add_issue(["notify_options", "email_recipients"],
+                  "email_recipients is required when 'email' is in "
+                  "notify channels")
+
+
+MONITOR_CREATE_SCHEMA = ZSuperRefine(ZObject({
+    "name": ZString(min=1, max=255),
+    "description": ZNullable(ZString()).optional(),
+    "monitor_type": ZDefault(ZEnum(["webpage", "price"]), "webpage"),
+    "cron_expression": _cron_field(),
+    "timezone": ZDefault(ZString(), "UTC"),
+    "targets": ZArray(MONITOR_TARGET_SCHEMA, min=1, max=50),
+    "goal": ZString().optional(),
+    "track_mode": ZEnum(["text", "json", "mixed"]).optional(),
+    "extract_schema": ZLazy(_json_schema_type).optional(),
+    "diff_options": _DIFF_OPTIONS.optional(),
+    "notify_options": _NOTIFY_OPTIONS.optional(),
+    "concurrency_mode": ZDefault(ZEnum(["skip", "queue"]), "skip"),
+    "max_executions_per_day":
+        ZNullable(ZNumber(int_=True, positive=True)).optional(),
+    "tags": ZArray(ZString(), max=20).optional(),
+    "metadata": ZRecord().optional(),
+}), _monitor_super_refine)
+
+
+def parse_monitor_create(obj) -> dict:
+    return MONITOR_CREATE_SCHEMA.parse(obj)
+
+
+def _monitor_update_super_refine(data, add_issue):
+    """updateMonitorSchema.superRefine (MonitorSchema.ts:126-146): only
+    the email-recipients rule is enforced (the track_mode guard is a
+    documented no-op deferred to the controller's merge-time check)."""
+    notify = data.get("notify_options") or {}
+    if "email" in (notify.get("channels") or []) \
+            and not notify.get("email_recipients"):
+        add_issue(["notify_options", "email_recipients"],
+                  "email_recipients is required when 'email' is in "
+                  "notify channels")
+
+
+MONITOR_UPDATE_SCHEMA = ZSuperRefine(ZObject({
+    "name": ZString(min=1, max=255).optional(),
+    "description": ZNullable(ZString()).optional(),
+    "cron_expression": _cron_field().optional(),
+    "timezone": ZString().optional(),
+    "targets": ZArray(MONITOR_TARGET_SCHEMA, min=1, max=50).optional(),
+    "goal": ZNullable(ZString()).optional(),
+    "track_mode": ZEnum(["text", "json", "mixed"]).optional(),
+    "extract_schema": ZLazy(_json_schema_type).optional(),
+    "diff_options": _DIFF_OPTIONS.optional(),
+    "notify_options": ZObject({
+        "channels": ZArray(ZEnum(["webhook", "email"])).optional(),
+        "email_recipients": ZArray(ZString(email=True), max=20).optional(),
+        "only_meaningful": ZBoolean().optional(),
+        "thresholds": ZObject({
+            "price_change_pct": ZNumber().optional()}).optional(),
+    }).optional(),
+    "concurrency_mode": ZEnum(["skip", "queue"]).optional(),
+    "max_executions_per_day":
+        ZNullable(ZNumber(int_=True, positive=True)).optional(),
+    "is_active": ZBoolean().optional(),
+    "tags": ZArray(ZString(), max=20).optional(),
+    "metadata": ZRecord().optional(),
+}), _monitor_update_super_refine)
+
+
+def parse_monitor_update(obj) -> dict:
+    return MONITOR_UPDATE_SCHEMA.parse(obj)
+
+
+def resolve_track_mode(monitor_type: str,
+                       track_mode: Optional[str] = None) -> str:
+    """MonitorSchema.ts:149-157 resolveTrackMode: explicit wins, else
+    price -> json, webpage -> text."""
+    if track_mode:
+        return track_mode
+    return "json" if monitor_type == "price" else "text"
 
 
 # ---------------------------------------------------------------------------

@@ -317,6 +317,174 @@ class TestMapSchema:
         assert issues_of(res)[0][0] == "too_big"
 
 
+class TestWebhookSchema:
+    def test_create_defaults(self):
+        from anycrawl_spark.schemas import parse_webhook_create
+        res = parse_webhook_create({
+            "name": "w", "webhook_url": "https://h.example/cb",
+            "event_types": ["crawl.completed"]})
+        assert res["success"], res["issues"]
+        d = res["data"]
+        assert d["scope"] == "all" and d["timeout_seconds"] == 10
+        assert d["max_retries"] == 3
+        assert d["retry_backoff_multiplier"] == 2
+
+    def test_event_types_refine(self):
+        from anycrawl_spark.schemas import parse_webhook_create
+        res = parse_webhook_create({
+            "name": "w", "webhook_url": "https://h.example/cb",
+            "event_types": ["nope.event"]})
+        assert issues_of(res) == [("custom", "event_types",
+                                   "Invalid event type")]
+        res = parse_webhook_create({
+            "name": "w", "webhook_url": "https://h.example/cb",
+            "event_types": []})
+        assert issues_of(res) == [(
+            "too_small", "event_types",
+            "Array must contain at least 1 element(s)")]
+
+    def test_int_and_bounds(self):
+        from anycrawl_spark.schemas import parse_webhook_create
+        res = parse_webhook_create({
+            "name": "w", "webhook_url": "https://h.example/cb",
+            "event_types": ["crawl.completed"], "timeout_seconds": 2.5})
+        assert issues_of(res) == [(
+            "invalid_type", "timeout_seconds",
+            "Expected integer, received float")]
+        # integer-valued float passes (Number.isInteger(5.0) is true)
+        res = parse_webhook_create({
+            "name": "w", "webhook_url": "https://h.example/cb",
+            "event_types": ["crawl.completed"], "timeout_seconds": 5.0})
+        assert res["success"]
+
+    def test_name_length_and_uuid_list(self):
+        from anycrawl_spark.schemas import parse_webhook_create
+        res = parse_webhook_create({
+            "name": "", "webhook_url": "https://h.example/cb",
+            "event_types": ["crawl.completed"]})
+        assert issues_of(res) == [(
+            "too_small", "name",
+            "String must contain at least 1 character(s)")]
+        res = parse_webhook_create({
+            "name": "w", "webhook_url": "https://h.example/cb",
+            "event_types": ["crawl.completed"],
+            "specific_task_ids": ["not-a-uuid"]})
+        assert issues_of(res) == [(
+            "invalid_string", "specific_task_ids.0", "Invalid uuid")]
+
+    def test_update_partial(self):
+        from anycrawl_spark.schemas import parse_webhook_update
+        res = parse_webhook_update({"name": "new"})
+        assert res["success"] and res["data"] == {"name": "new"}
+
+
+class TestTaskSchema:
+    def test_cron_refine(self):
+        from anycrawl_spark.schemas import parse_task_create
+        base = {"name": "t", "task_type": "crawl", "task_payload": {}}
+        ok = parse_task_create({**base, "cron_expression": "*/5 * * * *"})
+        assert ok["success"]
+        assert ok["data"]["timezone"] == "UTC"
+        assert ok["data"]["concurrency_mode"] == "skip"
+        # 6-field (leading seconds) accepted like cron-parser
+        ok = parse_task_create({**base, "cron_expression": "0 */5 * * * *"})
+        assert ok["success"]
+        bad = parse_task_create({**base, "cron_expression": "not cron"})
+        assert issues_of(bad) == [("custom", "cron_expression",
+                                   "Invalid cron expression")]
+
+    def test_payload_passthrough(self):
+        from anycrawl_spark.schemas import parse_task_create
+        res = parse_task_create({
+            "name": "t", "task_type": "scrape",
+            "cron_expression": "0 9 * * 1",
+            "task_payload": {"url": "https://x.test", "custom": [1, 2]}})
+        assert res["data"]["task_payload"] == {"url": "https://x.test",
+                                               "custom": [1, 2]}
+
+    def test_positive_int_nullable(self):
+        from anycrawl_spark.schemas import parse_task_create
+        base = {"name": "t", "task_type": "crawl",
+                "cron_expression": "* * * * *", "task_payload": {}}
+        assert parse_task_create(
+            {**base, "max_executions_per_day": None})["success"]
+        res = parse_task_create({**base, "max_executions_per_day": 0})
+        assert issues_of(res) == [("too_small", "max_executions_per_day",
+                                   "Number must be greater than 0")]
+
+
+class TestMonitorSchema:
+    BASE = {"name": "m", "cron_expression": "0 8 * * *",
+            "targets": [{"url": "https://shop.test/p"}]}
+
+    def test_defaults(self):
+        from anycrawl_spark.schemas import parse_monitor_create
+        res = parse_monitor_create(self.BASE)
+        assert res["success"], res["issues"]
+        d = res["data"]
+        assert d["monitor_type"] == "webpage"
+        assert d["targets"][0]["engine"] == "auto"
+        assert d["concurrency_mode"] == "skip"
+
+    def test_price_requires_schema(self):
+        from anycrawl_spark.schemas import parse_monitor_create
+        res = parse_monitor_create({**self.BASE, "monitor_type": "price"})
+        assert issues_of(res) == [(
+            "custom", "extract_schema",
+            "extract_schema is required when monitor_type is 'price'")]
+        ok = parse_monitor_create({
+            **self.BASE, "monitor_type": "price",
+            "extract_schema": {"type": "object"}})
+        assert ok["success"]
+
+    def test_email_channel_requires_recipients(self):
+        from anycrawl_spark.schemas import parse_monitor_create
+        res = parse_monitor_create({
+            **self.BASE, "notify_options": {"channels": ["email"]}})
+        assert issues_of(res) == [(
+            "custom", "notify_options.email_recipients",
+            "email_recipients is required when 'email' is in notify "
+            "channels")]
+        ok = parse_monitor_create({
+            **self.BASE,
+            "notify_options": {"channels": ["email"],
+                               "email_recipients": ["a@b.co"]}})
+        assert ok["success"]
+        bad = parse_monitor_create({
+            **self.BASE,
+            "notify_options": {"channels": ["email"],
+                               "email_recipients": ["not-an-email"]}})
+        assert issues_of(bad) == [(
+            "invalid_string", "notify_options.email_recipients.0",
+            "Invalid email")]
+
+    def test_superrefine_skipped_when_parse_fails(self):
+        from anycrawl_spark.schemas import parse_monitor_create
+        # invalid field -> effects do not run (zod aborts before refine)
+        res = parse_monitor_create({
+            **self.BASE, "monitor_type": "price", "timezone": 5})
+        assert [c for c, _, _ in issues_of(res)] == ["invalid_type"]
+
+    def test_targets_bounds(self):
+        from anycrawl_spark.schemas import parse_monitor_create
+        res = parse_monitor_create({**self.BASE, "targets": []})
+        assert issues_of(res) == [(
+            "too_small", "targets",
+            "Array must contain at least 1 element(s)")]
+
+    def test_resolve_track_mode(self):
+        from anycrawl_spark.schemas import resolve_track_mode
+        assert resolve_track_mode("price") == "json"
+        assert resolve_track_mode("webpage") == "text"
+        assert resolve_track_mode("price", "mixed") == "mixed"
+
+    def test_update_variant(self):
+        from anycrawl_spark.schemas import parse_monitor_update
+        res = parse_monitor_update({"goal": None, "is_active": False})
+        assert res["success"]
+        assert res["data"] == {"goal": None, "is_active": False}
+
+
 class TestJsUrlCheck:
     @pytest.mark.parametrize("url,ok", [
         ("https://example.com", True),
