@@ -38,6 +38,7 @@ files encode THESE semantics, which is what parity tests check.
 
 from __future__ import annotations
 
+import os
 import time
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
@@ -126,6 +127,10 @@ class CrawlConfig:
                                          # 0 disables
     simulate_fetch_errors: bool = False  # F11: draw all five failure classes
                                          # from corpus misses (tests/fixtures)
+    proxy: str | None = None             # request proxy option (mode keyword
+                                         # or custom URL); results carry the
+                                         # RESOLVED mode name like Base.ts:1295
+                                         # ('base' when unset / auto)
     fetch_semi_max: int = 1_000_000      # semi-reduce the corpus side of the
                                          # fetch join with a broadcast of the
                                          # admitted key set when the frontier
@@ -590,6 +595,20 @@ class CrawlEngine:
         return meta
 
     # -- the round loop -----------------------------------------------------
+    @staticmethod
+    def _resolved_proxy_mode(cfg: CrawlConfig) -> str:
+        """libs/proxy.ts:54-71 via Base.ts:1294-1295: the mode name the
+        result document reports — 'base' for unset/base/auto, 'stealth'
+        only when a stealth pool is actually configured, 'custom' for a
+        URL.  Reads the reference's own env names so a deployment that
+        sets ANYCRAWL_PROXY_STEALTH_URL reports identically."""
+        from anycrawl_spark.proxy import (get_resolved_proxy_mode,
+                                          parse_proxy_urls)
+
+        return get_resolved_proxy_mode(
+            cfg.proxy,
+            parse_proxy_urls(os.environ.get("ANYCRAWL_PROXY_STEALTH_URL")))
+
     def run(self, cfg: CrawlConfig, resume: bool = False) -> dict:
         t0 = time.time()
         # reset pipelining state: run() may be called again on one engine
@@ -852,6 +871,9 @@ class CrawlEngine:
                 F.length("html").alias("bytes"),
             )
             .withColumn("round", F.lit(r))
+            # Base.ts:1294-1295: every result document carries the resolved
+            # proxy mode name ('base' when no proxy option is set)
+            .withColumn("proxy", F.lit(self._resolved_proxy_mode(cfg)))
             .withColumn(
                 "should_scrape",
                 path_filter_cond(F.col("url"), cfg.scrape_paths, []) if cfg.scrape_paths

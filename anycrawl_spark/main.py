@@ -55,6 +55,7 @@ def cmd_crawl(args) -> None:
         respect_robots=args.robots is not None,
         seen_compact_every=args.seen_compact_every,
         seen_filter=args.seen_filter,
+        proxy=args.proxy,
     )
     summary = engine.run(cfg, resume=args.resume)
     print(json.dumps(summary))
@@ -220,6 +221,10 @@ def main(argv=None) -> None:
     p.add_argument("--seen-compact-every", type=int, default=8,
                    help="rewrite the seen table cumulatively every K "
                         "seen-writing rounds (0 disables)")
+    p.add_argument("--proxy",
+                   help="proxy option (auto|base|stealth or a custom URL); "
+                        "results carry the resolved mode name "
+                        "(Base.ts:1295 parity)")
     p.set_defaults(fn=cmd_crawl)
 
     p = sub.add_parser("recrawl")

@@ -791,3 +791,50 @@ class TestPrefilterGate:
                        eng.catalog.read(spark, "seen").collect()),
             )
         assert runs["probe"] == runs["exact"]
+
+
+class TestResolvedProxyField:
+    """Base.ts:1294-1295: every result document reports the resolved proxy
+    mode name (getResolvedProxyModeName over the request's proxy option)."""
+
+    def test_default_is_base(self, spark, small_corpus, tmp_root):
+        engine, _, _, _ = run_engine(
+            spark, small_corpus, tmp_root, "pxdef", seed_url=SEED,
+            strategy="same-hostname", max_depth=2, limit=5,
+            respect_robots=False)
+        modes = {r["proxy"] for r in engine.results().select("proxy").collect()}
+        assert modes == {"base"}
+
+    def test_stealth_needs_pool_else_degrades(self, spark, small_corpus,
+                                              tmp_root, monkeypatch):
+        monkeypatch.delenv("ANYCRAWL_PROXY_STEALTH_URL", raising=False)
+        engine, _, _, _ = run_engine(
+            spark, small_corpus, tmp_root, "pxdeg", seed_url=SEED,
+            strategy="same-hostname", max_depth=2, limit=5,
+            respect_robots=False, proxy="stealth")
+        modes = {r["proxy"] for r in engine.results().select("proxy").collect()}
+        assert modes == {"base"}  # libs/proxy.ts:60-63 degradation
+
+        monkeypatch.setenv("ANYCRAWL_PROXY_STEALTH_URL", "http://st:9090")
+        engine2, _, _, _ = run_engine(
+            spark, small_corpus, tmp_root, "pxst", seed_url=SEED,
+            strategy="same-hostname", max_depth=2, limit=5,
+            respect_robots=False, proxy="stealth")
+        modes = {r["proxy"]
+                 for r in engine2.results().select("proxy").collect()}
+        assert modes == {"stealth"}
+
+    def test_custom_url_and_auto(self, spark, small_corpus, tmp_root):
+        engine, _, _, _ = run_engine(
+            spark, small_corpus, tmp_root, "pxcust", seed_url=SEED,
+            strategy="same-hostname", max_depth=2, limit=5,
+            respect_robots=False, proxy="http://me:3128")
+        modes = {r["proxy"] for r in engine.results().select("proxy").collect()}
+        assert modes == {"custom"}
+        engine2, _, _, _ = run_engine(
+            spark, small_corpus, tmp_root, "pxauto", seed_url=SEED,
+            strategy="same-hostname", max_depth=2, limit=5,
+            respect_robots=False, proxy="auto")
+        modes = {r["proxy"]
+                 for r in engine2.results().select("proxy").collect()}
+        assert modes == {"base"}  # auto charges/reports base initially
