@@ -4356,6 +4356,111 @@ def q_search_request_validate(spark, sf_dir):
 
 
 @register(
+    "auth_gateway",
+    """WITH req AS (
+         SELECT event_id AS rid, CAST(event_id % 9 AS INT) AS c,
+                CAST(1 + event_id % 3 AS INT) AS oct3,
+                CASE CAST((event_id // 9) % 3 AS INT)
+                     WHEN 0 THEN 200 WHEN 1 THEN 302 ELSE 500 END AS r8,
+                CAST(event_id % 3 AS DOUBLE) AS cu7
+         FROM events),
+       s AS (
+         SELECT rid, c, r8, cu7,
+                'POST' AS method,
+                CASE c WHEN 6 THEN '/v1/search'
+                       WHEN 7 THEN '/v1/crawl'
+                       ELSE '/v1/scrape' END AS path,
+                CASE c WHEN 4 THEN '10.' || CAST(oct3 AS VARCHAR) || '.0.1'
+                       WHEN 5 THEN '11.0.0.' || CAST(oct3 AS VARCHAR)
+                       ELSE '10.1.2.3' END AS client_ip,
+                CASE c WHEN 0 THEN NULL
+                       WHEN 1 THEN 'Token k-good'
+                       WHEN 2 THEN 'Bearer k-missing'
+                       WHEN 3 THEN 'Bearer k-inactive'
+                       WHEN 4 THEN 'Bearer k-iplocked'
+                       WHEN 5 THEN 'Bearer k-iplocked'
+                       WHEN 6 THEN 'Bearer k-broke'
+                       ELSE 'Bearer k-good' END AS authorization
+         FROM req),
+       g AS (
+         SELECT *,
+                CASE c WHEN 0 THEN 'No authorization header provided'
+                       WHEN 1 THEN 'Invalid authorization header format'
+                       WHEN 2 THEN 'Invalid API key'
+                       WHEN 3 THEN 'API key is inactive'
+                       WHEN 5 THEN 'IP address not allowed'
+                       WHEN 6 THEN 'Insufficient credits' END AS gate_error
+         FROM s)
+     SELECT rid, method, path, client_ip,
+            CASE WHEN gate_error IS NULL THEN NULL
+                 WHEN gate_error = 'IP address not allowed' THEN 403
+                 WHEN gate_error = 'Insufficient credits' THEN 402
+                 ELSE 401 END AS gate_status,
+            gate_error,
+            CASE WHEN gate_error IS NOT NULL THEN NULL
+                 WHEN c = 4 THEN 'u3' ELSE 'u1' END AS api_key_uuid,
+            CASE WHEN gate_error IS NOT NULL THEN false
+                 WHEN c = 7 THEN cu7 > 0
+                 WHEN c = 8 THEN r8 < 400
+                 ELSE true END AS should_deduct,
+            CASE WHEN gate_error IS NOT NULL THEN NULL
+                 WHEN c = 7 AND cu7 > 0 THEN 'delta'
+                 WHEN c = 8 AND r8 < 400 THEN 'target'
+                 WHEN c IN (7, 8) THEN NULL
+                 ELSE 'target' END AS billing_mode
+     FROM g""",
+    "API gateway replay (AuthMiddleware.ts:6-75, "
+    "CheckCreditsMiddleware.ts:7-87, DeductCreditsMiddleware.ts:30-52): "
+    "Bearer-header chain with exact error strings, per-key CIDR "
+    "allowlist via the ipaccess module, the billing-route credit gate "
+    "(402 on <=0), and the post-response deduction decision (2xx/3xx + "
+    "creditsUsed>0 + jobId; delta for crawl-create else target — the two "
+    "modes ledger_rollup replays). One broadcast dim join, row-local "
+    "otherwise.",
+)
+def q_auth_gateway(spark, sf_dir):
+    from anycrawl_spark.gateway import auth_gateway
+
+    e = F.col("event_id")
+    c = (e % 9).cast("int")
+    oct3 = (e % 3 + 1).cast("string")
+    resp8 = (F.when(F.floor(e / 9) % 3 == 0, F.lit(200))
+             .when(F.floor(e / 9) % 3 == 1, F.lit(302))
+             .otherwise(F.lit(500)))
+    req = load(spark, sf_dir, "events").select(
+        e.alias("rid"), F.lit("POST").alias("method"),
+        F.when(c == 6, F.lit("/v1/search"))
+        .when(c == 7, F.lit("/v1/crawl"))
+        .otherwise(F.lit("/v1/scrape")).alias("path"),
+        F.when(c == 0, F.lit(None).cast("string"))
+        .when(c == 1, F.lit("Token k-good"))
+        .when(c == 2, F.lit("Bearer k-missing"))
+        .when(c == 3, F.lit("Bearer k-inactive"))
+        .when(c.isin(4, 5), F.lit("Bearer k-iplocked"))
+        .when(c == 6, F.lit("Bearer k-broke"))
+        .otherwise(F.lit("Bearer k-good")).alias("authorization"),
+        F.lit(None).cast("string").alias("cf_connecting_ip"),
+        F.lit(None).cast("string").alias("x_forwarded_for"),
+        F.lit(None).cast("string").alias("x_real_ip"),
+        F.when(c == 4, F.concat(F.lit("10."), oct3, F.lit(".0.1")))
+        .when(c == 5, F.concat(F.lit("11.0.0."), oct3))
+        .otherwise(F.lit("10.1.2.3")).alias("req_ip"),
+        F.when(c == 8, resp8).otherwise(F.lit(200)).cast("int")
+        .alias("resp_status"),
+        F.when(c == 7, (e % 3).cast("double"))
+        .otherwise(F.lit(1.0)).alias("credits_used"),
+        F.concat(F.lit("j"), e.cast("string")).alias("job_id"))
+    keys = spark.createDataFrame(
+        [("k-good", "u1", True, None, 100.0),
+         ("k-inactive", "u2", False, None, 100.0),
+         ("k-iplocked", "u3", True, ["10.0.0.0/8"], 100.0),
+         ("k-broke", "u4", True, None, 0.0)],
+        "key string, uuid string, is_active boolean, "
+        "allowed_ips array<string>, credits double")
+    return auth_gateway(req, keys)
+
+
+@register(
     "serialize_snake",
     """SELECT event_id AS rid,
               '{"job_id":' || CAST(event_id AS VARCHAR)
@@ -4462,6 +4567,9 @@ DRIVER_ORDER: list[str] = [
     # intake-gate sibling (r6): search-schema parse over the same zod
     # runtime — oracled outside the window next to request_validate
     "search_request_validate",
+    # API-surface sibling (r6): middleware-chain replay composing the
+    # in-window ip_allowlist with the auth/credit/deduction gates
+    "auth_gateway",
     # r6 swaps (rationale in COVERAGE.md): promoted template_render,
     # execution_finalize, ledger_rollup; demoted the named twins —
     # ac_engine_parse (G-family JSON-SERP parsing stays gated via
