@@ -3791,6 +3791,8 @@ _PROXY_REASONS = ("cloudflare_challenge", "http_error", "timeout",
          SELECT *,
                 max(CASE WHEN kind = 'success' THEN seq END)
                   OVER (PARTITION BY domain) AS last_succ_seq,
+                max(CASE WHEN kind = 'failure' THEN seq END)
+                  OVER (PARTITION BY domain) AS last_fail_seq,
                 (kind = 'failure' AND NOT (mode = 'base' AND reason NOT IN
                    ('cloudflare_challenge','blocked'))) AS trig
          FROM filt),
@@ -3798,12 +3800,17 @@ _PROXY_REASONS = ("cloudflare_challenge", "http_error", "timeout",
          SELECT domain,
                 arg_max(mode, CASE WHEN kind = 'success' THEN seq END)
                   AS last_succ_mode,
-                arg_max(proxy_url, CASE WHEN kind = 'success' THEN seq END)
+                -- failures replace the whole entry WITHOUT the working-
+                -- proxy fields: only successes after the last failure count
+                arg_max(proxy_url, CASE WHEN kind = 'success'
+                        AND seq > coalesce(last_fail_seq, -1) THEN seq END)
                   AS working_proxy_url,
                 arg_max(proxy_url, CASE WHEN kind = 'success'
+                        AND seq > coalesce(last_fail_seq, -1)
                         AND mode = 'base' THEN seq END)
                   AS base_working_proxy,
                 arg_max(proxy_url, CASE WHEN kind = 'success'
+                        AND seq > coalesce(last_fail_seq, -1)
                         AND mode = 'stealth' THEN seq END)
                   AS stealth_working_proxy,
                 max(CASE WHEN kind = 'failure' THEN ts END)

@@ -276,6 +276,12 @@ def proxy_cache_replay(events: DataFrame) -> DataFrame:
       - including a stealth->base downgrade, and including non-keyword
       strings (recordDomainSuccess:243 sets ``mode: currentMode``
       verbatim);
+    * a failure WIPES every cached working proxy: recordDomainFailure
+      builds a complete replacement entry (ts:207-219) that simply has no
+      workingProxyUrl / baseWorkingProxy / stealthWorkingProxy fields,
+      and setDomainEntry replaces the whole JSON - so the per-mode
+      working proxies at the end come only from successes AFTER the last
+      recorded failure;
     * ``base_working_proxy`` / ``stealth_working_proxy`` update only when
       the success mode is exactly that keyword (ts:246-248);
     * ``total_failures`` resets to 0 on success (ts:251) and counts
@@ -303,21 +309,30 @@ def proxy_cache_replay(events: DataFrame) -> DataFrame:
     ev = ev.withColumn(
         "__last_succ_seq",
         F.max(F.when(is_succ, F.col("seq"))).over(w))
+    ev = ev.withColumn(
+        "__last_fail_seq",
+        F.max(F.when(is_fail, F.col("seq"))).over(w))
     after_last_succ = (F.col("seq")
                        > F.coalesce(F.col("__last_succ_seq"), F.lit(-1)))
+    after_last_fail = (F.col("seq")
+                       > F.coalesce(F.col("__last_fail_seq"), F.lit(-1)))
     trigger = _failure_triggers_stealth(F.col("mode"), F.col("reason"))
 
     out = ev.groupBy("domain").agg(
         F.max_by(F.col("mode"), F.when(is_succ, F.col("seq")))
         .alias("__last_succ_mode"),
-        F.max_by(F.col("proxy_url"), F.when(is_succ, F.col("seq")))
+        # working proxies survive only successes AFTER the last failure
+        # (each recorded failure replaces the entry without these fields)
+        F.max_by(F.col("proxy_url"),
+                 F.when(is_succ & after_last_fail, F.col("seq")))
         .alias("working_proxy_url"),
         F.max_by(F.col("proxy_url"),
-                 F.when(is_succ & (F.col("mode") == "base"), F.col("seq")))
+                 F.when(is_succ & after_last_fail
+                        & (F.col("mode") == "base"), F.col("seq")))
         .alias("base_working_proxy"),
         F.max_by(F.col("proxy_url"),
-                 F.when(is_succ & (F.col("mode") == "stealth"),
-                        F.col("seq")))
+                 F.when(is_succ & after_last_fail
+                        & (F.col("mode") == "stealth"), F.col("seq")))
         .alias("stealth_working_proxy"),
         F.max(F.when(is_fail, F.col("ts"))).alias("last_failure_at"),
         F.max_by(F.col("reason"), F.when(is_fail, F.col("seq")))

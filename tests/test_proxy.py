@@ -183,14 +183,13 @@ def simulate_domain_cache(events):
                 continue
             new_mode = compute_new_mode(ex["mode"] if ex else None,
                                         e["mode"], e["reason"])
+            # recordDomainFailure's replacement entry has NO working-proxy
+            # fields (ts:207-219) - a failure wipes all three
             state[d] = {
                 "mode": new_mode,
-                "working_proxy_url": ex.get("working_proxy_url")
-                if ex else None,
-                "base_working_proxy": ex.get("base_working_proxy")
-                if ex else None,
-                "stealth_working_proxy": ex.get("stealth_working_proxy")
-                if ex else None,
+                "working_proxy_url": None,
+                "base_working_proxy": None,
+                "stealth_working_proxy": None,
                 "last_failure_at": now,
                 "last_failure_reason": e["reason"],
                 "total_failures": ((ex or {}).get("total_failures") or 0) + 1,
@@ -269,6 +268,29 @@ class TestProxyCacheReplay:
             [("x.com", 0, 1000, "failure", "custom", None, "timeout")],
             EVENT_SCHEMA)
         assert proxy_cache_replay(df).count() == 0
+
+    def test_failure_wipes_working_proxies(self, spark):
+        # recordDomainFailure stores a full replacement entry without
+        # workingProxyUrl/baseWorkingProxy/stealthWorkingProxy (ts:207-219)
+        rows = [
+            ("x.com", 0, 1000, "success", "base", "http://pb:1", None),
+            ("x.com", 1, 2000, "success", "stealth", "http://ps:1", None),
+            ("x.com", 2, 3000, "failure", "base", None, "timeout"),
+        ]
+        out = proxy_cache_replay(
+            spark.createDataFrame(rows, EVENT_SCHEMA)).collect()[0]
+        assert out["working_proxy_url"] is None
+        assert out["base_working_proxy"] is None
+        assert out["stealth_working_proxy"] is None
+        assert out["last_success_at"] == 2000  # lastSuccessAt IS carried
+        # a new success after the failure re-seeds only its own mode
+        rows.append(("x.com", 3, 4000, "success", "base", "http://pb2:1",
+                     None))
+        out = proxy_cache_replay(
+            spark.createDataFrame(rows, EVENT_SCHEMA)).collect()[0]
+        assert out["base_working_proxy"] == "http://pb2:1"
+        assert out["stealth_working_proxy"] is None  # lost for good
+        assert out["working_proxy_url"] == "http://pb2:1"
 
     def test_success_downgrades_stealth_domain(self, spark):
         # recordDomainSuccess overwrites mode verbatim - a base success
