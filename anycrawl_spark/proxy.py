@@ -154,7 +154,12 @@ def get_proxy_from_mode(proxy_value: Optional[str], proxy_tier: int,
                                               stealth_urls)
     if not tiered:
         return None, False
-    tier = tiered[min(proxy_tier, len(tiered) - 1)]
+    idx = min(proxy_tier, len(tiered) - 1)
+    if idx < 0:
+        # JS tieredProxyUrls[Math.min(-1, ...)] is undefined -> null
+        # (Python's negative indexing would wrap to the LAST tier)
+        return None, False
+    tier = tiered[idx]
     proxies = [u for u in tier if u is not None]
     if not proxies:
         return None, False
@@ -427,7 +432,9 @@ def select_proxy(
         retry = int(retry_raw) if retry_raw >= 0 else 0  # Math.floor >= 0
     except (TypeError, ValueError):
         retry = 0
-    tier = user_tier if isinstance(user_tier, (int, float)) else 0
+    # JS `typeof userDataTier === 'number'`: booleans are not numbers
+    tier = user_tier if isinstance(user_tier, (int, float)) \
+        and not isinstance(user_tier, bool) else 0
     tier = int(tier)
 
     rule_match = find_proxy_for_url(match_url, rules) if match_url else None
@@ -668,8 +675,10 @@ def proxy_select(
             .otherwise(arr([])),
             lambda u: u != F.col("__rule")))
     mode_pool = (
-        F.when((F.col("__eff_mode") == "auto") & (eff_tier <= 0),
-               arr(tier_pool("auto", 0)))
+        # negative tier: JS indexes undefined -> getProxyFromMode null
+        F.when(eff_tier < 0, arr([]))
+        .when((F.col("__eff_mode") == "auto") & (eff_tier <= 0),
+              arr(tier_pool("auto", 0)))
         .when(F.col("__eff_mode") == "auto", arr(tier_pool("auto", 1)))
         .when((F.col("__eff_mode") == "base") & (eff_tier <= 0),
               arr(tier_pool("base", 0)))

@@ -430,6 +430,23 @@ class TestSelectProxyPure:
             base_urls=BASE, stealth_urls=STEALTH)
         assert (sel, src) == ("http://rule-domain:1", "env_rotation")
 
+    def test_negative_tier_yields_no_mode_proxy(self):
+        # JS tieredProxyUrls[Math.min(-1, len-1)] is undefined -> null ->
+        # fall through to the env fallback (no rotation tick consumed)
+        sel, src, t = select_proxy(
+            url="https://plain.example.com/x", original_url=None,
+            retry_count=0, user_tier=-1, proxy_option="base",
+            rules=[], domain_cache={}, active_failures=set(),
+            rotation_index=0, base_urls=BASE, stealth_urls=STEALTH)
+        assert (sel, src, t) == (BASE[0], "env_fallback", 0)
+        # boolean _proxyTier is not a number in JS -> treated as 0
+        sel, src, t = select_proxy(
+            url="https://plain.example.com/x", original_url=None,
+            retry_count=0, user_tier=True, proxy_option="base",
+            rules=[], domain_cache={}, active_failures=set(),
+            rotation_index=0, base_urls=BASE, stealth_urls=STEALTH)
+        assert (sel, src, t) == (BASE[0], "mode_rotation", 1)
+
     def test_env_fallback_and_none(self):
         sel, src, _ = select_proxy(
             url="https://plain.example.com/", original_url=None,
