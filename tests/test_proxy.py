@@ -247,6 +247,95 @@ EVENT_SCHEMA = ("domain string, seq long, ts long, kind string, "
                 "mode string, proxy_url string, reason string")
 
 
+def closed_form_fold(events):
+    """Pure-Python mirror of proxy_cache_replay's conditional-aggregation
+    derivation (no Spark): the hypothesis target that proves the
+    sequential state machine reduces to per-domain aggregates."""
+    out = {}
+    by_domain: dict[str, list] = {}
+    for e in sorted(events, key=lambda x: x["seq"]):
+        if e["kind"] == "failure" and e["mode"] == "custom":
+            continue
+        by_domain.setdefault(e["domain"], []).append(e)
+    for d, evs in by_domain.items():
+        succ = [e for e in evs if e["kind"] == "success"]
+        fails = [e for e in evs if e["kind"] == "failure"]
+        last_succ_seq = succ[-1]["seq"] if succ else -1
+        last_fail_seq = fails[-1]["seq"] if fails else -1
+        succ_after_fail = [e for e in succ if e["seq"] > last_fail_seq]
+        fails_after_succ = [e for e in fails if e["seq"] > last_succ_seq]
+
+        def trig(e):
+            return not (e["mode"] == "base" and e["reason"] not in
+                        ("cloudflare_challenge", "blocked"))
+
+        last_succ_mode = succ[-1]["mode"] if succ else None
+        if not fails_after_succ:
+            mode = last_succ_mode
+        elif last_succ_mode == "stealth" or any(map(trig, fails_after_succ)):
+            mode = "stealth"
+        else:
+            mode = "base"
+        base_after = [e for e in succ_after_fail if e["mode"] == "base"]
+        stealth_after = [e for e in succ_after_fail
+                         if e["mode"] == "stealth"]
+        stealth_entries = ([e["ts"] for e in succ if e["mode"] == "stealth"]
+                           + [e["ts"] for e in fails if trig(e)])
+        out[d] = {
+            "mode": mode,
+            "working_proxy_url": succ_after_fail[-1]["proxy_url"]
+            if succ_after_fail else None,
+            "base_working_proxy": base_after[-1]["proxy_url"]
+            if base_after else None,
+            "stealth_working_proxy": stealth_after[-1]["proxy_url"]
+            if stealth_after else None,
+            "last_failure_at": fails[-1]["ts"] if fails else None,
+            "last_failure_reason": fails[-1]["reason"] if fails else None,
+            "total_failures": len(fails_after_succ),
+            "last_success_at": succ[-1]["ts"] if succ else None,
+            "created_at": evs[0]["ts"],
+            "updated_at": evs[-1]["ts"],
+            "first_stealth_at": min(stealth_entries)
+            if stealth_entries else None,
+        }
+    return out
+
+
+class TestFoldReductionProperty:
+    """The conditional-aggregation fold must equal the sequential state
+    machine on EVERY event ordering hypothesis can construct."""
+
+    def test_closed_form_equals_sequential(self):
+        from hypothesis import given, settings, strategies as st
+
+        reasons = ["cloudflare_challenge", "http_error", "timeout",
+                   "blocked", "proxy_error"]
+        event = st.tuples(
+            st.booleans(),                      # success?
+            st.sampled_from(["auto", "base", "stealth", "custom",
+                             "http://c:1"]),
+            st.integers(0, 3),                  # proxy index
+            st.sampled_from(reasons),
+        )
+
+        @given(st.lists(event, max_size=60))
+        @settings(max_examples=300, deadline=None)
+        def check(raw):
+            events = []
+            for i, (is_succ, mode, p, reason) in enumerate(raw):
+                events.append({
+                    "domain": "d.example.com",
+                    "seq": i, "ts": 1_000 + i * 7,
+                    "kind": "success" if is_succ else "failure",
+                    "mode": mode,
+                    "proxy_url": f"http://p{p}:1" if is_succ else None,
+                    "reason": None if is_succ else reason,
+                })
+            assert closed_form_fold(events) == simulate_domain_cache(events)
+
+        check()
+
+
 class TestProxyCacheReplay:
     @pytest.mark.parametrize("seed", [1, 2, 3])
     def test_matches_sequential_fold(self, spark, seed):
