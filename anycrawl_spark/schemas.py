@@ -897,8 +897,6 @@ def resolve_track_mode(monitor_type: str,
 def _stringify(v) -> str:
     """JSON.stringify parity for the transformed config (insertion-order
     keys; JS shortest-roundtrip numbers)."""
-    if isinstance(v, float) and not math.isnan(v) and v != int(v):
-        return js_number_to_string(v)
     if isinstance(v, bool):
         return "true" if v else "false"
     if v is None:
