@@ -568,7 +568,7 @@ def make_requests(seed, n=300):
             "retry_count": rng.choice([0, 0, 0, 1, 2]),
             "proxy_option": rng.choice(
                 [None, "auto", "base", "stealth", "http://custom:3128"]),
-            "user_tier": rng.choice([None, 0, 1]),
+            "user_tier": rng.choice([None, 0, 1, -1]),
         })
     return reqs
 
