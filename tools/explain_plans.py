@@ -521,6 +521,36 @@ def main() -> None:
         "rule matching must be the row-local CASE chain, not a per-seq " \
         "window"
 
+    # 29. auth gateway: one broadcast dim join, otherwise row-local —
+    # no hash exchange at any request-log scale
+    p = plan_of(REGISTRY["auth_gateway"].fn(spark, "/root/testdata/sf0.01"))
+    sections.append((
+        "auth_gateway: broadcast api-key dim + row-local middleware chain",
+        p,
+        {
+            "api_keys broadcast": r"BroadcastHashJoin",
+        },
+    ))
+    assert "Exchange hashpartitioning" not in p, \
+        "gateway must not shuffle the request log"
+    assert "EvalPython" not in p, "gateway must stay JVM-side"
+
+    # 30. zod intake gate: one Arrow-batched MapInPandas over the request
+    # scan, shuffle-free
+    p = plan_of(REGISTRY["request_validate"].fn(
+        spark, "/root/testdata/sf0.01"))
+    sections.append((
+        "request_validate: one Arrow MapInPandas, shuffle-free",
+        p,
+        {
+            "Arrow-batched parse": r"MapInPandas",
+        },
+    ))
+    assert "Exchange hashpartitioning" not in p, \
+        "intake gate must not shuffle"
+    assert len(re.findall(r"^\(\d+\) MapInPandas", p, re.M)) == 1, \
+        "intake gate must parse exactly once"
+
     with open(os.path.join(REPO, "PLANS.md"), "w") as f:
         f.write("# PLANS — physical-plan evidence (auto-generated by "
                 "tools/explain_plans.py)\n\n"
