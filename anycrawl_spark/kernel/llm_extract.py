@@ -588,3 +588,22 @@ class LLMExtract(_AgentBase):
                 "tokens": {"input": total_in, "output": total_out,
                            "total": total_in + total_out},
                 "chunks": len(chunks), "cost": cost}
+
+
+def get_model_detail_config(model_id: str, models_config: dict):
+    """ai/utils/helper.ts:8-25 (getModelDetailConfig): resolve a model id
+    against a pricing/capability table by candidate order — the full id,
+    the id after the first provider segment, the last two segments, then
+    the bare last segment; first hit wins.  The table itself is
+    deployment data (the reference ships a generated models-config.ts);
+    callers inject their own dict."""
+    segments = model_id.split("/")
+    candidates = [model_id]
+    if "/" in model_id:
+        candidates.append(model_id[model_id.index("/") + 1:])
+        candidates.append("/".join(segments[-2:]))
+        candidates.append(segments[-1])
+    for candidate in candidates:
+        if candidate and candidate in models_config:
+            return models_config[candidate]
+    return None

@@ -423,3 +423,160 @@ def monitor_post_process(results: DataFrame, monitors: DataFrame,
                        "extracted", "track_mode", "goal", "only_meaningful",
                        "price_change_pct"]
     return cur.select(*keep).mapInPandas(post, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# Email digest assembly (monitor/EmailNotifier.ts:48-133)
+# ---------------------------------------------------------------------------
+#
+# The SMTP transport is live infrastructure (nodemailer seam); the CONTENT a
+# recipient reads — subject, plain-text digest, HTML digest — is pure string
+# assembly reproduced byte-for-byte, including the template literals'
+# embedded indentation, the 10-field / 500-char text / 2000-char html
+# truncations, the +delta sign rendering, and escHtml's four-entity escape
+# (no single-quote escaping).
+
+
+def _esc_html(s) -> str:
+    """escHtml (EmailNotifier.ts:127-133): & < > " only."""
+    return (str(s).replace("&", "&amp;").replace("<", "&lt;")
+            .replace(">", "&gt;").replace('"', "&quot;"))
+
+
+def _js_json(v) -> str:
+    """JSON.stringify inside a template literal: undefined renders as the
+    string 'undefined' (stringify returns undefined, templates coerce)."""
+    from anycrawl_spark.template_handler import MISSING, js_number_to_string
+    import json as _json
+
+    if v is MISSING:
+        return "undefined"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if v is None:
+        return "null"
+    if isinstance(v, (int, float)):
+        return js_number_to_string(v)
+    if isinstance(v, str):
+        return _json.dumps(v, ensure_ascii=False)
+    return _json.dumps(v, separators=(",", ":"), ensure_ascii=False)
+
+
+def _delta_txt(d: dict) -> str:
+    from anycrawl_spark.template_handler import MISSING, js_number_to_string
+
+    delta = d.get("delta", MISSING)
+    if delta is MISSING:
+        return ""
+    sign = "+" if delta > 0 else ""
+    return f" ({sign}{js_number_to_string(delta)})"
+
+
+def email_subject(monitor_name: str, n_changes: int) -> str:
+    """EmailNotifier.ts:48: singular/plural change count."""
+    s = "" if n_changes == 1 else "s"
+    return f"[AnyCrawl Monitor] {monitor_name} — {n_changes} change{s} detected"
+
+
+def build_email_text(monitor: dict, changes: list[dict]) -> str:
+    """buildEmailText (EmailNotifier.ts:64-90)."""
+    lines = [
+        f"Monitor: {monitor['name']} ({monitor['monitorType']})",
+        f"Changes detected: {len(changes)}",
+        "",
+    ]
+    for c in changes:
+        lines.append(f"URL: {c['url']}")
+        lines.append(f"Change type: {c['changeType']}")
+        j = c.get("judgment")
+        if j:
+            meaningful = "meaningful" if j["meaningful"] else "not meaningful"
+            lines.append(f"AI assessment: {meaningful} "
+                         f"({j['confidence']} confidence) — {j['reason']}")
+        diff_json = c.get("diffJson")
+        if diff_json:
+            lines.append("Field changes:")
+            for d in diff_json[:10]:
+                from anycrawl_spark.template_handler import MISSING
+                lines.append(
+                    f"  {d['path']}: {_js_json(d.get('from', MISSING))} → "
+                    f"{_js_json(d.get('to', MISSING))}{_delta_txt(d)}")
+        if c.get("diffText"):
+            lines.append("Diff (first 500 chars):")
+            lines.append(c["diffText"][:500])
+        lines.append("")
+    return "\n".join(lines)
+
+
+def build_email_html(monitor: dict, changes: list[dict]) -> str:
+    """buildEmailHtml (EmailNotifier.ts:92-125) — byte parity including the
+    source template literals' embedded newlines and indentation."""
+    from anycrawl_spark.template_handler import MISSING, js_number_to_string
+
+    blocks = []
+    for c in changes:
+        diff_rows = []
+        for d in (c.get("diffJson") or [])[:10]:
+            delta = d.get("delta", MISSING)
+            if delta is not MISSING:
+                color = "red" if delta > 0 else "green"
+                sign = "+" if delta > 0 else ""
+                dhtml = (f' <span style="color:{color}">'
+                         f'({sign}{js_number_to_string(delta)})</span>')
+            else:
+                dhtml = ""
+            diff_rows.append(
+                f'<tr><td style="font-family:monospace;padding:2px 8px">'
+                f'{_esc_html(d["path"])}</td>\n'
+                f'                       <td style="padding:2px 8px">'
+                f'{_esc_html(_js_json(d.get("from", MISSING)))}</td>\n'
+                f'                       <td style="padding:2px 8px">→</td>\n'
+                f'                       <td style="padding:2px 8px">'
+                f'{_esc_html(_js_json(d.get("to", MISSING)))}{dhtml}</td></tr>')
+        rows_html = "\n".join(diff_rows)
+
+        diff_block = (
+            '<pre style="background:#f5f5f5;padding:8px;overflow:auto;'
+            'max-height:300px;font-size:12px">'
+            f'{_esc_html(c["diffText"][:2000])}</pre>'
+            if c.get("diffText") else "")
+
+        j = c.get("judgment")
+        judgment_block = (
+            f'<p><strong>AI assessment:</strong> '
+            f'{"✅ Meaningful" if j["meaningful"] else "⚠️ Not meaningful"} '
+            f'({_esc_html(j["confidence"])} confidence) — '
+            f'{_esc_html(j["reason"])}</p>'
+            if j else "")
+
+        table = (
+            '<table style="border-collapse:collapse;width:100%"><tr>'
+            '<th style="text-align:left;padding:2px 8px">Field</th>'
+            f'<th>From</th><th></th><th>To</th></tr>{rows_html}</table>'
+            if rows_html else "")
+
+        blocks.append(
+            '<div style="border:1px solid #ddd;border-radius:4px;'
+            'padding:12px;margin-bottom:16px">\n'
+            f'            <h3 style="margin:0 0 8px">{_esc_html(c["url"])}'
+            '</h3>\n'
+            '            <p><strong>Change type:</strong> '
+            f'<code>{_esc_html(c["changeType"])}</code></p>\n'
+            f'            {judgment_block}\n'
+            f'            {table}\n'
+            f'            {diff_block}\n'
+            '        </div>')
+    rows = "\n".join(blocks)
+
+    return (
+        '<!DOCTYPE html><html><body style="font-family:sans-serif;'
+        'max-width:800px;margin:auto;padding:24px">\n'
+        f'        <h2>🔔 AnyCrawl Monitor — {_esc_html(monitor["name"])}'
+        '</h2>\n'
+        f'        <p><strong>Type:</strong> '
+        f'{_esc_html(monitor["monitorType"])} &nbsp; '
+        f'<strong>Changes:</strong> {len(changes)}</p>\n'
+        f'        {rows}\n'
+        '        <hr><p style="color:#888;font-size:12px">AnyCrawl Monitor '
+        '— manage at your dashboard</p>\n'
+        '    </body></html>')

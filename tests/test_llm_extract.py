@@ -532,3 +532,30 @@ class TestChunkerProperties:
         lines = ["a", "a", "a", "a", "aaaa", "a" * 16]
         chunks = split_text_into_chunks("\n".join(lines), 10, 1)
         assert [c["chunk"] for c in chunks] == ["a\na\na\na\naaaa", "a" * 20]
+
+
+class TestModelDetailConfig:
+    """helper.ts:8-25 candidate resolution order."""
+
+    CFG = {
+        "openrouter/openai/gpt-4o": {"id": "full"},
+        "openai/gpt-4o": {"id": "two"},
+        "gpt-4o": {"id": "bare"},
+    }
+
+    def test_candidate_order(self):
+        from anycrawl_spark.kernel.llm_extract import get_model_detail_config
+        assert get_model_detail_config(
+            "openrouter/openai/gpt-4o", self.CFG)["id"] == "full"
+        # full id miss -> after-first-slash
+        assert get_model_detail_config(
+            "azure/openai/gpt-4o", self.CFG)["id"] == "two"
+        # after-first-slash miss -> last two segments
+        assert get_model_detail_config(
+            "a/b/openai/gpt-4o", self.CFG)["id"] == "two"
+        # everything else miss -> bare last segment
+        assert get_model_detail_config(
+            "x/y/gpt-4o", {"gpt-4o": {"id": "bare"}})["id"] == "bare"
+        assert get_model_detail_config("nope/xx", self.CFG) is None
+        # no slash: only the exact id is tried
+        assert get_model_detail_config("gpt-4o", self.CFG)["id"] == "bare"
