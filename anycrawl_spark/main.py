@@ -10,6 +10,7 @@ Subcommands mirror the reference's four job types (SURVEY.md §3):
         search --serp <serp.parquet> --limit 20 --out <dir>
         map    --corpus <pages.parquet> --robots <robots.parquet>
                --host <host> --out <dir>
+        validate --requests <log.jsonl|parquet> --kind crawl --out <dir>
 
 Packaging: ``python tools/package_pyfiles.py`` builds anycrawl_spark.zip.
 """
@@ -106,6 +107,29 @@ def cmd_search(args) -> None:
             parse_serp_pages(serp, engine=args.engine), args.limit)
     parsed.write.mode("overwrite").parquet(args.out)
     print(json.dumps({"out": args.out}))
+
+
+def cmd_validate(args) -> None:
+    """Replay the zod intake gate over a request log (one JSON request
+    per line or a parquet table with rid/request_json columns)."""
+    from pyspark.sql import functions as F
+
+    from anycrawl_spark.schemas import validate_requests
+
+    spark = build_session("anycrawl-validate")
+    if args.requests.endswith(".parquet") or args.requests.endswith("/"):
+        df = spark.read.parquet(args.requests)
+    else:
+        df = (spark.read.text(args.requests)
+              .withColumn("rid", F.monotonically_increasing_id())
+              .withColumnRenamed("value", "request_json"))
+    out = validate_requests(df, args.kind)
+    out.write.mode("overwrite").parquet(args.out)
+    counts = {r["success"]: r["n"] for r in
+              out.groupBy("success").agg(F.count("*").alias("n")).collect()}
+    print(json.dumps({"kind": args.kind,
+                      "accepted": counts.get(True, 0),
+                      "rejected": counts.get(False, 0)}))
 
 
 def cmd_map(args) -> None:
@@ -267,6 +291,15 @@ def main(argv=None) -> None:
     p.add_argument("--limit", type=int, default=5000)
     p.add_argument("--out", required=True)
     p.set_defaults(fn=cmd_map)
+
+    p = sub.add_parser("validate")
+    p.add_argument("--requests", required=True,
+                   help="request log: parquet (rid, request_json) or a "
+                        "text file with one JSON request per line")
+    p.add_argument("--kind", default="crawl",
+                   choices=["crawl", "scrape", "search", "map"])
+    p.add_argument("--out", required=True)
+    p.set_defaults(fn=cmd_validate)
 
     args = parser.parse_args(argv)
     args.fn(args)
