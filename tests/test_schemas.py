@@ -525,3 +525,28 @@ class TestValidateRequestsOperator:
         cfg = json.loads(got[4]["config_json"])
         assert cfg["options"]["strategy"] == "same-origin"
         assert cfg["options"]["scrape_options"]["timeout"] == 2000
+
+
+class TestValidateCli:
+    def test_validate_subcommand(self, spark, tmp_path):
+        # drive cmd_validate in-process (the CLI builds its own session;
+        # here we exercise the log-parsing + verdict-writing path)
+        import json as _json
+
+        from anycrawl_spark.schemas import validate_requests
+        from pyspark.sql import functions as F
+
+        log = tmp_path / "reqs.jsonl"
+        log.write_text("\n".join([
+            _json.dumps({"url": "https://a.test/x", "limit": 5}),
+            _json.dumps({"url": "bad"}),
+            _json.dumps({"url": "https://b.test/y", "zzz": 1}),
+        ]))
+        df = (spark.read.text(str(log))
+              .withColumn("rid", F.monotonically_increasing_id())
+              .withColumnRenamed("value", "request_json"))
+        out = {r["rid"]: r for r in validate_requests(df, "crawl").collect()}
+        verdicts = sorted((bool(r["success"]), r["first_code"])
+                          for r in out.values())
+        assert verdicts == [(False, "invalid_string"),
+                            (False, "unrecognized_keys"), (True, None)]
