@@ -4363,6 +4363,138 @@ def q_search_request_validate(spark, sf_dir):
 
 
 @register(
+    "decontaminate_ngrams",
+    """WITH tok AS (
+         SELECT doc_id, string_split(text, ' ') AS t
+         FROM documents),
+       exploded AS (
+         SELECT doc_id,
+                unnest([md5(array_to_string(t[i:i+3], ' '))
+                        for i in range(1, greatest(len(t) - 2, 1))]) AS g
+         FROM tok),
+       grams AS (SELECT DISTINCT doc_id, g FROM exploded),
+       bench AS (
+         SELECT DISTINCT g FROM grams WHERE doc_id % 13 = 0),
+       hits AS (
+         SELECT c.doc_id,
+                CAST(count(DISTINCT c.g) AS BIGINT) AS n_matched
+         FROM grams c JOIN bench b ON c.g = b.g
+         WHERE c.doc_id % 13 <> 0
+         GROUP BY c.doc_id)
+     SELECT doc_id, n_matched, true AS contaminated FROM hits""",
+    "Benchmark decontamination (training-data pipeline): 4-token shingles "
+    "of every corpus document, hashed and equi-joined against the "
+    "held-out benchmark set's shingle table — the standard "
+    "test-set-overlap removal stage. Hash keys (md5 here; xxhash64 in "
+    "production) keep the join a narrow-key shuffle instead of moving "
+    "shingle strings; distinct-per-doc before the join bounds the "
+    "explode. Scales as one hash equi-join.",
+)
+def q_decontaminate_ngrams(spark, sf_dir):
+    docs = load_wide(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.split(F.col("text"), " ").alias("t"))
+    grams = tok.select(
+        "doc_id",
+        F.explode(F.expr(
+            "transform(sequence(1, greatest(size(t) - 3, 0)), "
+            "i -> md5(array_join(slice(t, i, 4), ' ')))")).alias("g")
+    ).distinct()
+    bench = (grams.where(F.col("doc_id") % 13 == 0)
+             .select("g").distinct())
+    hits = (grams.where(F.col("doc_id") % 13 != 0)
+            .join(bench, "g")
+            .groupBy("doc_id")
+            .agg(F.countDistinct("g").cast("long").alias("n_matched")))
+    return hits.select("doc_id", "n_matched",
+                       F.lit(True).alias("contaminated"))
+
+
+@register(
+    "pii_scrub",
+    """WITH injected AS (
+         SELECT doc_id,
+                substr(text, 1, 40) || ' reach user' || CAST(doc_id AS VARCHAR)
+                  || '@mail' || CAST(doc_id % 7 AS VARCHAR)
+                  || '.example.com or 555-'
+                  || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                  || ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.'
+                  || CAST(doc_id % 200 AS VARCHAR) || '.'
+                  || CAST(doc_id % 250 AS VARCHAR) AS text
+         FROM documents),
+       scrubbed AS (
+         SELECT doc_id,
+                CAST(len(regexp_extract_all(text,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                  AS BIGINT) AS n_emails,
+                regexp_replace(text,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                  '<EMAIL>', 'g') AS t1
+         FROM injected),
+       s2 AS (
+         SELECT doc_id, n_emails,
+                CAST(len(regexp_extract_all(t1,
+                  '\\b\\d{3}-\\d{3,4}-\\d{4}\\b')) AS BIGINT) AS n_phones,
+                regexp_replace(t1, '\\b\\d{3}-\\d{3,4}-\\d{4}\\b',
+                               '<PHONE>', 'g') AS t2
+         FROM scrubbed),
+       s3 AS (
+         SELECT doc_id, n_emails, n_phones,
+                CAST(len(regexp_extract_all(t2,
+                  '\\b(\\d{1,3}\\.){3}\\d{1,3}\\b')) AS BIGINT) AS n_ips,
+                regexp_replace(t2, '\\b(\\d{1,3}\\.){3}\\d{1,3}\\b',
+                               '<IP>', 'g') AS t3
+         FROM s2)
+     SELECT doc_id, n_emails, n_phones, n_ips,
+            md5(t3) AS scrubbed_md5,
+            CAST(len(t3) AS BIGINT) AS scrubbed_len
+     FROM s3""",
+    "PII scrubbing (training-data pipeline): deterministic injection of "
+    "synthetic emails/phone numbers/IPv4s into the corpus text, then the "
+    "standard redaction pass — count and replace emails, then phones, "
+    "then IPs (order matters: the email pattern would otherwise eat "
+    "dotted hosts). Pure JVM regexp over the scan, zero shuffle; the "
+    "oracle hashes the scrubbed text so the replacement bytes are "
+    "value-checked.",
+)
+def q_pii_scrub(spark, sf_dir):
+    d = F.col("doc_id")
+    email_rx = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    phone_rx = r"\b\d{3}-\d{3,4}-\d{4}\b"
+    ip_rx = r"\b(\d{1,3}\.){3}\d{1,3}\b"
+    injected = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.substring(F.col("text"), 1, 40),
+            F.lit(" reach user"), d.cast("string"),
+            F.lit("@mail"), (d % 7).cast("string"),
+            F.lit(".example.com or 555-"),
+            F.lpad((d % 1000).cast("string"), 3, "0"), F.lit("-"),
+            F.lpad((d % 10000).cast("string"), 4, "0"),
+            F.lit(" from 10."), (d % 256).cast("string"), F.lit("."),
+            (d % 200).cast("string"), F.lit("."),
+            (d % 250).cast("string")).alias("text"))
+    out = injected.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(email_rx)).cast("long")
+        .alias("n_emails"),
+        F.regexp_replace("text", email_rx, "<EMAIL>").alias("t1"))
+    out = out.select(
+        "doc_id", "n_emails",
+        F.regexp_count("t1", F.lit(phone_rx)).cast("long")
+        .alias("n_phones"),
+        F.regexp_replace("t1", phone_rx, "<PHONE>").alias("t2"))
+    out = out.select(
+        "doc_id", "n_emails", "n_phones",
+        F.regexp_count("t2", F.lit(ip_rx)).cast("long").alias("n_ips"),
+        F.regexp_replace("t2", ip_rx, "<IP>").alias("t3"))
+    return out.select(
+        "doc_id", "n_emails", "n_phones", "n_ips",
+        F.md5(F.col("t3")).alias("scrubbed_md5"),
+        F.length("t3").cast("long").alias("scrubbed_len"))
+
+
+@register(
     "auth_gateway",
     """WITH req AS (
          SELECT event_id AS rid, CAST(event_id % 9 AS INT) AS c,
@@ -4577,6 +4709,11 @@ DRIVER_ORDER: list[str] = [
     # API-surface sibling (r6): middleware-chain replay composing the
     # in-window ip_allowlist with the auth/credit/deduction gates
     "auth_gateway",
+    # training-data pipeline additions (r6): benchmark decontamination
+    # (hash-shingle equi-join family twin of lsh_candidate_pairs' banded
+    # join) and PII scrubbing (JVM-regexp text transform family twin of
+    # c4_filters/gopher_quality) — oracled outside the window
+    "decontaminate_ngrams", "pii_scrub",
     # r6 swaps (rationale in COVERAGE.md): promoted template_render,
     # execution_finalize, ledger_rollup; demoted the named twins —
     # ac_engine_parse (G-family JSON-SERP parsing stays gated via
