@@ -4495,6 +4495,48 @@ def q_pii_scrub(spark, sf_dir):
 
 
 @register(
+    "stratified_sample",
+    """WITH b AS (
+         SELECT doc_id, lang,
+                ((strpos('0123456789abcdef',
+                         substr(md5(CAST(doc_id AS VARCHAR) || ':sample'),
+                                1, 1)) - 1) * 4096
+                 + (strpos('0123456789abcdef',
+                           substr(md5(CAST(doc_id AS VARCHAR) || ':sample'),
+                                  2, 1)) - 1) * 256
+                 + (strpos('0123456789abcdef',
+                           substr(md5(CAST(doc_id AS VARCHAR) || ':sample'),
+                                  3, 1)) - 1) * 16
+                 + (strpos('0123456789abcdef',
+                           substr(md5(CAST(doc_id AS VARCHAR) || ':sample'),
+                                  4, 1)) - 1)) AS bucket
+         FROM documents)
+     SELECT doc_id, lang, CAST(bucket AS BIGINT) AS bucket
+     FROM b
+     WHERE bucket < CASE lang WHEN 'en' THEN 49152
+                              WHEN 'de' THEN 16384
+                              ELSE 6553 END""",
+    "Stratified sampling (training-data pipeline): per-language keep "
+    "rates (75% en / 25% de / 10% rest) decided by a deterministic hash "
+    "threshold over the document key — reproducible across runs and "
+    "cluster sizes, no RNG state, no shuffle (pure map over the scan). "
+    "The 16-bit bucket comes from md5 hex arithmetic so the oracle "
+    "reproduces it exactly; production would use xxhash64.",
+)
+def q_stratified_sample(spark, sf_dir):
+    hexpos = ("(locate(substring(md5(concat(cast(doc_id as string), "
+              "':sample')), {i}, 1), '0123456789abcdef') - 1)")
+    bucket = F.expr(" + ".join(
+        f"{hexpos.format(i=i)} * {16 ** (4 - i)}" for i in range(1, 5)))
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", bucket.cast("long").alias("bucket"))
+    rate = (F.when(F.col("lang") == "en", F.lit(49152))
+            .when(F.col("lang") == "de", F.lit(16384))
+            .otherwise(F.lit(6553)))
+    return docs.where(F.col("bucket") < rate)
+
+
+@register(
     "auth_gateway",
     """WITH req AS (
          SELECT event_id AS rid, CAST(event_id % 9 AS INT) AS c,
@@ -4711,9 +4753,10 @@ DRIVER_ORDER: list[str] = [
     "auth_gateway",
     # training-data pipeline additions (r6): benchmark decontamination
     # (hash-shingle equi-join family twin of lsh_candidate_pairs' banded
-    # join) and PII scrubbing (JVM-regexp text transform family twin of
-    # c4_filters/gopher_quality) — oracled outside the window
-    "decontaminate_ngrams", "pii_scrub",
+    # join), PII scrubbing (JVM-regexp text transform family twin of
+    # c4_filters/gopher_quality), and deterministic stratified sampling
+    # (hash-threshold map, no RNG state) — oracled outside the window
+    "decontaminate_ngrams", "pii_scrub", "stratified_sample",
     # r6 swaps (rationale in COVERAGE.md): promoted template_render,
     # execution_finalize, ledger_rollup; demoted the named twins —
     # ac_engine_parse (G-family JSON-SERP parsing stays gated via
