@@ -317,6 +317,74 @@ class TestMapSchema:
         assert issues_of(res)[0][0] == "too_big"
 
 
+class TestReferenceJsonSchemaCases:
+    """The reference's own jsonSchema.test.ts (apps/api/src/__tests__)
+    replayed through the parse gate — same payloads, same accept/reject
+    verdicts (HTTP layer aside)."""
+
+    def scrape(self, json_options):
+        return parse_scrape_request({
+            "url": "https://example.com", "engine": "cheerio",
+            "formats": ["json"], "json_options": json_options})
+
+    def test_valid_simple_object_schema(self):
+        res = self.scrape({
+            "schema": {"type": "object",
+                       "properties": {"title": {"type": "string"},
+                                      "description": {"type": "string"}},
+                       "required": ["title"]},
+            "user_prompt": "Extract title and description"})
+        assert res["success"]
+
+    def test_nested_object_schema(self):
+        res = self.scrape({"schema": {
+            "type": "object",
+            "properties": {"user": {
+                "type": "object",
+                "properties": {"name": {"type": "string"},
+                               "email": {"type": "string"}}}}}})
+        assert res["success"]
+
+    def test_invalid_schema_type_rejected(self):
+        res = self.scrape({"schema": {
+            "type": "invalid_type",
+            "properties": {"title": {"type": "string"}}}})
+        assert not res["success"]
+        assert res["issues"][0]["code"] == "invalid_enum_value"
+        assert res["issues"][0]["path"] == ["json_options", "schema",
+                                            "type"]
+
+    def test_invalid_properties_type_rejected(self):
+        res = self.scrape({"schema": {"type": "object",
+                                      "properties": "invalid"}})
+        assert not res["success"]
+        assert res["issues"][0] == {
+            "code": "invalid_type",
+            "path": ["json_options", "schema", "properties"],
+            "message": "Expected object, received string"}
+
+    def test_array_schema(self):
+        res = self.scrape({"schema": {
+            "type": "array",
+            "items": {"type": "object",
+                      "properties": {"id": {"type": "number"},
+                                     "name": {"type": "string"}}}}})
+        assert res["success"]
+
+    def test_complex_nested_schema(self):
+        res = self.scrape({"schema": {
+            "type": "object",
+            "properties": {
+                "company_mission": {"type": "string"},
+                "is_open_source": {
+                    "type": "object",
+                    "properties": {"value": {"type": "boolean"},
+                                   "repo_url": {"type": "string"}}},
+                "employee_count": {"type": "number"}},
+            "required": ["company_mission"]}})
+        assert res["success"]
+
+
 class TestWebhookSchema:
     def test_create_defaults(self):
         from anycrawl_spark.schemas import parse_webhook_create
