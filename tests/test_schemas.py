@@ -258,6 +258,19 @@ class TestSearchSchema:
         d = res["data"]
         assert d == {"query": "anycrawl", "limit": 10, "offset": 0}
 
+    def test_reference_search_test_verdicts(self):
+        # search.test.ts: invalid engine -> 400 Validation error;
+        # EMPTY query is valid (z.string() has no min) -> 200 with 0 hits
+        from anycrawl_spark.schemas import parse_search_request
+        res = parse_search_request({"query": "keyword",
+                                    "engine": "invalid-engine"})
+        assert issues_of(res) == [(
+            "invalid_enum_value", "engine",
+            "Invalid enum value. Expected 'google' | 'searxng' | "
+            "'ac-engine', received 'invalid-engine'")]
+        res = parse_search_request({"query": "", "engine": "google"})
+        assert res["success"] and res["data"]["query"] == ""
+
     def test_query_required_limit_bounds(self):
         from anycrawl_spark.schemas import parse_search_request
         res = parse_search_request({})
