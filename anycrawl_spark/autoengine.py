@@ -154,3 +154,22 @@ def engine_decision_col(html: Column | str) -> Column:
     """'playwright' when the page needs JS rendering, else 'cheerio'."""
     return F.when(js_score_col(html) >= JS_REQUIRED_THRESHOLD,
                   "playwright").otherwise("cheerio")
+
+
+def resolve_wait_until(raw=None, default="domcontentloaded"):
+    """libs/utils.ts:40-61 (resolveWaitUntil): map the request's
+    wait_until into engine-specific values — Playwright keeps the three
+    known states (anything else, including 'commit', degrades to
+    domcontentloaded); Puppeteer renames networkidle -> networkidle0.
+    ``default`` stands in for config.navigation.waitUntil."""
+    configured = str(raw or default)
+    playwright = configured if configured in (
+        "networkidle", "load", "domcontentloaded") else "domcontentloaded"
+    if configured == "networkidle":
+        puppeteer = "networkidle0"
+    elif configured in ("load", "domcontentloaded"):
+        puppeteer = configured
+    else:
+        puppeteer = "domcontentloaded"
+    return {"configured": configured, "playwright": playwright,
+            "puppeteer": puppeteer}

@@ -75,6 +75,17 @@ def parse_proxy_urls(env_value: Optional[str]) -> list[str]:
     return [u.strip() for u in env_value.split(",") if u.strip()]
 
 
+_SCHEME_RE = re.compile(r"^\w+://")
+
+
+def normalize_proxy_url(value: Optional[str]) -> Optional[str]:
+    """libs/utils.ts:31-36 (normalizeProxyUrl): prefix schemeless proxy
+    URLs with http://; falsy inputs stay undefined."""
+    if not value:
+        return None
+    return value if _SCHEME_RE.match(value) else f"http://{value}"
+
+
 def get_resolved_proxy_mode(proxy_value: Optional[str],
                             stealth_urls: Sequence[str]) -> str:
     """libs/proxy.ts:54-71 (getResolvedProxyMode): the mode name used for

@@ -605,3 +605,27 @@ class TestProxySelectOperator:
                for r in proxy_select(req_df, rules_df, cache_df, fail_df,
                                      BASE, STEALTH).collect()]
         assert got == expected
+
+
+class TestLibsUtils:
+    def test_normalize_proxy_url(self):
+        from anycrawl_spark.proxy import normalize_proxy_url
+        assert normalize_proxy_url("proxy.example:8080") == \
+            "http://proxy.example:8080"
+        assert normalize_proxy_url("socks5://p:1080") == "socks5://p:1080"
+        assert normalize_proxy_url("http://p:3128") == "http://p:3128"
+        assert normalize_proxy_url(None) is None
+        assert normalize_proxy_url("") is None
+
+    def test_resolve_wait_until(self):
+        from anycrawl_spark.autoengine import resolve_wait_until
+        assert resolve_wait_until("networkidle") == {
+            "configured": "networkidle", "playwright": "networkidle",
+            "puppeteer": "networkidle0"}
+        assert resolve_wait_until("load")["puppeteer"] == "load"
+        # 'commit' is valid zod input but degrades for both engines
+        out = resolve_wait_until("commit")
+        assert out["playwright"] == "domcontentloaded"
+        assert out["puppeteer"] == "domcontentloaded"
+        assert out["configured"] == "commit"
+        assert resolve_wait_until(None)["configured"] == "domcontentloaded"
