@@ -4675,6 +4675,385 @@ def q_serialize_snake(spark, sf_dir):
                                              rec.alias("record_json")))
 
 
+@register(
+    "crawl_results_page",
+    """WITH jobs AS (
+         SELECT '00000000-0000-4000-8000-'
+                    || lpad(doc_id::VARCHAR, 12, '0') AS job_id,
+                ['pending','scraping','completed']
+                    [CAST(doc_id % 3 AS INT) + 1] AS status,
+                CASE WHEN doc_id % 4 = 0 THEN NULL
+                     ELSE CAST(doc_id * 7 AS BIGINT) END AS total,
+                CASE WHEN doc_id % 5 = 0 THEN NULL
+                     ELSE CAST(doc_id AS BIGINT) END AS completed,
+                CASE WHEN doc_id % 6 = 0 THEN NULL
+                     ELSE CAST(doc_id * 2 AS BIGINT) END AS credits_used
+         FROM documents WHERE doc_id < 50),
+       res AS (
+         SELECT '00000000-0000-4000-8000-'
+                    || lpad((doc_id % 4)::VARCHAR, 12, '0') AS job_id,
+                doc_id AS seq,
+                'https://site.test/p/' || doc_id::VARCHAR AS url,
+                CASE WHEN doc_id % 3 = 0
+                     THEN 's/' || doc_id::VARCHAR || '.png' END AS shot,
+                CASE WHEN doc_id % 7 = 0
+                     THEN 'f/' || doc_id::VARCHAR || '.png' END AS shotf
+         FROM documents WHERE doc_id < 480),
+       ranked AS (
+         SELECT *, row_number() OVER (PARTITION BY job_id ORDER BY seq)
+                    AS rn
+         FROM res),
+       req AS (
+         SELECT doc_id AS req_id,
+                CASE WHEN doc_id % 9 = 0 THEN 'job-' || doc_id::VARCHAR
+                     WHEN doc_id % 9 = 5 THEN '00000000-0000-4000-8000-'
+                          || lpad((600 + doc_id)::VARCHAR, 12, '0')
+                     ELSE '00000000-0000-4000-8000-'
+                          || lpad((doc_id % 12)::VARCHAR, 12, '0')
+                END AS job_id_raw,
+                CASE CAST(doc_id % 8 AS INT)
+                  WHEN 2 THEN 100 WHEN 5 THEN 15 WHEN 6 THEN 100
+                  WHEN 7 THEN 110 ELSE 0 END AS skip,
+                doc_id % 9 <> 0 AS uuid_ok
+         FROM documents WHERE doc_id < 60),
+       page_rows AS (
+         SELECT q.req_id, r.rn,
+                r.url || '|'
+                  || coalesce('https://api.example.com'
+                              || '/v1/public/storage/file/' || r.shot, '-')
+                  || '|'
+                  || coalesce('https://api.example.com'
+                              || '/v1/public/storage/file/' || r.shotf, '-')
+                    AS line,
+                CAST(r.shot IS NOT NULL AS INT)
+                  + CAST(r.shotf IS NOT NULL AS INT) AS n_prefixed
+         FROM req q JOIN ranked r ON q.job_id_raw = r.job_id
+         WHERE q.uuid_ok AND r.rn > q.skip AND r.rn <= q.skip + 100),
+       page AS (
+         SELECT req_id, count(*) AS page_count,
+                md5(string_agg(line, chr(10) ORDER BY rn)) AS page_sig,
+                CAST(sum(n_prefixed) AS BIGINT) AS screenshots_prefixed
+         FROM page_rows GROUP BY 1),
+       cnt AS (SELECT job_id, count(*) AS n_results FROM res GROUP BY 1)
+     SELECT q.req_id, q.job_id_raw AS job_id,
+            CASE WHEN NOT q.uuid_ok THEN 400
+                 WHEN j.job_id IS NULL THEN 400 ELSE 200 END AS http_status,
+            CASE WHEN NOT q.uuid_ok THEN 'Invalid job ID'
+                 WHEN j.job_id IS NULL THEN 'Not found' END AS error,
+            CASE WHEN q.uuid_ok AND j.job_id IS NOT NULL
+                 THEN j.status END AS status,
+            CASE WHEN q.uuid_ok AND j.job_id IS NOT NULL
+                 THEN CAST(coalesce(j.total, coalesce(c.n_results, 0))
+                           AS BIGINT) END AS total,
+            CASE WHEN q.uuid_ok AND j.job_id IS NOT NULL
+                 THEN CAST(coalesce(j.completed, 0) AS BIGINT)
+            END AS completed,
+            CASE WHEN q.uuid_ok AND j.job_id IS NOT NULL
+                 THEN CAST(coalesce(j.credits_used, 0) AS BIGINT)
+            END AS credits_used,
+            CASE WHEN q.uuid_ok AND j.job_id IS NOT NULL
+                 THEN CAST(coalesce(p.page_count, 0) AS BIGINT)
+            END AS page_count,
+            CASE WHEN q.uuid_ok AND j.job_id IS NOT NULL
+                      AND q.skip + coalesce(p.page_count, 0)
+                          < coalesce(c.n_results, 0)
+                 THEN 'https://api.example.com/v1/crawl/' || q.job_id_raw
+                      || '/results?skip='
+                      || CAST(CAST(q.skip + coalesce(p.page_count, 0)
+                                   AS BIGINT) AS VARCHAR)
+            END AS next_url,
+            CASE WHEN q.uuid_ok AND j.job_id IS NOT NULL
+                 THEN p.page_sig END AS page_sig,
+            CASE WHEN q.uuid_ok AND j.job_id IS NOT NULL
+                 THEN CAST(coalesce(p.screenshots_prefixed, 0) AS BIGINT)
+            END AS screenshots_prefixed
+     FROM req q
+     LEFT JOIN jobs j ON q.job_id_raw = j.job_id
+     LEFT JOIN cnt c ON q.job_id_raw = c.job_id
+     LEFT JOIN page p ON q.req_id = p.req_id""",
+    "v1 crawl results endpoint replay (CrawlController.ts:265-343 + "
+    "Job.ts:289-305): JS skip coercion Math.max(0, Number(raw ?? 0) || 0) "
+    "over query-string varieties (absent/''/'-25'/'abc'/' 15 '/'1e2'), "
+    "created_at-ordered 100-row pages, hasMore/next-URL assembly, "
+    "screenshot path prefixing, and the total/completed/credits_used "
+    "envelope fallbacks (job.total ?? actual count). The page itself is "
+    "hash-oracled: md5 of the rn-ordered url|screenshot|fullpage lines.",
+)
+def q_crawl_results_page(spark, sf_dir):
+    from anycrawl_spark.controllers import crawl_results_page
+
+    docs = load(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+
+    def uuid(n):
+        return F.concat(F.lit("00000000-0000-4000-8000-"),
+                        F.lpad(n.cast("string"), 12, "0"))
+
+    jobs = docs.where(d < 50).select(
+        uuid(d).alias("job_id"),
+        F.element_at(F.array(F.lit("pending"), F.lit("scraping"),
+                             F.lit("completed")),
+                     (d % 3).cast("int") + 1).alias("status"),
+        F.when(d % 4 != 0, (d * 7)).cast("bigint").alias("total"),
+        F.when(d % 5 != 0, d).cast("bigint").alias("completed"),
+        F.when(d % 6 != 0, (d * 2)).cast("bigint").alias("credits_used"))
+    results = docs.where(d < 480).select(
+        uuid(d % 4).alias("job_id"),
+        d.alias("seq"),
+        F.concat(F.lit("https://site.test/p/"), d.cast("string"))
+        .alias("url"),
+        F.when(d % 3 == 0, F.concat(F.lit("s/"), d.cast("string"),
+                                    F.lit(".png"))).alias("screenshot"),
+        F.when(d % 7 == 0, F.concat(F.lit("f/"), d.cast("string"),
+                                    F.lit(".png"))).alias("screenshot_full"))
+    requests = docs.where(d < 60).select(
+        d.alias("req_id"),
+        F.when(d % 9 == 0, F.concat(F.lit("job-"), d.cast("string")))
+        .when(d % 9 == 5, uuid(d + 600))
+        .otherwise(uuid(d % 12)).alias("job_id_raw"),
+        F.element_at(F.array(
+            F.lit(None).cast("string"), F.lit(""), F.lit("100"),
+            F.lit("-25"), F.lit("abc"), F.lit(" 15 "), F.lit("1e2"),
+            F.lit("110")), (d % 8).cast("int") + 1).alias("skip_raw"))
+    return crawl_results_page(jobs, results, requests)
+
+
+@register(
+    "task_executions_page",
+    """WITH tasks AS (
+         SELECT 'task-' || event_id::VARCHAR AS task_uuid,
+                CASE WHEN event_id % 3 = 0 THEN NULL
+                     ELSE 'u' || (event_id % 5)::VARCHAR END AS user_id,
+                CASE WHEN event_id % 4 = 0 THEN NULL
+                     ELSE 'k' || (event_id % 6)::VARCHAR END AS api_key
+         FROM events WHERE event_id < 30),
+       ex AS (
+         SELECT 'ex-' || event_id::VARCHAR AS execution_uuid,
+                'task-' || (event_id % 25)::VARCHAR AS scheduled_task_uuid,
+                event_id AS execution_number,
+                CASE WHEN event_id % 31 = 0 THEN 'weird'
+                     ELSE ['completed','failed','running','pending',
+                           'cancelled'][CAST(event_id % 5 AS INT) + 1]
+                END AS status,
+                event_id % 6 <> 0 AS has_start,
+                event_id % 7 <> 0 AS has_end,
+                CASE WHEN event_id % 4 = 0 THEN NULL
+                     ELSE 'job-' || (event_id % 97)::VARCHAR END AS job_uuid,
+                event_id AS created_seq
+         FROM events WHERE event_id < 1500),
+       ranked AS (
+         SELECT *, row_number() OVER (PARTITION BY scheduled_task_uuid
+                                      ORDER BY created_seq DESC) AS rn
+         FROM ex),
+       jobs AS (
+         SELECT 'job-' || event_id::VARCHAR AS job_uuid,
+                CASE WHEN event_id % 5 = 0 THEN NULL
+                     ELSE CAST(event_id * 2 AS BIGINT) END AS credits_used,
+                CASE WHEN event_id % 6 = 0 THEN NULL
+                     ELSE CAST(event_id * 3 AS BIGINT) END AS total,
+                CASE WHEN event_id % 7 = 0 THEN NULL
+                     ELSE CAST(event_id AS BIGINT) END AS completed,
+                CASE WHEN event_id % 8 = 0 THEN NULL
+                     ELSE CAST(event_id % 4 AS BIGINT) END AS failed,
+                CASE WHEN event_id % 2 = 0 THEN 'completed'
+                     ELSE 'failed' END AS status
+         FROM events WHERE event_id < 97),
+       req AS (
+         SELECT event_id AS req_id,
+                'task-' || (event_id % 32)::VARCHAR AS task_id,
+                CASE CAST(event_id % 4 AS INT)
+                  WHEN 0 THEN NULL WHEN 1 THEN ''
+                  WHEN 2 THEN 'u' || (event_id % 5)::VARCHAR
+                  ELSE 'u9' END AS owner_user,
+                CASE CAST(event_id % 3 AS INT)
+                  WHEN 0 THEN NULL
+                  WHEN 1 THEN 'k' || (event_id % 6)::VARCHAR
+                  ELSE 'k9' END AS owner_key,
+                CASE CAST(event_id % 6 AS INT)
+                  WHEN 2 THEN 7 WHEN 5 THEN 15 ELSE 100 END AS lim,
+                CASE CAST(event_id % 5 AS INT)
+                  WHEN 1 THEN 3 WHEN 4 THEN 55 ELSE 0 END AS off
+         FROM events WHERE event_id < 48),
+       owned AS (
+         SELECT r.*, t.task_uuid
+         FROM req r LEFT JOIN tasks t ON r.task_id = t.task_uuid AND
+           CASE WHEN r.owner_user IS NOT NULL AND r.owner_user <> ''
+                  THEN t.user_id = r.owner_user
+                WHEN r.owner_key IS NOT NULL AND r.owner_key <> ''
+                  THEN t.api_key = r.owner_key
+                ELSE true END),
+       picked AS (
+         SELECT g.req_id, g.task_id, g.off, e.rn, e.execution_uuid,
+                e.execution_number, e.status, e.has_start, e.has_end,
+                j.credits_used AS j_credits, j.total AS j_total,
+                j.completed AS j_completed, j.failed AS j_failed,
+                j.status AS j_status
+         FROM (SELECT * FROM owned WHERE task_uuid IS NOT NULL) g
+         LEFT JOIN ranked e ON g.task_id = e.scheduled_task_uuid
+              AND e.rn > g.off AND e.rn <= g.off + g.lim
+         LEFT JOIN jobs j ON e.job_uuid = j.job_uuid)
+     SELECT req_id, task_id, 200 AS http_status,
+            CAST(NULL AS VARCHAR) AS error,
+            CAST(rn - off AS BIGINT) AS position,
+            execution_uuid,
+            CAST(execution_number AS BIGINT) AS execution_number,
+            status,
+            CAST(CASE WHEN has_start AND has_end
+                 THEN execution_number * 77 END AS BIGINT) AS duration_ms,
+            CASE WHEN execution_uuid IS NULL THEN NULL
+                 WHEN status = 'completed' THEN 'CircleCheck'
+                 WHEN status = 'failed' THEN 'CircleX'
+                 WHEN status = 'running' THEN 'Loader'
+                 WHEN status = 'pending' THEN 'Clock'
+                 WHEN status = 'cancelled' THEN 'Ban'
+                 ELSE 'Clock' END AS icon,
+            j_credits AS credits_used, j_total AS items_processed,
+            j_completed AS items_succeeded, j_failed AS items_failed,
+            j_status AS job_status
+     FROM picked
+     UNION ALL
+     SELECT req_id, task_id, 404, 'Task not found',
+            NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+            NULL
+     FROM owned WHERE task_uuid IS NULL""",
+    "Scheduled-task executions endpoint replay "
+    "(ScheduledTasksController.ts:580-652 + pagination.ts + "
+    "OwnerAccess.ts:7-17): JS-truthy owner precedence (empty-string "
+    "userId falls through to apiKey), normalizePagination parseInt "
+    "legs ('0'/'-3'/'abc' -> defaults, '15x' -> 15), created_at DESC "
+    "pages, job LEFT JOIN decoration, durationMs only when both "
+    "timestamps set, status icons with the || 'Clock' fallback, and the "
+    "empty-page 200 envelope (data: []) kept as an all-NULL row.",
+)
+def q_task_executions_page(spark, sf_dir):
+    from anycrawl_spark.controllers import task_executions_page
+
+    ev = load(spark, sf_dir, "events")
+    e = F.col("event_id")
+    tasks = ev.where(e < 30).select(
+        F.concat(F.lit("task-"), e.cast("string")).alias("task_uuid"),
+        F.when(e % 3 != 0, F.concat(F.lit("u"), (e % 5).cast("string")))
+        .alias("user_id"),
+        F.when(e % 4 != 0, F.concat(F.lit("k"), (e % 6).cast("string")))
+        .alias("api_key"))
+    base_ms = F.lit(1700000000000) + e * 1000
+    executions = ev.where(e < 1500).select(
+        F.concat(F.lit("ex-"), e.cast("string")).alias("execution_uuid"),
+        F.concat(F.lit("task-"), (e % 25).cast("string"))
+        .alias("scheduled_task_uuid"),
+        e.alias("execution_number"),
+        F.when(e % 31 == 0, F.lit("weird")).otherwise(
+            F.element_at(F.array(F.lit("completed"), F.lit("failed"),
+                                 F.lit("running"), F.lit("pending"),
+                                 F.lit("cancelled")),
+                         (e % 5).cast("int") + 1)).alias("status"),
+        F.when(e % 6 != 0, F.timestamp_millis(base_ms)).alias("started_at"),
+        F.when(e % 7 != 0, F.timestamp_millis(base_ms + e * 77))
+        .alias("completed_at"),
+        F.when(e % 4 != 0, F.concat(F.lit("job-"), (e % 97).cast("string")))
+        .alias("job_uuid"),
+        e.alias("created_seq"))
+    jobs = ev.where(e < 97).select(
+        F.concat(F.lit("job-"), e.cast("string")).alias("job_uuid"),
+        F.when(e % 5 != 0, e * 2).cast("bigint").alias("credits_used"),
+        F.when(e % 6 != 0, e * 3).cast("bigint").alias("total"),
+        F.when(e % 7 != 0, e).cast("bigint").alias("completed"),
+        F.when(e % 8 != 0, e % 4).cast("bigint").alias("failed"),
+        F.when(e % 2 == 0, F.lit("completed")).otherwise(F.lit("failed"))
+        .alias("status"))
+    requests = ev.where(e < 48).select(
+        e.alias("req_id"),
+        F.concat(F.lit("task-"), (e % 32).cast("string")).alias("task_id"),
+        F.when(e % 4 == 1, F.lit(""))
+        .when(e % 4 == 2, F.concat(F.lit("u"), (e % 5).cast("string")))
+        .when(e % 4 == 3, F.lit("u9")).alias("owner_user"),
+        F.when(e % 3 == 1, F.concat(F.lit("k"), (e % 6).cast("string")))
+        .when(e % 3 == 2, F.lit("k9")).alias("owner_key"),
+        F.element_at(F.array(
+            F.lit(None).cast("string"), F.lit("0"), F.lit("7"),
+            F.lit("abc"), F.lit("-3"), F.lit("15x")),
+            (e % 6).cast("int") + 1).alias("limit_raw"),
+        F.element_at(F.array(
+            F.lit(None).cast("string"), F.lit("3"), F.lit("-2"),
+            F.lit("x"), F.lit("55")),
+            (e % 5).cast("int") + 1).alias("offset_raw"))
+    return task_executions_page(tasks, executions, jobs, requests)
+
+
+@register(
+    "job_cancel_gate",
+    """WITH jobs AS (
+         SELECT '00000000-0000-4000-8000-'
+                    || lpad(event_id::VARCHAR, 12, '0') AS job_id,
+                ['pending','scraping','completed','failed','cancelled']
+                    [CAST(event_id % 5 AS INT) + 1] AS status,
+                'https://site.test/j/' || event_id::VARCHAR AS url
+         FROM events WHERE event_id < 40),
+       req AS (
+         SELECT event_id AS req_id,
+                CASE WHEN event_id % 7 = 0 THEN 'not-a-uuid'
+                     WHEN event_id % 7 = 3 THEN '00000000-0000-4000-8000-'
+                          || lpad((600 + event_id)::VARCHAR, 12, '0')
+                     ELSE '00000000-0000-4000-8000-'
+                          || lpad((event_id % 40)::VARCHAR, 12, '0')
+                END AS job_id_raw,
+                event_id % 7 <> 0 AS uuid_ok
+         FROM events WHERE event_id < 60)
+     SELECT r.req_id, r.job_id_raw AS job_id,
+            CASE WHEN NOT r.uuid_ok THEN 400
+                 WHEN j.job_id IS NULL THEN 404
+                 WHEN j.status IN ('completed', 'failed', 'cancelled')
+                   THEN 409
+                 ELSE 200 END AS http_status,
+            CASE WHEN NOT r.uuid_ok THEN 'Invalid job ID'
+                 WHEN j.job_id IS NULL THEN 'Not found'
+                 WHEN j.status IN ('completed', 'failed', 'cancelled')
+                   THEN 'Job already finished' END AS error,
+            CASE WHEN r.uuid_ok AND j.job_id IS NOT NULL
+                      AND j.status NOT IN ('completed', 'failed',
+                                           'cancelled')
+                 THEN 'cancelled' END AS new_status,
+            CASE WHEN r.uuid_ok AND j.job_id IS NOT NULL
+                      AND j.status NOT IN ('completed', 'failed',
+                                           'cancelled')
+                 THEN 'crawl.cancelled' END AS webhook_event,
+            CASE WHEN r.uuid_ok AND j.job_id IS NOT NULL
+                      AND j.status NOT IN ('completed', 'failed',
+                                           'cancelled')
+                 THEN j.url END AS webhook_url
+     FROM req r LEFT JOIN jobs j ON r.job_id_raw = j.job_id""",
+    "Cancel-endpoint transition gate (CrawlController.ts:349-435): "
+    "invalid uuid -> 400, missing job -> 404 (unlike results' 400), "
+    "finished statuses -> 409 'Job already finished', else the cancel "
+    "plus the crawl.cancelled webhook event with the job's url "
+    "(WebhookEvents CRAWL_CANCELLED payload).",
+)
+def q_job_cancel_gate(spark, sf_dir):
+    from anycrawl_spark.controllers import job_cancel_gate
+
+    ev = load(spark, sf_dir, "events")
+    e = F.col("event_id")
+
+    def uuid(n):
+        return F.concat(F.lit("00000000-0000-4000-8000-"),
+                        F.lpad(n.cast("string"), 12, "0"))
+
+    jobs = ev.where(e < 40).select(
+        uuid(e).alias("job_id"),
+        F.element_at(F.array(F.lit("pending"), F.lit("scraping"),
+                             F.lit("completed"), F.lit("failed"),
+                             F.lit("cancelled")),
+                     (e % 5).cast("int") + 1).alias("status"),
+        F.concat(F.lit("https://site.test/j/"), e.cast("string"))
+        .alias("url"))
+    requests = ev.where(e < 60).select(
+        e.alias("req_id"),
+        F.when(e % 7 == 0, F.lit("not-a-uuid"))
+        .when(e % 7 == 3, uuid(e + 600))
+        .otherwise(uuid(e % 40)).alias("job_id_raw"))
+    return job_cancel_gate(jobs, requests)
+
+
 # ===========================================================================
 # Driver-visible ordering
 # ===========================================================================
@@ -4715,8 +5094,14 @@ DRIVER_ORDER: list[str] = [
     "fetch_join", "crawl_e2e", "extraction_text_parity",
     "extraction_markdown_parity", "link_explode", "llm_extract_stats",
     # SERP + map
-    "serp_parse", "searxng_parse", "auto_engine_decision",
+    "serp_parse", "auto_engine_decision",
     "serp_scrape_merge", "map_union_dedup",
+    # r6 promotion, third wave: the v1 controller response-assembly layer
+    # (CrawlController.ts results endpoint — JS skip coercion, 100-row
+    # pages, next-URL/envelope fallbacks, hash-oracled page content);
+    # swapped in for searxng_parse per the frozen-gate rule (rationale in
+    # COVERAGE.md)
+    "crawl_results_page",
     # LLM-data pipeline: text quality + fingerprints
     "dedup_exact", "token_count", "lang_id",
     "gopher_quality", "fingerprint",
@@ -4776,6 +5161,13 @@ DRIVER_ORDER: list[str] = [
     # summary twin of llm_extract_stats (same pipeline family, text
     # generation instead of schema extraction) — oracled outside the window
     "llm_summary_stats",
+    # r6 swap, third wave (rationale in COVERAGE.md): promoted
+    # crawl_results_page; demoted searxng_parse — the G-family JSON-SERP
+    # parse stays gated in-window via serp_parse (same parse machinery,
+    # Google variant) and serp_scrape_merge. The two controller siblings
+    # (executions listing with owner precedence + pagination, cancel
+    # transition gate) are oracled outside the window alongside it.
+    "searxng_parse", "task_executions_page", "job_cancel_gate",
     # scheduler sweep family (r5): timeout classification twins
     # failure_classify/status_classify; quota top-k twins perhost_topk —
     # both oracled outside the window
