@@ -551,6 +551,41 @@ def main() -> None:
     assert len(re.findall(r"^\(\d+\) MapInPandas", p, re.M)) == 1, \
         "intake gate must parse exactly once"
 
+    # 31. controller results-page replay: the per-job ranking window is
+    # keyed (one shared ranking serves every request), dims broadcast,
+    # everything JVM-side
+    p = plan_of(REGISTRY["crawl_results_page"].fn(
+        spark, "/root/testdata/sf0.01"))
+    sections.append((
+        "crawl_results_page: keyed per-job ranking window + broadcast "
+        "dims, JVM-only",
+        p,
+        {
+            "results ranked per job (keyed window)":
+                r"hashpartitioning\(job_id",
+            "jobs/counts dims broadcast": r"BroadcastHashJoin",
+        },
+    ))
+    assert "EvalPython" not in p, "results page must stay JVM-side"
+    assert not re.search(r"Window.*\n.*partitionBy: \[\]", p), \
+        "results ranking must be a keyed window"
+
+    # 32. executions listing: ranking keyed by task, page bounds applied
+    # as join residual (no second pass), jobs dim broadcast
+    p = plan_of(REGISTRY["task_executions_page"].fn(
+        spark, "/root/testdata/sf0.01"))
+    sections.append((
+        "task_executions_page: keyed per-task ranking + page bounds as "
+        "join residual",
+        p,
+        {
+            "executions ranked per task (keyed window)":
+                r"hashpartitioning\(scheduled_task_uuid",
+            "jobs dim broadcast": r"BroadcastHashJoin",
+        },
+    ))
+    assert "EvalPython" not in p, "executions page must stay JVM-side"
+
     with open(os.path.join(REPO, "PLANS.md"), "w") as f:
         f.write("# PLANS — physical-plan evidence (auto-generated by "
                 "tools/explain_plans.py)\n\n"
