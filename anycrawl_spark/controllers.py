@@ -60,6 +60,9 @@ the fixture domain stays integral.
 """
 from __future__ import annotations
 
+import math
+import re
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -97,6 +100,76 @@ DEFAULT_TASK_ICON = "Calendar"
 
 # CrawlController.ts:380 — statuses that reject cancellation
 FINISHED_STATUSES = ("completed", "failed", "cancelled")
+
+
+def resolve_wait_timeout_ms(
+    options: dict | None,
+    has_explicit_timeout: bool,
+    stealth_timeout_env: str | None = None,
+) -> int:
+    """ScrapeController.resolveWaitTimeoutMs (ScrapeController.ts:16-39):
+    how long the sync scrape endpoint waits for its job.
+
+    An explicit request timeout (the ``timeout`` key present AND
+    Number(options.timeout) finite and > 0) wins, floored to an int.
+    Otherwise proxy mode 'auto'/'stealth' falls back to
+    ANYCRAWL_STEALTH_TIMEOUT_MS (parseInt; non-finite or <= 0 -> 120000),
+    every other mode to 60000.  ``stealth_timeout_env`` injects the env
+    var (deployment config, not corpus data).
+    """
+    options = options or {}
+    proxy_mode = options.get("proxy")
+    proxy_mode = proxy_mode if isinstance(proxy_mode, str) else ""
+
+    explicit = None
+    if has_explicit_timeout:
+        raw = options.get("timeout")
+        try:
+            # JS Number(): None -> 0, bool -> 0/1, str -> trimmed parse
+            if raw is None:
+                num = 0.0
+            elif isinstance(raw, bool):
+                num = float(raw)
+            elif isinstance(raw, (int, float)):
+                num = float(raw)
+            elif isinstance(raw, str):
+                s = raw.strip()
+                num = float(s) if s else 0.0
+            else:
+                num = float("nan")
+        except ValueError:
+            num = float("nan")
+        if num == num and num not in (float("inf"), float("-inf")) \
+                and num > 0:
+            explicit = math.floor(num)
+
+    raw_env = stealth_timeout_env or ""
+    m = re.match(r"^[+-]?\d+", raw_env.strip())
+    stealth = int(m.group(0)) if m else None
+    if stealth is None or stealth <= 0:
+        stealth = 120_000
+
+    if proxy_mode in ("auto", "stealth"):
+        return explicit if explicit is not None else stealth
+    return explicit if explicit is not None else 60_000
+
+
+def browser_runtime_for_cache(engine: str | None) -> str | None:
+    """ScrapeController.ts:13-14: browser engines key the page cache under
+    the 'cloakbrowser' runtime; HTTP engines carry no runtime."""
+    return "cloakbrowser" if engine in ("playwright", "puppeteer") else None
+
+
+def should_check_cache(
+    page_cache_enabled: bool,
+    has_template: bool,
+    max_age,
+) -> bool:
+    """ScrapeController.ts:112-115: the cache is consulted only when the
+    deployment enables it, the request is NOT template-driven, and max_age
+    is absent (undefined) or > 0 (max_age=0 forces a fresh fetch)."""
+    return bool(page_cache_enabled) and not has_template \
+        and (max_age is None or max_age > 0)
 
 
 def _js_number(expr: str) -> str:

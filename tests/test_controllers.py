@@ -12,10 +12,67 @@ import pytest
 from pyspark.sql import functions as F
 
 from anycrawl_spark.controllers import (
+    browser_runtime_for_cache,
     crawl_results_page,
     job_cancel_gate,
+    resolve_wait_timeout_ms,
+    should_check_cache,
     task_executions_page,
 )
+
+
+class TestScrapeWaitTimeout:
+    """ScrapeController.ts:16-39 resolveWaitTimeoutMs."""
+
+    def test_explicit_timeout_wins_everywhere(self):
+        for mode in ("auto", "stealth", "base", ""):
+            opts = {"proxy": mode, "timeout": 4500.7}
+            assert resolve_wait_timeout_ms(opts, True) == 4500  # floored
+
+    def test_explicit_requires_key_presence(self):
+        # hasExplicitTimeout=false ignores the value entirely
+        assert resolve_wait_timeout_ms({"timeout": 4500}, False) == 60_000
+
+    def test_invalid_explicit_falls_through(self):
+        for bad in (0, -5, None, "abc", float("nan"), float("inf")):
+            assert resolve_wait_timeout_ms(
+                {"timeout": bad, "proxy": "auto"}, True) == 120_000
+
+    def test_stealth_modes_use_stealth_default(self):
+        assert resolve_wait_timeout_ms({"proxy": "auto"}, False) == 120_000
+        assert resolve_wait_timeout_ms(
+            {"proxy": "stealth"}, False) == 120_000
+        assert resolve_wait_timeout_ms({"proxy": "base"}, False) == 60_000
+        assert resolve_wait_timeout_ms({}, False) == 60_000
+        assert resolve_wait_timeout_ms(None, False) == 60_000
+        # non-string proxy (e.g. a config object) -> '' -> base leg
+        assert resolve_wait_timeout_ms(
+            {"proxy": {"url": "x"}}, False) == 60_000
+
+    def test_stealth_env_parseint_leg(self):
+        env = "90000ms"   # parseInt takes the leading digits
+        assert resolve_wait_timeout_ms(
+            {"proxy": "auto"}, False, stealth_timeout_env=env) == 90_000
+        for bad in ("", "abc", "0", "-5"):
+            assert resolve_wait_timeout_ms(
+                {"proxy": "auto"}, False,
+                stealth_timeout_env=bad) == 120_000
+
+
+class TestCacheGates:
+    def test_browser_runtime(self):
+        assert browser_runtime_for_cache("playwright") == "cloakbrowser"
+        assert browser_runtime_for_cache("puppeteer") == "cloakbrowser"
+        assert browser_runtime_for_cache("cheerio") is None
+        assert browser_runtime_for_cache(None) is None
+
+    def test_should_check_cache(self):
+        # absent max_age (undefined) consults the cache; 0 forces fresh
+        assert should_check_cache(True, False, None)
+        assert should_check_cache(True, False, 3600)
+        assert not should_check_cache(True, False, 0)
+        assert not should_check_cache(True, True, None)     # template skips
+        assert not should_check_cache(False, False, None)   # disabled
 
 
 def _uuid(n: int) -> str:
