@@ -4537,6 +4537,60 @@ def q_stratified_sample(spark, sf_dir):
 
 
 @register(
+    "sequence_packing",
+    """WITH d AS (
+         SELECT doc_id, CAST(doc_id % 8 AS BIGINT) AS shard,
+                CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT)
+                    AS n_tokens
+         FROM documents),
+       c AS (
+         SELECT *,
+                CAST(coalesce(sum(n_tokens) OVER (
+                    PARTITION BY shard ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS start_offset
+         FROM d WHERE n_tokens > 0)
+     SELECT doc_id, shard, n_tokens, start_offset,
+            start_offset // 512 AS first_seq,
+            (start_offset + n_tokens - 1) // 512 AS last_seq,
+            (start_offset + n_tokens - 1) // 512
+              - start_offset // 512 + 1 AS spans
+     FROM c""",
+    "Training-sequence packing (the GPT-style pretraining step): lay each "
+    "shard's documents end-to-end in deterministic doc order and cut "
+    "fixed 512-token sequences at token boundaries, splitting documents "
+    "that straddle a cut. Each doc's placement (start offset, first/last "
+    "sequence, span count) is a closed form over a per-shard keyed-window "
+    "running sum — no sequential pass, no unpartitioned window; at 100 TB "
+    "the shard count scales with the cluster and every window partition "
+    "stays one output-file's worth of rows, which is exactly how "
+    "distributed pretraining pipelines pack shards independently.",
+)
+def q_sequence_packing(spark, sf_dir):
+    seq_len = 512
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 8).cast("bigint").alias("shard"),
+        F.size(F.regexp_extract_all("text", F.lit(r"\S+"), 0))
+        .cast("bigint").alias("n_tokens"),
+    ).where(F.col("n_tokens") > 0)
+    w = (Window.partitionBy("shard").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    placed = docs.withColumn(
+        "start_offset",
+        F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("bigint"))
+    end_tok = F.col("start_offset") + F.col("n_tokens") - 1
+    return placed.select(
+        "doc_id", "shard", "n_tokens", "start_offset",
+        F.expr(f"start_offset DIV {seq_len}").alias("first_seq"),
+        end_tok.alias("__end")).select(
+        "doc_id", "shard", "n_tokens", "start_offset", "first_seq",
+        F.expr(f"__end DIV {seq_len}").alias("last_seq"),
+        (F.expr(f"__end DIV {seq_len}") - F.col("first_seq") + 1)
+        .alias("spans"))
+
+
+@register(
     "auth_gateway",
     """WITH req AS (
          SELECT event_id AS rid, CAST(event_id % 9 AS INT) AS c,
@@ -5142,6 +5196,10 @@ DRIVER_ORDER: list[str] = [
     # c4_filters/gopher_quality), and deterministic stratified sampling
     # (hash-threshold map, no RNG state) — oracled outside the window
     "decontaminate_ngrams", "pii_scrub", "stratified_sample",
+    # training-data pipeline (r6 third wave): fixed-length training
+    # sequence packing — per-shard keyed-window running sum, closed-form
+    # placement; machinery twin of the sessionize/hypertable keyed windows
+    "sequence_packing",
     # r6 swaps (rationale in COVERAGE.md): promoted template_render,
     # execution_finalize, ledger_rollup; demoted the named twins —
     # ac_engine_parse (G-family JSON-SERP parsing stays gated via

@@ -319,3 +319,87 @@ def build_google_url(query: str, page: int = 1, *, lang: str = "en",
     if safe_search is not None:
         params.append(("safe", SAFE_SEARCH_MAP.get(safe_search, "medium")))
     return f"https://{domain}/search?{urlencode(params)}"
+
+
+# ---------------------------------------------------------------------------
+# Engine-name resolution (SearchService.ts:57-213)
+# ---------------------------------------------------------------------------
+#
+# Which engine actually serves a search request, given the deployment
+# config. JS quirks pinned (re-expressed from behavior, no code copied):
+#
+# * getDefaultEngine (:57-75) does NOT lowercase — a configured default of
+#   'Google' validates (isValidEngine lowercases internally) and is
+#   returned with its ORIGINAL casing.
+# * single-engine mode (:188-193) returns enabledEngines[0] VERBATIM and
+#   ignores the request entirely.
+# * the multiple-enabled branch (:196-201) compares the lowercased request
+#   against the RAW enabled list (uppercase enabled entries never match)
+#   and falls back to defaultEngine.toLowerCase() — the only lowercased
+#   default in the file.
+# * the default/enabled branch only runs when BOTH defaultEngine and a
+#   non-empty enabledEngines are configured; otherwise the validated
+#   normalized request wins.
+
+AVAILABLE_SEARCH_ENGINES = ("google", "searxng", "ac-engine")
+
+
+def _engine_valid(name: str, searxng_url, ac_engine_url) -> bool:
+    """isValidEngine (SearchService.ts:82-99): google is always available;
+    searxng / ac-engine require their URL config."""
+    n = name.lower()
+    if n == "google":
+        return True
+    if n == "searxng":
+        return bool(searxng_url)
+    if n == "ac-engine":
+        return bool(ac_engine_url)
+    return False
+
+
+def available_search_engines(enabled_engines=None, searxng_url=None,
+                             ac_engine_url=None) -> list[str]:
+    """getAvailableEngines (SearchService.ts:104-110): the enabled list
+    (lowercased, unknown names dropped) or all known engines, filtered to
+    the ones whose config is present."""
+    if enabled_engines:
+        candidates = [e.lower() for e in enabled_engines
+                      if e.lower() in AVAILABLE_SEARCH_ENGINES]
+    else:
+        candidates = list(AVAILABLE_SEARCH_ENGINES)
+    return [e for e in candidates
+            if _engine_valid(e, searxng_url, ac_engine_url)]
+
+
+def default_search_engine(default_engine=None, enabled_engines=None,
+                          searxng_url=None, ac_engine_url=None) -> str:
+    """getDefaultEngine (SearchService.ts:57-75): the configured default
+    (|| 'google') if its config validates — returned UN-normalized — else
+    the first available engine, else the 'google' last resort."""
+    requested = default_engine or "google"
+    if _engine_valid(requested, searxng_url, ac_engine_url):
+        return requested
+    avail = available_search_engines(enabled_engines, searxng_url,
+                                     ac_engine_url)
+    return avail[0] if avail else "google"
+
+
+def resolve_search_engine(requested=None, *, default_engine=None,
+                          enabled_engines=None, searxng_url=None,
+                          ac_engine_url=None) -> str:
+    """resolveEngine + resolveEngineName (SearchService.ts:117-213)."""
+    cfg = (enabled_engines, searxng_url, ac_engine_url)
+    if not requested:          # undefined / '' -> default (:118-120)
+        return default_search_engine(default_engine, *cfg)
+    normalized = requested.lower().strip()
+    if (not normalized or normalized == "default"
+            or not _engine_valid(normalized, searxng_url, ac_engine_url)):
+        return default_search_engine(default_engine, *cfg)
+    if default_engine:
+        if enabled_engines:
+            if len(enabled_engines) == 1:
+                return enabled_engines[0]          # verbatim, forced
+            if normalized in enabled_engines:      # RAW list compare
+                return normalized
+            return default_engine.lower()
+    return normalized

@@ -463,6 +463,58 @@ class TestSaltedBudget:
         assert plain_def.count() == salted_def.count() == 3000 - len(plain)
 
 
+class TestEngineResolution:
+    """SearchService.ts:57-213 engine resolution quirks: case-preserving
+    default, single-engine forcing, raw enabled-list compares."""
+
+    def test_validity_depends_on_config(self):
+        from anycrawl_spark.serp import resolve_search_engine as r
+        assert r("searxng") == "google"     # no URL -> invalid -> default
+        assert r("searxng", searxng_url="http://s") == "searxng"
+        assert r("AC-Engine ", ac_engine_url="u") == "ac-engine"
+        assert r("nonsense") == "google"
+        assert r("default", default_engine="searxng",
+                 searxng_url="u") == "searxng"
+
+    def test_default_engine_case_preserved(self):
+        from anycrawl_spark.serp import (default_search_engine as d,
+                                         resolve_search_engine as r)
+        # getDefaultEngine returns the configured value UN-normalized
+        assert r("", default_engine="Google") == "Google"
+        assert r(None, default_engine="Google") == "Google"
+        # invalid default falls to the first available engine
+        assert d("searxng") == "google"
+        assert d("searxng", enabled_engines=["ac-engine"],
+                 ac_engine_url="u") == "ac-engine"
+
+    def test_enabled_list_branches(self):
+        from anycrawl_spark.serp import resolve_search_engine as r
+        # single enabled engine is forced VERBATIM, request ignored
+        assert r("google", default_engine="searxng",
+                 enabled_engines=["SearXNG"],
+                 searxng_url="u") == "SearXNG"
+        # multiple enabled: normalized request vs RAW list — a match wins
+        assert r("google", default_engine="searxng",
+                 enabled_engines=["searxng", "google"],
+                 searxng_url="u") == "google"
+        # ...an uppercase enabled entry never matches; default lowercased
+        assert r("GOOGLE", default_engine="SearXNG",
+                 enabled_engines=["searxng", "Google"],
+                 searxng_url="u") == "searxng"
+        # no default engine configured: the enabled branch is skipped
+        # entirely and the validated request wins
+        assert r("google", enabled_engines=["searxng"],
+                 searxng_url="u") == "google"
+
+    def test_available_engines(self):
+        from anycrawl_spark.serp import available_search_engines as a
+        assert a() == ["google"]
+        assert a(searxng_url="u", ac_engine_url="v") == [
+            "google", "searxng", "ac-engine"]
+        assert a(enabled_engines=["AC-ENGINE", "bogus", "google"],
+                 ac_engine_url="v") == ["ac-engine", "google"]
+
+
 class TestJsonEngines:
     """G3/G4: SearXNG + AC-engine JSON response parsers (Searxng.ts:97-180,
     ACEngine.ts:61-115) — hand-written fixtures mirroring each engine's

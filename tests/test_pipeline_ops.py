@@ -1413,3 +1413,46 @@ class TestPostProcessToWebhookE2E:
             SUBSCRIPTION_SCHEMA)
         out = sign_deliveries(match_deliveries(events, subs)).collect()
         assert len(out) == 1 and out[0]["signature"].startswith("sha256=")
+
+
+class TestSequencePacking:
+    """sequence_packing invariants: per-shard placements tile the token
+    stream contiguously and every cut sequence except the shard tail is
+    exactly full."""
+
+    def test_tiling_and_full_sequences(self, spark):
+        from anycrawl_spark.operators.queries import REGISTRY
+
+        rows = (REGISTRY["sequence_packing"]
+                .fn(spark, "/root/testdata/sf0.001").collect())
+        seq_len = 512
+        by_shard = {}
+        for r in rows:
+            by_shard.setdefault(r["shard"], []).append(r)
+        assert len(by_shard) == 8
+        for shard, docs in by_shard.items():
+            docs.sort(key=lambda r: r["doc_id"])
+            # contiguous tiling: each doc starts where the previous ended
+            pos = 0
+            for r in docs:
+                assert r["start_offset"] == pos
+                assert r["first_seq"] == pos // seq_len
+                end = pos + r["n_tokens"]
+                assert r["last_seq"] == (end - 1) // seq_len
+                assert r["spans"] == r["last_seq"] - r["first_seq"] + 1
+                pos = end
+            # every sequence before the tail is exactly seq_len tokens:
+            # token t of the shard lives in sequence t // seq_len, so
+            # coverage per sequence index is full by construction of the
+            # tiling; check the derived fill counts explicitly
+            total = pos
+            fills = [0] * (total // seq_len + 1)
+            for r in docs:
+                for s in range(r["first_seq"], r["last_seq"] + 1):
+                    lo = max(r["start_offset"], s * seq_len)
+                    hi = min(r["start_offset"] + r["n_tokens"],
+                             (s + 1) * seq_len)
+                    fills[s] += hi - lo
+            for s, fill in enumerate(fills[:-1]):
+                assert fill == seq_len, (shard, s, fill)
+            assert fills[-1] == total % seq_len or fills[-1] == seq_len
