@@ -5108,6 +5108,181 @@ def q_job_cancel_gate(spark, sf_dir):
     return job_cancel_gate(jobs, requests)
 
 
+_CMP_SQL_IMG = r"'!\[[^\]]*\]\([^)]+\)'"
+_CMP_SQL_LNK = r"'\[([^\]]+)\]\([^)]+\)'"
+
+
+def _duck_nt(col: str) -> str:
+    return f"trim(regexp_replace(coalesce({col}, ''), '\\s+', ' ', 'g'))"
+
+
+def _duck_cmp(col: str) -> str:
+    return ("lower(trim(regexp_replace(regexp_replace(regexp_replace("
+            f"regexp_replace({_duck_nt(col)}, {_CMP_SQL_IMG}, ' ', 'g'), "
+            f"{_CMP_SQL_LNK}, '\\1', 'g'), "
+            "'[#>*_~`|]', ' ', 'g'), '\\s+', ' ', 'g')))")
+
+
+_CACHE_GATE_ORACLE = f"""WITH d AS (
+      SELECT doc_id, CAST(doc_id % 12 AS INT) AS m,
+             CAST(doc_id % 5 AS INT) AS u, CAST(doc_id % 4 AS INT) AS o,
+             (doc_id % 97)::VARCHAR AS k,
+             substr(text, 1, 40) AS t40, substr(text, 1, 300) AS t300,
+             substr(text, 50, 20) AS t20, substr(text, 1, 100) AS t100
+      FROM documents),
+    syn AS (
+      SELECT doc_id, m, u, o,
+             CASE WHEN m = 0 THEN '# ' || t40 || ' |'
+                  WHEN m IN (1, 7) THEN t300
+                  WHEN m = 11 THEN '# > * _' END AS markdown,
+             CASE WHEN m = 0 THEN t40 WHEN m = 1 THEN t20 END AS title,
+             CASE WHEN m = 9 THEN '<p>x</p>' END AS html,
+             CASE WHEN m = 8 THEN t100 END AS text_out,
+             CASE WHEN m = 10 THEN 's' END AS summary,
+             CASE WHEN m = 3
+                  THEN 'shot-' || doc_id::VARCHAR || '.jpeg' END
+                 AS screenshot,
+             CASE WHEN m = 5 THEN 2 WHEN m = 6 THEN 0 END AS json_size,
+             CASE WHEN m = 4 THEN 3 END AS links_count,
+             CASE WHEN m = 7 THEN false END AS store_in_cache,
+             CASE WHEN m = 8 THEN 'tpl-9' END AS template_id,
+             CASE WHEN m = 9 THEN 2 END AS n_headers,
+             CASE WHEN m = 10 THEN 1 END AS n_actions,
+             CASE u WHEN 0 THEN 'https://site.test/p' || k
+                    WHEN 1 THEN 'https://site.test/p' || k
+                    WHEN 2 THEN 'https://site.test/p' || k || '?a=1&b=2'
+                    WHEN 3 THEN 'https://site.test/p' || k || '?q=' || k
+                    ELSE 'https://site.test/' END AS normalized_url
+      FROM d),
+    g AS (
+      SELECT *, {_duck_nt('markdown')} AS md_nt, {_duck_nt('title')} AS ti_nt
+      FROM syn),
+    g2 AS (
+      SELECT *, {_duck_cmp('markdown')} AS md_cmp,
+             {_duck_cmp('title')} AS ti_cmp
+      FROM g),
+    v AS (
+      SELECT *,
+             (length({_duck_nt('html')}) > 0
+              OR length({_duck_nt('text_out')}) > 0
+              OR length({_duck_nt('summary')}) > 0
+              OR length({_duck_nt('screenshot')}) > 0
+              OR coalesce(json_size, 0) > 0
+              OR coalesce(links_count, 0) > 0
+              OR (length(md_nt) > 0 AND length(md_cmp) > 0
+                  AND (length(ti_nt) = 0 OR md_cmp <> ti_cmp)))
+                 AS meaningful
+      FROM g2),
+    r AS (
+      SELECT *,
+             CASE WHEN store_in_cache = false THEN 'store_in_cache'
+                  WHEN template_id IS NOT NULL AND template_id <> ''
+                       THEN 'template'
+                  WHEN coalesce(n_headers, 0) > 0 THEN 'headers'
+                  WHEN coalesce(n_actions, 0) > 0 THEN 'actions'
+                  WHEN NOT meaningful THEN 'empty_result'
+                  ELSE 'store' END AS gate_reason,
+             '{{"engine":"' ||
+             CASE o WHEN 1 THEN 'playwright' WHEN 2 THEN 'playwright'
+                    ELSE 'cheerio' END || '",' ||
+             CASE o WHEN 1 THEN '"browser_runtime":"default",'
+                    WHEN 2 THEN '"browser_runtime":"cloakbrowser",'
+                    ELSE '' END ||
+             '"formats":' ||
+             CASE o WHEN 1 THEN '["markdown","text"]'
+                    ELSE '["markdown"]' END || ',' ||
+             '"json_options":null,"only_main_content":' ||
+             CASE o WHEN 1 THEN 'false' ELSE 'true' END || ',' ||
+             '"extract_source":"markdown","ocr_options":false,' ||
+             '"wait_for":' || CASE o WHEN 2 THEN '500' ELSE 'null' END ||
+             ',"wait_until":null,"wait_for_selector":null,"proxy":"' ||
+             CASE o WHEN 0 THEN 'none' WHEN 1 THEN 'auto'
+                    WHEN 2 THEN 'custom:' ||
+                         substr(sha256('http://u:p@x.test:8080'), 1, 12)
+                    ELSE 'stealth' END || '"}}' AS cache_options_json
+      FROM v)
+    SELECT doc_id, gate_reason, gate_reason = 'store' AS should_store,
+           normalized_url, sha256(normalized_url) AS url_hash,
+           cache_options_json, sha256(cache_options_json) AS options_hash
+    FROM r"""
+
+
+@register(
+    "cache_store_gate",
+    _CACHE_GATE_ORACLE,
+    "Write-side page-cache admission + key derivation "
+    "(libs/cache/index.ts): computeCacheKey's URL normalization "
+    "(trailing-slash strip, tracking-param removal, key-sorted query) and "
+    "fixed-key-order cacheable-options JSON -> sha256 pair, plus the "
+    "shouldCache gates (store_in_cache=false, template, custom headers, "
+    "actions) and hasMeaningfulResultContent's title-only-markdown "
+    "rejection via the markdown-comparable normalization chain. All pure "
+    "JVM expressions (regex chains, higher-order array sort, sha2) — the "
+    "oracle recomputes the gate with the same regex chain and predicts "
+    "every normalized URL and options-JSON byte from doc_id arithmetic.",
+)
+def q_cache_store_gate(spark, sf_dir):
+    from anycrawl_spark.cache import cache_key_cols, store_gate_cols
+
+    docs = load(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    m = (d % 12).cast("int")
+    u = (d % 5).cast("int")
+    o = (d % 4).cast("int")
+    k = (d % 97).cast("string")
+    t40 = F.substring("text", 1, 40)
+    t300 = F.substring("text", 1, 300)
+    t20 = F.substring("text", 50, 20)
+    t100 = F.substring("text", 1, 100)
+    ns = F.lit(None).cast("string")
+    ni = F.lit(None).cast("int")
+
+    base = F.concat(F.lit("https://site.test/p"), k)
+    syn = docs.select(
+        "doc_id",
+        F.when(m == 0, F.concat(F.lit("# "), t40, F.lit(" |")))
+        .when(m.isin(1, 7), t300)
+        .when(m == 11, F.lit("# > * _")).alias("markdown"),
+        F.when(m == 0, t40).when(m == 1, t20).alias("title"),
+        F.when(m == 9, F.lit("<p>x</p>")).alias("html"),
+        ns.alias("raw_html"),
+        F.when(m == 8, t100).alias("text_out"),
+        F.when(m == 10, F.lit("s")).alias("summary"),
+        F.when(m == 3, F.concat(F.lit("shot-"), d.cast("string"),
+                                F.lit(".jpeg"))).alias("screenshot"),
+        ns.alias("screenshot_full"),
+        F.when(m == 5, F.lit(2)).when(m == 6, F.lit(0)).alias("json_size"),
+        F.when(m == 4, F.lit(3)).alias("links_count"),
+        F.when(m == 7, F.lit(False)).alias("store_in_cache"),
+        F.when(m == 8, F.lit("tpl-9")).alias("template_id"),
+        F.when(m == 9, F.lit(2)).alias("n_headers"),
+        F.when(m == 10, F.lit(1)).alias("n_actions"),
+        # the INPUT url: trailing slash / unsorted+tracking params / root
+        F.when(u == 0, base)
+        .when(u == 1, F.concat(base, F.lit("/")))
+        .when(u == 2, F.concat(base, F.lit("?b=2&a=1")))
+        .when(u == 3, F.concat(base, F.lit("?utm_source=x&q="), k))
+        .otherwise(F.lit("https://site.test/?gclid=1")).alias("url"),
+        F.when(o == 0, F.lit("cheerio")).when(o == 1, F.lit("playwright"))
+        .when(o == 2, F.lit("auto")).alias("engine"),
+        F.when(o == 2, F.lit("playwright")).alias("auto_resolved_engine"),
+        F.when(o.isin(2, 3), F.lit("cloakbrowser"))
+        .alias("browser_runtime"),
+        F.when(o == 1, F.array(F.lit("text"), F.lit("markdown")))
+        .when(o.isin(0, 2), F.array(F.lit("markdown"))).alias("formats"),
+        F.when(o == 1, F.lit("auto"))
+        .when(o == 2, F.lit("http://u:p@x.test:8080"))
+        .when(o == 3, F.lit("STEALTH")).alias("proxy"),
+        F.when(o == 1, F.lit(False)).when(o == 3, F.lit(True))
+        .alias("only_main_content"),
+        F.when(o == 2, F.lit(500).cast("long")).alias("wait_for"),
+    )
+    out = store_gate_cols(cache_key_cols(syn))
+    return out.select(
+        "doc_id", "gate_reason", "should_store", "normalized_url",
+        "url_hash", "cache_options_json", "options_hash")
+
+
 # ===========================================================================
 # Driver-visible ordering
 # ===========================================================================
@@ -5127,8 +5302,16 @@ DRIVER_ORDER: list[str] = [
     "limit_admission", "progress_agg", "status_classify",
     # URL kernel + filters (§2.7, F-family)
     "canonicalize", "url_hash", "base_domain",
-    "robots_spec_filter", "sitemap_parse", "strategy_filter",
+    "robots_spec_filter", "strategy_filter",
     "glob_path_filter", "failure_classify",
+    # r6 swap, fourth wave (rationale in COVERAGE.md): promoted
+    # cache_store_gate — the write-side cache admission + key derivation
+    # (computeCacheKey/shouldCache, libs/cache/index.ts), pairing S8's
+    # in-window read path (cache_ttl_tiers) with its write gate; demoted
+    # sitemap_parse — S4's spec-parse family stays gated in-window via
+    # robots_spec_filter (same raw-text-to-rules shape), sitemap's
+    # urlset+index parse stays oracled in the tail
+    "cache_store_gate",
     # Webhook / scheduler / billing subsystems (S10, Scheduler.ts, A10)
     "webhook_match", "webhook_retry_schedule", "scheduled_runs",
     "credit_rollup",
@@ -5250,6 +5433,7 @@ DRIVER_ORDER: list[str] = [
     # bloom_seen_filter; the cuckoo family adds deletion/merge semantics
     # covered by tests/test_cuckoo.py + validate_oracle.py
     "cuckoo_seen_filter",
+    "sitemap_parse",
     "cache_newest", "robots_filter", "windowed_events",
     "supplier_region_rollup", "part_brand_stats", "tpch_q1_pricing",
     "tpch_q3_revenue", "minhash_signature", "dedup_clusters", "simhash16",
