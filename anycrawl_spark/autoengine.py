@@ -173,3 +173,80 @@ def resolve_wait_until(raw=None, default="domcontentloaded"):
         puppeteer = "domcontentloaded"
     return {"configured": configured, "playwright": playwright,
             "puppeteer": puppeteer}
+
+
+# ---------------------------------------------------------------------------
+# Screenshot-readiness adaptive wait hint (utils/screenshotReady.ts:300-344)
+# ---------------------------------------------------------------------------
+#
+# The one deterministic core in the otherwise live-browser readiness file:
+# every screenshot records its readiness time into a per-domain EWMA whose
+# smoothing follows the sample count — alpha = 2 / (min(samples, 50) + 1)
+# with the counter capped at 50 — and reads back a wait hint of
+# ceil(avgMs) once the average exceeds 100 ms.
+#
+# The sequential fold telescopes: for the i-th observation alpha_i =
+# 2/(i+1) while i <= 50, so the survival product
+# prod_{j=i+1..n} (1 - alpha_j) = prod (j-1)/(j+1) collapses to
+# i*(i+1) / (n*(n+1)), giving the CLOSED FORM
+#
+#     avg_n = sum_i 2*i*actual_i / (n*(n+1))          (n <= 50)
+#
+# — a triangular-weighted mean whose numerator is an exact integer sum,
+# so the batch job needs one keyed window (row_number) plus one
+# aggregation on the same key: a single shuffle, no sequential pass, no
+# cross-engine float drift.  Past the cap alpha freezes at 2/51 and each
+# earlier weight just decays by (49/51)^(n-50) — the pow legs below.
+
+
+def screenshot_ready_fold(prev: tuple[float, int] | None,
+                          actual_ms: float) -> tuple[float, int]:
+    """The reference's sequential update (screenshotReady.ts:336-343),
+    exact: returns (avgMs, samples) after folding one observation."""
+    samples = min(((prev[1] if prev else 0) or 0) + 1, 50)
+    alpha = 2 / (samples + 1)
+    avg = alpha * actual_ms + (1 - alpha) * prev[0] if prev else actual_ms
+    return avg, samples
+
+
+def screenshot_ready_hint(samples: "DataFrame") -> "DataFrame":
+    """Batch replay of the per-domain readiness cache: fold every
+    domain's observations (in ``seq`` order) through the reference EWMA
+    and emit the stored state + the read-side hint.
+
+    samples(domain, seq, actual_ms) ->
+    (domain, samples BIGINT [counter, capped at 50], avg_ms DOUBLE,
+    hint_ms BIGINT [ceil(avg) when avg > 100, else NULL — the
+    ``c.avgMs > 100`` read gate at :303]).
+    """
+    from pyspark.sql import DataFrame, Window  # noqa: F401
+
+    wk = Window.partitionBy("domain")
+    wo = wk.orderBy("seq")
+    df = (samples
+          .withColumn("__i", F.row_number().over(wo))
+          .withColumn("__n", F.count("*").over(wk)))
+    decay = F.lit(49.0 / 51.0)
+    # exact-integer numerator for the first 50 observations
+    num1 = F.sum(F.when(F.col("__i") <= 50,
+                        2 * F.col("__i") * F.col("actual_ms"))
+                 .otherwise(F.lit(0)).cast("long"))
+    # post-cap observations carry frozen alpha = 2/51 and plain
+    # (49/51)^(n-i) decay (empty -> 0.0 for the n <= 50 case)
+    tail = F.sum(F.when(
+        F.col("__i") > 50,
+        F.col("actual_ms") * F.pow(decay, F.col("__n") - F.col("__i")))
+        .otherwise(F.lit(0.0)))
+    agg = df.groupBy("domain").agg(
+        F.max("__n").alias("__n"), num1.alias("__num1"),
+        tail.alias("__tail"))
+    capped = F.least(F.col("__n"), F.lit(50))
+    avg = (
+        F.col("__num1").cast("double") / (capped * (capped + 1))
+        * F.pow(decay, F.greatest(F.col("__n") - 50, F.lit(0)))
+        + F.col("__tail") * (2.0 / 51.0)
+    )
+    return agg.select(
+        "domain", capped.cast("bigint").alias("samples"),
+        avg.alias("avg_ms"),
+        F.when(avg > 100, F.ceil(avg)).cast("bigint").alias("hint_ms"))

@@ -607,3 +607,28 @@ def get_model_detail_config(model_id: str, models_config: dict):
         if candidate and candidate in models_config:
             return models_config[candidate]
     return None
+
+
+def get_model_capabilities(model_config: dict | None) -> dict:
+    """BaseAgent.getModelCapabilities (ai/agents/BaseAgent.ts:173-195):
+    the capability envelope an agent exposes for a resolved model config.
+    JS ``||`` chains throughout — a 0 max_tokens or 0 cost falls through
+    to the next leg / default exactly like absent."""
+    if not model_config:
+        return {"maxInputTokens": 4000, "maxOutputTokens": 2000,
+                "supportsVision": False, "supportsFunctionCalling": False,
+                "supportsStreaming": False, "inputCostPerToken": 0,
+                "outputCostPerToken": 0}
+    c = model_config
+    return {
+        "maxInputTokens": c.get("max_input_tokens")
+        or c.get("max_tokens") or 4000,
+        "maxOutputTokens": c.get("max_output_tokens")
+        or c.get("max_tokens") or 2000,
+        "supportsVision": c.get("supports_vision") or False,
+        "supportsFunctionCalling": c.get("supports_function_calling")
+        or False,
+        "supportsStreaming": c.get("supports_native_streaming") or False,
+        "inputCostPerToken": c.get("input_cost_per_token") or 0,
+        "outputCostPerToken": c.get("output_cost_per_token") or 0,
+    }

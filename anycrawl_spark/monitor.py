@@ -580,3 +580,39 @@ def build_email_html(monitor: dict, changes: list[dict]) -> str:
         '        <hr><p style="color:#888;font-size:12px">AnyCrawl Monitor '
         '— manage at your dashboard</p>\n'
         '    </body></html>')
+
+
+def build_task_payload(target: dict, monitor_type: str, track_mode: str,
+                       extract_schema, goal, diff_options) -> dict:
+    """MonitorController.buildTaskPayload (MonitorController.ts:32-57):
+    the scrape payload a monitor's backing scheduled task runs with.
+
+    Quirks pinned: formats by track mode (text -> markdown only, else
+    markdown+json); ``diffOptions?.only_main_content ?? true`` (explicit
+    false survives); ``...target.options`` spreads AFTER the computed
+    fields, so a target's own formats/only_main_content OVERRIDE them;
+    json_options appears only for json/mixed modes AND a truthy schema,
+    with the goal folded in as user_prompt only when truthy; engine
+    defaults via ``target.engine ?? 'auto'``.  ``monitor_type`` is
+    accepted for signature parity (the reference threads it through
+    unused)."""
+    formats = ["markdown"] if track_mode == "text" else ["markdown", "json"]
+    omc = (diff_options or {}).get("only_main_content")
+    options = {
+        "formats": formats,
+        "only_main_content": True if omc is None else omc,
+        **(target.get("options") or {}),
+    }
+    if track_mode in ("json", "mixed") and extract_schema:
+        options["json_options"] = {
+            "schema": extract_schema,
+            **({"user_prompt": goal} if goal else {}),
+        }
+    engine = target.get("engine")
+    return {
+        "url": target.get("url"),
+        # `target.engine ?? "auto"`: only null/undefined fall back — a
+        # falsy-but-present '' engine survives
+        "engine": "auto" if engine is None else engine,
+        "options": options,
+    }

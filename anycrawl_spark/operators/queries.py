@@ -5283,6 +5283,52 @@ def q_cache_store_gate(spark, sf_dir):
         "url_hash", "cache_options_json", "options_hash")
 
 
+@register(
+    "screenshot_ready_hint",
+    """WITH s AS (
+         SELECT 'd' || (event_id % 64)::VARCHAR AS domain,
+                event_id AS seq,
+                CAST(CASE WHEN (event_id % 64) % 7 = 0
+                          THEN (event_id % 50) + 10
+                          ELSE (event_id * 37) % 9000 + 120 END
+                     AS BIGINT) AS actual_ms
+         FROM events WHERE event_id < 1600),
+       r AS (
+         SELECT domain, actual_ms,
+                row_number() OVER (PARTITION BY domain ORDER BY seq) AS i,
+                count(*) OVER (PARTITION BY domain) AS n
+         FROM s),
+       a AS (
+         SELECT domain, CAST(min(n) AS BIGINT) AS samples,
+                CAST(sum(2 * i * actual_ms) AS DOUBLE)
+                  / (min(n) * (min(n) + 1)) AS avg_ms
+         FROM r GROUP BY domain)
+     SELECT domain, samples, avg_ms,
+            CASE WHEN avg_ms > 100
+                 THEN CAST(ceil(avg_ms) AS BIGINT) END AS hint_ms
+     FROM a""",
+    "Screenshot-readiness adaptive wait hint "
+    "(utils/screenshotReady.ts:300-344): fold each domain's readiness "
+    "times through the reference's sample-capped EWMA (alpha = "
+    "2/(min(samples,50)+1)) and read back the ceil(avg)-over-100ms wait "
+    "hint. The sequential fold telescopes to a triangular-weighted mean "
+    "with an exact-integer numerator (docstring derivation), so the "
+    "batch is one keyed window + one aggregation on the same key — a "
+    "single shuffle, no sequential pass, bit-equal across engines.",
+)
+def q_screenshot_ready_hint(spark, sf_dir):
+    from anycrawl_spark.autoengine import screenshot_ready_hint
+
+    e = F.col("event_id")
+    dom = (e % 64).cast("long")
+    samples = load(spark, sf_dir, "events").where(e < 1600).select(
+        F.concat(F.lit("d"), dom.cast("string")).alias("domain"),
+        e.alias("seq"),
+        F.when(dom % 7 == 0, (e % 50) + 10)
+        .otherwise((e * 37) % 9000 + 120).cast("long").alias("actual_ms"))
+    return screenshot_ready_hint(samples)
+
+
 # ===========================================================================
 # Driver-visible ordering
 # ===========================================================================
@@ -5434,6 +5480,10 @@ DRIVER_ORDER: list[str] = [
     # covered by tests/test_cuckoo.py + validate_oracle.py
     "cuckoo_seen_filter",
     "sitemap_parse",
+    # browser-family deterministic garnish (r6): the screenshot readiness
+    # EWMA wait hint — oracled in the tail, the browser wait itself is
+    # live-infrastructure by design
+    "screenshot_ready_hint",
     "cache_newest", "robots_filter", "windowed_events",
     "supplier_region_rollup", "part_brand_stats", "tpch_q1_pricing",
     "tpch_q3_revenue", "minhash_signature", "dedup_clusters", "simhash16",

@@ -489,8 +489,12 @@ def main() -> None:
             "auto_engine_decision",
             # round-5 subsystems: cron fan-out, retry ladder, credit rollup
             "scheduled_runs", "webhook_retry_schedule", "credit_rollup",
-            # round-6 subsystems: template pipeline, finalize, ledger
+            # round-6 subsystems: template pipeline, finalize, ledger,
+            # proxy replay, intake gate, cache write gate, controllers,
+            # training-sequence packing
             "template_render", "execution_finalize", "ledger_rollup",
+            "proxy_select_replay", "request_validate", "cache_store_gate",
+            "crawl_results_page", "sequence_packing",
         ]))
 
         # second headline window (post-suite, same JVM) + one fresh-JVM

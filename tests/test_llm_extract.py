@@ -559,3 +559,43 @@ class TestModelDetailConfig:
         assert get_model_detail_config("nope/xx", self.CFG) is None
         # no slash: only the exact id is tried
         assert get_model_detail_config("gpt-4o", self.CFG)["id"] == "bare"
+
+
+class TestModelCapabilities:
+    """BaseAgent.getModelCapabilities (BaseAgent.ts:173-195)."""
+
+    def test_no_config_defaults(self):
+        from anycrawl_spark.kernel.llm_extract import get_model_capabilities
+        assert get_model_capabilities(None) == {
+            "maxInputTokens": 4000, "maxOutputTokens": 2000,
+            "supportsVision": False, "supportsFunctionCalling": False,
+            "supportsStreaming": False, "inputCostPerToken": 0,
+            "outputCostPerToken": 0}
+
+    def test_max_tokens_fallback_chain(self):
+        from anycrawl_spark.kernel.llm_extract import get_model_capabilities
+        caps = get_model_capabilities({"max_tokens": 8192})
+        assert caps["maxInputTokens"] == 8192
+        assert caps["maxOutputTokens"] == 8192
+        caps = get_model_capabilities(
+            {"max_input_tokens": 100, "max_output_tokens": 50,
+             "max_tokens": 8192})
+        assert (caps["maxInputTokens"], caps["maxOutputTokens"]) == (100, 50)
+
+    def test_js_or_zero_falls_through(self):
+        # || chains: a 0 max_input_tokens behaves like absent
+        from anycrawl_spark.kernel.llm_extract import get_model_capabilities
+        caps = get_model_capabilities(
+            {"max_input_tokens": 0, "max_tokens": 0,
+             "input_cost_per_token": 0.0})
+        assert caps["maxInputTokens"] == 4000
+        assert caps["inputCostPerToken"] == 0
+
+    def test_streaming_key_name(self):
+        # the reference reads supports_native_streaming, NOT
+        # supports_streaming
+        from anycrawl_spark.kernel.llm_extract import get_model_capabilities
+        assert get_model_capabilities(
+            {"supports_streaming": True})["supportsStreaming"] is False
+        assert get_model_capabilities(
+            {"supports_native_streaming": True})["supportsStreaming"] is True

@@ -72,3 +72,55 @@ class TestEmailDigest:
         html3 = build_email_html(self.MON, [{
             "url": "u", "changeType": "content", "diffText": "y" * 2500}])
         assert "y" * 2000 in html3 and "y" * 2001 not in html3
+
+
+class TestBuildTaskPayload:
+    """MonitorController.buildTaskPayload (MonitorController.ts:32-57)."""
+
+    def test_text_mode_formats(self):
+        from anycrawl_spark.monitor import build_task_payload
+        p = build_task_payload({"url": "https://x"}, "page", "text",
+                               {"type": "object"}, "goal", None)
+        assert p["options"]["formats"] == ["markdown"]
+        # text mode never gets json_options even with a schema
+        assert "json_options" not in p["options"]
+        assert p["engine"] == "auto"
+
+    def test_json_mode_schema_and_goal(self):
+        from anycrawl_spark.monitor import build_task_payload
+        p = build_task_payload({"url": "https://x", "engine": "cheerio"},
+                               "api", "json", {"type": "object"},
+                               "watch price", {"only_main_content": False})
+        assert p["options"]["formats"] == ["markdown", "json"]
+        assert p["options"]["only_main_content"] is False
+        assert p["options"]["json_options"] == {
+            "schema": {"type": "object"}, "user_prompt": "watch price"}
+        assert p["engine"] == "cheerio"
+
+    def test_goal_falsy_omitted(self):
+        from anycrawl_spark.monitor import build_task_payload
+        p = build_task_payload({"url": "u"}, "page", "mixed",
+                               {"a": 1}, "", None)
+        assert p["options"]["json_options"] == {"schema": {"a": 1}}
+
+    def test_schema_falsy_no_json_options(self):
+        from anycrawl_spark.monitor import build_task_payload
+        p = build_task_payload({"url": "u"}, "page", "json", None, "g", None)
+        assert "json_options" not in p["options"]
+
+    def test_target_options_spread_overrides(self):
+        # ...target.options comes AFTER the computed fields in the literal
+        from anycrawl_spark.monitor import build_task_payload
+        p = build_task_payload(
+            {"url": "u", "options": {"formats": ["html"],
+                                     "only_main_content": False,
+                                     "timeout": 5}},
+            "page", "text", None, None, {"only_main_content": True})
+        assert p["options"]["formats"] == ["html"]
+        assert p["options"]["only_main_content"] is False
+        assert p["options"]["timeout"] == 5
+
+    def test_engine_nullish_not_falsy(self):
+        from anycrawl_spark.monitor import build_task_payload
+        assert build_task_payload({"url": "u", "engine": ""},
+                                  "p", "text", None, None, None)["engine"] == ""

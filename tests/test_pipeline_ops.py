@@ -1456,3 +1456,45 @@ class TestSequencePacking:
             for s, fill in enumerate(fills[:-1]):
                 assert fill == seq_len, (shard, s, fill)
             assert fills[-1] == total % seq_len or fills[-1] == seq_len
+
+
+class TestScreenshotReadyHint:
+    """The batch EWMA closed form equals the reference's sequential fold
+    (screenshotReady.ts:336-343), through and past the 50-sample cap."""
+
+    def test_batch_matches_sequential_fold(self, spark):
+        import math
+
+        from anycrawl_spark.autoengine import (screenshot_ready_fold,
+                                               screenshot_ready_hint)
+        rows = []
+        seqs = {}
+        # three domains: short (5), exactly at cap (50), past cap (70)
+        for dom, n in (("a", 5), ("b", 50), ("c", 70)):
+            for i in range(n):
+                rows.append((dom, i, float((i * 37 + hash(dom) % 97) % 900 + 50)))
+            seqs[dom] = [r[2] for r in rows if r[0] == dom]
+        df = spark.createDataFrame(
+            rows, "domain string, seq long, actual_ms double")
+        got = {r["domain"]: r for r in screenshot_ready_hint(df).collect()}
+        for dom, vals in seqs.items():
+            st = None
+            for v in vals:
+                st = screenshot_ready_fold(st, v)
+            assert got[dom]["samples"] == st[1]
+            assert math.isclose(got[dom]["avg_ms"], st[0], rel_tol=1e-9), dom
+            want_hint = math.ceil(st[0]) if st[0] > 100 else None
+            # the batch hint gates on ITS avg; at 1e-9 agreement the
+            # ceil can only differ within a hair of an integer boundary
+            assert got[dom]["hint_ms"] == want_hint or \
+                abs(got[dom]["avg_ms"] - round(got[dom]["avg_ms"])) < 1e-6
+
+    def test_hint_gate_at_100ms(self, spark):
+        from anycrawl_spark.autoengine import screenshot_ready_hint
+        df = spark.createDataFrame(
+            [("lo", 0, 40.0), ("lo", 1, 60.0), ("hi", 0, 400.0)],
+            "domain string, seq long, actual_ms double")
+        got = {r["domain"]: r["hint_ms"]
+               for r in screenshot_ready_hint(df).collect()}
+        assert got["lo"] is None
+        assert got["hi"] == 400
