@@ -586,6 +586,40 @@ def main() -> None:
     ))
     assert "EvalPython" not in p, "executions page must stay JVM-side"
 
+    # 30. cache write gate + key derivation: pure JVM expression chains
+    p = plan_of(REGISTRY["cache_store_gate"].fn(spark, "/root/testdata/sf0.01"))
+    sections.append((
+        "cache_store_gate: write-side admission + key derivation stays "
+        "in codegen",
+        p,
+        {
+            "parquet scan prunes to (doc_id, text)":
+                r"ReadSchema: struct<doc_id:bigint,text:string",
+            "scan + synthesis codegen (the higher-order query-sort "
+            "lambdas eval JVM-interpreted — Spark can't codegen "
+            "lambdafunction — but never leave the JVM)": r"codegen id",
+        },
+    ))
+    assert "EvalPython" not in p, "cache gate must stay JVM-side"
+    assert "Exchange" not in p, "cache gate is row-local (no shuffle)"
+
+    # 31. screenshot readiness hint: ONE shuffle — the aggregation reuses
+    # the window's hashpartitioning(domain)
+    p = plan_of(REGISTRY["screenshot_ready_hint"].fn(spark, "/root/testdata/sf0.01"))
+    sections.append((
+        "screenshot_ready_hint: keyed window + same-key agg share one "
+        "exchange",
+        p,
+        {
+            "keyed window (no unpartitioned WindowExec)":
+                r"hashpartitioning\(domain",
+            "hash aggregation (no sort-based fallback)": r"HashAggregate",
+        },
+    ))
+    assert "EvalPython" not in p
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, \
+        "agg must reuse the window's single domain exchange"
+
     with open(os.path.join(REPO, "PLANS.md"), "w") as f:
         f.write("# PLANS — physical-plan evidence (auto-generated by "
                 "tools/explain_plans.py)\n\n"
