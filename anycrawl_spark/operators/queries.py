@@ -5329,6 +5329,58 @@ def q_screenshot_ready_hint(spark, sf_dir):
     return screenshot_ready_hint(samples)
 
 
+@register(
+    "dedup_representatives",
+    """WITH d AS (
+         SELECT doc_id, md5(substr(text, 1, 100)) AS group_hash,
+                CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT)
+                    AS quality
+         FROM documents),
+       r AS (
+         SELECT *,
+                row_number() OVER (PARTITION BY group_hash
+                                   ORDER BY quality DESC, doc_id ASC)
+                    AS rn,
+                CAST(count(*) OVER (PARTITION BY group_hash) AS BIGINT)
+                    AS group_size
+         FROM d),
+       k AS (
+         SELECT group_hash, doc_id AS keeper_doc_id FROM r WHERE rn = 1)
+     SELECT r.doc_id, r.group_hash, r.group_size, r.quality,
+            r.rn = 1 AS keep, k.keeper_doc_id
+     FROM r JOIN k USING (group_hash)""",
+    "Dedup canonical-representative selection — the production stage "
+    "AFTER duplicate grouping: within each content-hash group keep the "
+    "highest-quality document (deterministic tiebreak on doc_id) and map "
+    "every dropped duplicate to its keeper, so downstream joins can "
+    "rewrite references instead of losing them. One shuffle on the "
+    "content hash; the per-group ranking window and the keeper lookup "
+    "reuse the same partitioning, and groups are tiny (dup cardinality), "
+    "so the window state never grows with corpus size — the 100-TB "
+    "shape is hash-partition + per-group top-1, no global ordering.",
+)
+def q_dedup_representatives(spark, sf_dir):
+    documents = load(spark, sf_dir, "documents")
+    d = documents.select(
+        "doc_id",
+        F.md5(F.substring("text", 1, 100)).alias("group_hash"),
+        F.size(F.regexp_extract_all("text", F.lit(r"\S+"), 0))
+        .cast("bigint").alias("quality"))
+    w = Window.partitionBy("group_hash")
+    ranked = (d
+              .withColumn("rn", F.row_number().over(
+                  w.orderBy(F.desc("quality"), F.asc("doc_id"))))
+              .withColumn("group_size", F.count("*").over(w)
+                          .cast("bigint")))
+    keepers = ranked.where("rn = 1").select(
+        F.col("group_hash").alias("__gh"),
+        F.col("doc_id").alias("keeper_doc_id"))
+    return (ranked
+            .join(keepers, ranked["group_hash"] == keepers["__gh"])
+            .select("doc_id", "group_hash", "group_size", "quality",
+                    (F.col("rn") == 1).alias("keep"), "keeper_doc_id"))
+
+
 # ===========================================================================
 # Driver-visible ordering
 # ===========================================================================
@@ -5484,6 +5536,11 @@ DRIVER_ORDER: list[str] = [
     # EWMA wait hint — oracled in the tail, the browser wait itself is
     # live-infrastructure by design
     "screenshot_ready_hint",
+    # dedup canonical-representative selection (r6): the keep-best stage
+    # between duplicate grouping (dedup_exact, in-window) and the corpus
+    # rewrite — oracled in the tail as a machinery twin of the keyed
+    # top-k shapes already gated in-window (perhost_topk)
+    "dedup_representatives",
     "cache_newest", "robots_filter", "windowed_events",
     "supplier_region_rollup", "part_brand_stats", "tpch_q1_pricing",
     "tpch_q3_revenue", "minhash_signature", "dedup_clusters", "simhash16",

@@ -1498,3 +1498,26 @@ class TestScreenshotReadyHint:
                for r in screenshot_ready_hint(df).collect()}
         assert got["lo"] is None
         assert got["hi"] == 400
+
+
+class TestDedupRepresentatives:
+    """Canonical-selection invariants: exactly one keeper per group, the
+    keeper maximizes (quality, -doc_id), every drop points at its
+    group's keeper."""
+
+    def test_invariants(self, spark):
+        from anycrawl_spark.operators.queries import REGISTRY
+        rows = (REGISTRY["dedup_representatives"]
+                .fn(spark, "/root/testdata/sf0.001").collect())
+        by_group = {}
+        for r in rows:
+            by_group.setdefault(r["group_hash"], []).append(r)
+        assert sum(len(v) for v in by_group.values()) == len(rows)
+        for gh, docs in by_group.items():
+            keepers = [d for d in docs if d["keep"]]
+            assert len(keepers) == 1, gh
+            k = keepers[0]
+            assert all(d["keeper_doc_id"] == k["doc_id"] for d in docs)
+            assert all(d["group_size"] == len(docs) for d in docs)
+            best = max(docs, key=lambda d: (d["quality"], -d["doc_id"]))
+            assert k["doc_id"] == best["doc_id"]
