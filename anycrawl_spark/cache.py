@@ -548,3 +548,53 @@ def cache_key_cols(df: DataFrame) -> DataFrame:
               .withColumn("cache_options_json", options_json)
               .withColumn("options_hash",
                           F.sha2(F.col("cache_options_json"), 256)))
+
+
+def build_page_cache(results: DataFrame, *, engine: str = "cheerio",
+                     formats: tuple[str, ...] = ("markdown",),
+                     only_main_content: bool | None = None,
+                     scraped_at_expr: str = "current_timestamp()",
+                     existing: DataFrame | None = None) -> DataFrame:
+    """The reference worker's save path, composed end to end: successful
+    scrapes pass ``shouldCache``, get their ``computeCacheKey`` cell, and
+    MERGE into the page-cache table (Worker.ts save step ->
+    cache/index.ts:170-244 -> managers/Cache.ts upsert).
+
+    ``results`` is the engine's results table (crawl.py sink schema); the
+    per-row ``proxy`` column (the resolved mode the engine recorded,
+    Base.ts:1295) feeds the key's proxy normalization.  Job-level options
+    the corpus replay holds constant (engine, formats, only_main_content)
+    arrive as arguments.  Returns the upserted cache table in CACHE_COLS
+    shape — note the cache's ``url_hash`` is sha256 of the cache-
+    normalized URL, NOT the crawl kernel's xx-hash column, which this
+    replaces."""
+    gate_in = results.where(F.col("status") == 200).select(
+        "url", "markdown", "title",
+        F.col("text").alias("text_out"),
+        F.col("html_clean").alias("html"),
+        F.lit(None).cast("string").alias("raw_html"),
+        F.lit(None).cast("string").alias("summary"),
+        F.lit(None).cast("string").alias("screenshot"),
+        F.lit(None).cast("string").alias("screenshot_full"),
+        F.lit(None).cast("int").alias("json_size"),
+        F.lit(None).cast("int").alias("links_count"),
+        F.lit(None).cast("boolean").alias("store_in_cache"),
+        F.lit(None).cast("string").alias("template_id"),
+        F.lit(None).cast("int").alias("n_headers"),
+        F.lit(None).cast("int").alias("n_actions"),
+        F.lit(engine).alias("engine"),
+        F.lit(None).cast("string").alias("auto_resolved_engine"),
+        F.lit(None).cast("string").alias("browser_runtime"),
+        F.array(*[F.lit(f) for f in formats]).alias("formats"),
+        F.col("proxy"),
+        F.lit(only_main_content).cast("boolean")
+        .alias("only_main_content"),
+        F.lit(None).cast("long").alias("wait_for"),
+        F.col("status"),
+    )
+    admitted = store_gate_cols(gate_in).where("should_store")
+    keyed = cache_key_cols(admitted).select(
+        "url_hash", "options_hash", "url", "markdown",
+        F.col("text_out").alias("text"), "title", "status",
+        F.expr(scraped_at_expr).cast("timestamp").alias("scraped_at"))
+    return cache_upsert(existing, keyed)

@@ -20,6 +20,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import shutil
 import sys
 
 
@@ -59,6 +60,23 @@ def cmd_crawl(args) -> None:
         proxy=args.proxy,
     )
     summary = engine.run(cfg, resume=args.resume)
+    if args.page_cache:
+        # the reference worker's save step (shouldCache gate ->
+        # computeCacheKey -> upsert), composed over this job's results
+        from anycrawl_spark.cache import build_page_cache
+
+        results = engine.results()
+        existing = None
+        if os.path.exists(os.path.join(args.page_cache, "_SUCCESS")):
+            existing = spark.read.parquet(args.page_cache)
+        cache = build_page_cache(results, existing=existing)
+        staging = args.page_cache.rstrip("/") + ".staging"
+        cache.write.mode("overwrite").parquet(staging)
+        final = spark.read.parquet(staging)
+        final.write.mode("overwrite").parquet(args.page_cache)
+        summary["page_cache_rows"] = \
+            spark.read.parquet(args.page_cache).count()
+        shutil.rmtree(staging, ignore_errors=True)
     print(json.dumps(summary))
 
 
@@ -245,6 +263,11 @@ def main(argv=None) -> None:
     p.add_argument("--seen-compact-every", type=int, default=8,
                    help="rewrite the seen table cumulatively every K "
                         "seen-writing rounds (0 disables)")
+    p.add_argument("--page-cache", default=None,
+                   help="directory of a page-cache table to upsert this "
+                        "job's admissible results into (the reference "
+                        "worker's shouldCache -> computeCacheKey -> "
+                        "MERGE save step)")
     p.add_argument("--proxy",
                    help="proxy option (auto|base|stealth or a custom URL); "
                         "results carry the resolved mode name "

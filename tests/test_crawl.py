@@ -838,3 +838,74 @@ class TestResolvedProxyField:
         modes = {r["proxy"]
                  for r in engine2.results().select("proxy").collect()}
         assert modes == {"base"}  # auto charges/reports base initially
+
+
+class TestPageCacheE2E:
+    """Crawl results -> write-side gate + key derivation -> page-cache
+    upsert -> read-side lookup: the full S8 story (Worker save step ->
+    cache/index.ts -> managers/Cache.ts) composed over a real engine
+    run."""
+
+    def test_results_to_cache_roundtrip(self, spark, small_corpus, tmp_root):
+        from anycrawl_spark.cache import (build_page_cache, cache_lookup,
+                                          compute_cache_key,
+                                          normalize_cache_url)
+
+        engine, summary, _, _ = run_engine(
+            spark, small_corpus, tmp_root, "cache_e2e", seed_url=SEED,
+            strategy="same-hostname", max_depth=5, limit=30,
+            respect_robots=False)
+        results = engine.results()
+        # inject one title-only result the gate must refuse, and one
+        # failed fetch it must never consider
+        extra = spark.createDataFrame(
+            [("cache_e2e", "https://site000.test/only-title", 200,
+              "Only Title", "Only Title", None, None, "base"),
+             ("cache_e2e", "https://site000.test/failed", 503,
+              "x", "body", None, None, "base")],
+            "job_id string, url string, status int, markdown string, "
+            "title string, text string, html_clean string, proxy string")
+        results = results.unionByName(extra, allowMissingColumns=True)
+
+        cache = build_page_cache(
+            results, engine="cheerio", formats=("markdown",),
+            scraped_at_expr="timestamp'2026-01-02 03:04:05'")
+        rows = {r["url"]: r for r in cache.collect()}
+
+        ok = [r for r in results.where("status = 200").collect()
+              if r["url"] != "https://site000.test/only-title"]
+        assert len(ok) > 0
+        # the gate admits every real page, refuses the title-only and the
+        # failed fetch
+        assert set(rows) == {r["url"] for r in ok}
+        # keys match the exact-parity Python computeCacheKey
+        probe = ok[0]
+        uh, oh = compute_cache_key({
+            "url": probe["url"], "engine": "cheerio",
+            "formats": ["markdown"], "proxy": probe["proxy"]})
+        got = rows[probe["url"]]
+        assert (got["url_hash"], got["options_hash"]) == (uh, oh)
+        assert got["markdown"] == probe["markdown"]
+
+        # read-side roundtrip: a frontier keyed by the cache's own url
+        # hash finds every stored page fresh
+        frontier = (results.where("status = 200")
+                    .select("url").distinct()
+                    .withColumn("url_hash", F.sha2(
+                        F.udf(normalize_cache_url, "string")("url"), 256)))
+        hits = cache_lookup(
+            frontier, cache, oh,
+            now_expr="timestamp'2026-01-02 04:00:00'")
+        hit_map = {r["url"]: r for r in hits.collect()}
+        assert all(hit_map[r["url"]]["cache_hit"] for r in ok)
+        assert not hit_map["https://site000.test/only-title"]["cache_hit"] \
+            if "https://site000.test/only-title" in hit_map else True
+        # and an upsert of a re-scrape wins over the stale entry
+        rescrape = results.where(F.col("url") == probe["url"]).withColumn(
+            "markdown", F.lit("# fresher"))
+        cache2 = build_page_cache(
+            rescrape, engine="cheerio", formats=("markdown",),
+            scraped_at_expr="timestamp'2026-01-03 00:00:00'",
+            existing=cache)
+        newest = cache2.where(F.col("url") == probe["url"]).collect()
+        assert len(newest) == 1 and newest[0]["markdown"] == "# fresher"
