@@ -5381,6 +5381,87 @@ def q_dedup_representatives(spark, sf_dir):
                     (F.col("rn") == 1).alias("keep"), "keeper_doc_id"))
 
 
+def _fuzzy_dedup_pipeline_oracle() -> str:
+    """Recursive-CTE closure over the LSH pair SQL (as the cluster
+    oracles) extended with the quality-ranked keeper selection."""
+    lsh = REGISTRY["lsh_candidate_pairs"].oracle
+    body, _, final = lsh.rpartition("SELECT DISTINCT")
+    return (
+        body.replace("WITH", "WITH RECURSIVE", 1)
+        + ", pairs AS (SELECT DISTINCT" + final + """),
+       edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+                 UNION SELECT doc_b, doc_a FROM pairs),
+       reach(src, dst) AS (
+         SELECT doc_id, doc_id FROM documents
+         UNION
+         SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u),
+       clusters AS (
+         SELECT src AS doc_id, CAST(MIN(dst) AS BIGINT) AS cluster
+         FROM reach GROUP BY src),
+       q AS (
+         SELECT doc_id,
+                CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT)
+                    AS quality
+         FROM documents),
+       j AS (
+         SELECT c.doc_id, c.cluster, q.quality,
+                row_number() OVER (PARTITION BY c.cluster
+                                   ORDER BY q.quality DESC, c.doc_id ASC)
+                    AS rn,
+                CAST(count(*) OVER (PARTITION BY c.cluster) AS BIGINT)
+                    AS cluster_size
+         FROM clusters c JOIN q USING (doc_id)),
+       k AS (SELECT cluster, doc_id AS keeper_doc_id FROM j WHERE rn = 1)
+       SELECT j.doc_id, j.cluster, j.cluster_size, j.quality,
+              j.rn = 1 AS keep, k.keeper_doc_id
+       FROM j JOIN k USING (cluster)""")
+
+
+@register(
+    "fuzzy_dedup_pipeline",
+    None,  # oracle attached below (recursive closure + keeper window)
+    "The COMPLETE production fuzzy-dedup pass in one call: MinHash "
+    "signatures -> banded LSH candidate pairs -> two-star connected "
+    "components (O(log n) rounds at any component diameter) -> per-"
+    "cluster keep-best-quality representative with every drop mapped to "
+    "its keeper. Each stage is the documented scale path (digest-once "
+    "signatures, band equi-join, alternating star CC, keyed top-1 "
+    "window); at 100 TB the only all-pairs structure ever materialized "
+    "is the banded candidate set.",
+)
+def q_fuzzy_dedup_pipeline(spark, sf_dir):
+    from anycrawl_spark.operators.dedup import connected_components_two_star
+
+    documents = load(spark, sf_dir, "documents")
+    pairs = REGISTRY["lsh_candidate_pairs"].fn(spark, sf_dir)
+    comps = connected_components_two_star(
+        documents.select(F.col("doc_id").alias("id")),
+        pairs.select(F.col("doc_a").alias("src"),
+                     F.col("doc_b").alias("dst")))
+    quality = documents.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(r"\S+"), 0))
+        .cast("bigint").alias("quality"))
+    clustered = (comps.select(F.col("id").alias("doc_id"),
+                              F.col("cluster").cast("long").alias("cluster"))
+                 .join(quality, "doc_id"))
+    w = Window.partitionBy("cluster")
+    ranked = (clustered
+              .withColumn("rn", F.row_number().over(
+                  w.orderBy(F.desc("quality"), F.asc("doc_id"))))
+              .withColumn("cluster_size",
+                          F.count("*").over(w).cast("bigint")))
+    keepers = ranked.where("rn = 1").select(
+        F.col("cluster").alias("__c"),
+        F.col("doc_id").alias("keeper_doc_id"))
+    return (ranked.join(keepers, ranked["cluster"] == keepers["__c"])
+            .select("doc_id", "cluster", "cluster_size", "quality",
+                    (F.col("rn") == 1).alias("keep"), "keeper_doc_id"))
+
+
+REGISTRY["fuzzy_dedup_pipeline"].oracle = _fuzzy_dedup_pipeline_oracle()
+
+
 # ===========================================================================
 # Driver-visible ordering
 # ===========================================================================
@@ -5541,6 +5622,10 @@ DRIVER_ORDER: list[str] = [
     # rewrite — oracled in the tail as a machinery twin of the keyed
     # top-k shapes already gated in-window (perhost_topk)
     "dedup_representatives",
+    # the one-call composition of the full fuzzy-dedup pass (signatures ->
+    # LSH -> two-star CC -> keep-best) — every stage already gated
+    # in-window individually; the composition is oracled in the tail
+    "fuzzy_dedup_pipeline",
     "cache_newest", "robots_filter", "windowed_events",
     "supplier_region_rollup", "part_brand_stats", "tpch_q1_pricing",
     "tpch_q3_revenue", "minhash_signature", "dedup_clusters", "simhash16",
