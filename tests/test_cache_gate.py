@@ -305,3 +305,37 @@ class TestJvmParity:
                for r in store_gate_cols(df).collect()]
         want = [should_cache(opts, res) for opts, res in cases]
         assert got == want
+
+
+class TestJvmParityRandomized:
+    """Bulk randomized parity: the JVM URL normalization must equal the
+    exact-JS Python scalar across the whole canonical grammar, not just
+    the enumerated cases."""
+
+    def test_normalize_url_col_random_grammar(self, spark):
+        import random
+        rng = random.Random(20260818)
+        tracking = ["utm_source", "utm_medium", "utm_campaign", "fbclid",
+                    "gclid"]
+        urls = []
+        for _ in range(200):
+            host = "h" + str(rng.randrange(40)) + ".test"
+            segs = ["/" + "s" + str(rng.randrange(9))
+                    for _ in range(rng.randrange(4))]
+            path = "".join(segs) + ("/" if rng.random() < 0.4 else "")
+            keys = rng.sample(
+                ["a", "b", "zz", "q1", "k"] + tracking,
+                k=rng.randrange(5))
+            query = "&".join(
+                k + ("=" + str(rng.randrange(100))
+                     if rng.random() < 0.8 else "")
+                for k in keys)
+            urls.append("https://" + host + path
+                        + ("?" + query if query else ""))
+        df = spark.createDataFrame([(u,) for u in urls], "url string")
+        from anycrawl_spark.cache import normalize_cache_url_col
+        got = [r["n"] for r in df.select(
+            normalize_cache_url_col(F.col("url")).alias("n")).collect()]
+        want = [normalize_cache_url(u) for u in urls]
+        mism = [(u, g, w) for u, g, w in zip(urls, got, want) if g != w]
+        assert not mism, mism[:5]
