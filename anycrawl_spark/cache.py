@@ -552,6 +552,7 @@ def cache_key_cols(df: DataFrame) -> DataFrame:
 
 def build_page_cache(results: DataFrame, *, engine: str = "cheerio",
                      formats: tuple[str, ...] = ("markdown",),
+                     proxy: str | None = None,
                      only_main_content: bool | None = None,
                      scraped_at_expr: str = "current_timestamp()",
                      existing: DataFrame | None = None) -> DataFrame:
@@ -560,11 +561,13 @@ def build_page_cache(results: DataFrame, *, engine: str = "cheerio",
     MERGE into the page-cache table (Worker.ts save step ->
     cache/index.ts:170-244 -> managers/Cache.ts upsert).
 
-    ``results`` is the engine's results table (crawl.py sink schema); the
-    per-row ``proxy`` column (the resolved mode the engine recorded,
-    Base.ts:1295) feeds the key's proxy normalization.  Job-level options
-    the corpus replay holds constant (engine, formats, only_main_content)
-    arrive as arguments.  Returns the upserted cache table in CACHE_COLS
+    ``results`` is the engine's results table (crawl.py sink schema).
+    ``proxy`` must be the job's ORIGINAL requested proxy option, not the
+    per-row resolved mode the results table records — the reference keys
+    the cache on ``_originalProxy ?? options.proxy`` (Base.ts:1206)
+    precisely so a later request with the same options hits the same
+    cell.  Job-level options the corpus replay holds constant (engine,
+    formats, only_main_content, proxy) arrive as arguments.  Returns the upserted cache table in CACHE_COLS
     shape — note the cache's ``url_hash`` is sha256 of the cache-
     normalized URL, NOT the crawl kernel's xx-hash column, which this
     replaces."""
@@ -586,7 +589,7 @@ def build_page_cache(results: DataFrame, *, engine: str = "cheerio",
         F.lit(None).cast("string").alias("auto_resolved_engine"),
         F.lit(None).cast("string").alias("browser_runtime"),
         F.array(*[F.lit(f) for f in formats]).alias("formats"),
-        F.col("proxy"),
+        F.lit(proxy).cast("string").alias("proxy"),
         F.lit(only_main_content).cast("boolean")
         .alias("only_main_content"),
         F.lit(None).cast("long").alias("wait_for"),

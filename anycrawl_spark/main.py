@@ -69,7 +69,8 @@ def cmd_crawl(args) -> None:
         existing = None
         if os.path.exists(os.path.join(args.page_cache, "_SUCCESS")):
             existing = spark.read.parquet(args.page_cache)
-        cache = build_page_cache(results, existing=existing)
+        cache = build_page_cache(results, proxy=args.proxy,
+                                  existing=existing)
         staging = args.page_cache.rstrip("/") + ".staging"
         cache.write.mode("overwrite").parquet(staging)
         final = spark.read.parquet(staging)

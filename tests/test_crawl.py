@@ -869,6 +869,8 @@ class TestPageCacheE2E:
 
         cache = build_page_cache(
             results, engine="cheerio", formats=("markdown",),
+            proxy="auto",   # the job's ORIGINAL requested proxy, not the
+                            # per-row resolved mode (Base.ts:1206)
             scraped_at_expr="timestamp'2026-01-02 03:04:05'")
         rows = {r["url"]: r for r in cache.collect()}
 
@@ -882,7 +884,7 @@ class TestPageCacheE2E:
         probe = ok[0]
         uh, oh = compute_cache_key({
             "url": probe["url"], "engine": "cheerio",
-            "formats": ["markdown"], "proxy": probe["proxy"]})
+            "formats": ["markdown"], "proxy": "auto"})
         got = rows[probe["url"]]
         assert (got["url_hash"], got["options_hash"]) == (uh, oh)
         assert got["markdown"] == probe["markdown"]
@@ -905,6 +907,7 @@ class TestPageCacheE2E:
             "markdown", F.lit("# fresher"))
         cache2 = build_page_cache(
             rescrape, engine="cheerio", formats=("markdown",),
+            proxy="auto",
             scraped_at_expr="timestamp'2026-01-03 00:00:00'",
             existing=cache)
         newest = cache2.where(F.col("url") == probe["url"]).collect()
