@@ -339,7 +339,11 @@ def compute_cache_key(params: dict) -> tuple[str, str]:
     cacheable = {
         "engine": engine,
         "browser_runtime": browser_runtime,
-        "formats": sorted(params.get("formats") or ["markdown"]),
+        # `params.formats || ['markdown']`: [] is truthy in JS, so an
+        # explicit empty formats array survives (Python's `or` must not
+        # swallow it); only null/undefined take the default
+        "formats": sorted(params["formats"])
+        if params.get("formats") is not None else ["markdown"],
         # `params.json_options ? stringify : null` — JS objects are ALWAYS
         # truthy, so an empty {} still stringifies (Python's falsy-{} must
         # not fall to null)

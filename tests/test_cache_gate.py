@@ -339,3 +339,12 @@ class TestJvmParityRandomized:
         want = [normalize_cache_url(u) for u in urls]
         mism = [(u, g, w) for u, g, w in zip(urls, got, want) if g != w]
         assert not mism, mism[:5]
+
+
+class TestFormatsEmptyArrayTruthy:
+    def test_empty_formats_survives(self):
+        # `params.formats || ['markdown']` — [] is truthy in JS, so an
+        # explicit empty array is kept and hashes to its own cell
+        a = compute_cache_key({"url": "https://e.com", "formats": []})
+        b = compute_cache_key({"url": "https://e.com"})
+        assert a[1] != b[1]
