@@ -603,7 +603,13 @@ def build_task_payload(target: dict, monitor_type: str, track_mode: str,
         "only_main_content": True if omc is None else omc,
         **(target.get("options") or {}),
     }
-    if track_mode in ("json", "mixed") and extract_schema:
+    # `extractSchema &&` is JS truthiness: an empty {} schema is TRUTHY
+    # (all objects are) — only null/undefined/''/0/false fall through
+    schema_truthy = not (extract_schema is None or extract_schema is False
+                         or extract_schema == "" or
+                         (isinstance(extract_schema, (int, float))
+                          and extract_schema == 0))
+    if track_mode in ("json", "mixed") and schema_truthy:
         options["json_options"] = {
             "schema": extract_schema,
             **({"user_prompt": goal} if goal else {}),

@@ -124,3 +124,9 @@ class TestBuildTaskPayload:
         from anycrawl_spark.monitor import build_task_payload
         assert build_task_payload({"url": "u", "engine": ""},
                                   "p", "text", None, None, None)["engine"] == ""
+
+    def test_empty_schema_object_truthy(self):
+        # {} is truthy in JS — json_options appears with the empty schema
+        from anycrawl_spark.monitor import build_task_payload
+        p = build_task_payload({"url": "u"}, "page", "json", {}, None, None)
+        assert p["options"]["json_options"] == {"schema": {}}
