@@ -348,3 +348,37 @@ class TestFormatsEmptyArrayTruthy:
         a = compute_cache_key({"url": "https://e.com", "formats": []})
         b = compute_cache_key({"url": "https://e.com"})
         assert a[1] != b[1]
+
+
+class TestCacheKeyProperties:
+    """Hypothesis: the cache key is invariant under exactly the inputs the
+    reference normalizes away — format order, query order, tracking
+    params — and sensitive to everything else."""
+
+    @given(st.permutations(["markdown", "text", "html", "json"]))
+    @settings(max_examples=24, deadline=None)
+    def test_format_order_invariant(self, perm):
+        base = {"url": "https://e.com"}
+        assert compute_cache_key({**base, "formats": list(perm)}) == \
+            compute_cache_key({**base, "formats": sorted(perm)})
+
+    @given(st.permutations([("a", "1"), ("b", "2"), ("c", "3")]),
+           st.sampled_from(["utm_source", "utm_medium", "gclid", None]))
+    @settings(max_examples=24, deadline=None)
+    def test_query_order_and_tracking_invariant(self, perm, tracker):
+        pairs = list(perm)
+        if tracker:
+            pairs.insert(1, (tracker, "x"))
+        url = "https://e.com/p?" + "&".join(f"{k}={v}" for k, v in pairs)
+        canon = "https://e.com/p?a=1&b=2&c=3"
+        assert compute_cache_key({"url": url})[0] == \
+            compute_cache_key({"url": canon})[0]
+
+    @given(st.sampled_from(["engine", "extract_source", "wait_until"]),
+           st.sampled_from(["x", "y"]))
+    @settings(max_examples=12, deadline=None)
+    def test_option_changes_move_the_cell(self, key, val):
+        base = {"url": "https://e.com"}
+        a = compute_cache_key({**base, key: val})
+        b = compute_cache_key({**base, key: val + "2"})
+        assert a[0] == b[0] and a[1] != b[1]
