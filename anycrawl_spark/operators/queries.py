@@ -4591,6 +4591,179 @@ def q_sequence_packing(spark, sf_dir):
 
 
 @register(
+    "span_dedup",
+    """WITH tok AS (
+         SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       sp AS (
+         SELECT doc_id,
+                unnest([{'pos': CAST(i AS BIGINT),
+                         'h': md5(array_to_string(t[i:i+3], ' '))}
+                        for i in range(1, greatest(len(t) - 2, 1))]) AS u
+         FROM tok WHERE len(t) >= 4),
+       occ AS (SELECT doc_id, u.pos AS pos, u.h AS h FROM sp),
+       r AS (
+         SELECT doc_id,
+                row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+         FROM occ),
+       agg AS (
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+                CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_lost
+         FROM r GROUP BY doc_id)
+     SELECT doc_id, n_spans, n_lost,
+            CAST((n_spans - n_lost) * 10000 // n_spans AS BIGINT) AS keep_bp
+     FROM agg""",
+    "Exact span-level dedup (training-data pipeline): the C4 "
+    "three-sentence-span rule / Lee et al. 2022 exact-substring dedup, "
+    "adapted to sliding 4-token spans over this corpus's sentence-free "
+    "text. Every span occurrence hashes to a 128-bit key; the globally "
+    "first occurrence (min (doc_id, pos)) survives and every other "
+    "occurrence is marked removed. One explode + one keyed window over "
+    "the span hash + one per-doc aggregation — the window partitions by "
+    "span hash so the shuffle key is uniform at any corpus size; no "
+    "self-join, no quadratic pair set. Per-doc outputs (span counts, "
+    "lost-occurrence counts, kept fraction in basis points) are pure "
+    "integers so the oracle hash is exact.",
+)
+def q_span_dedup(spark, sf_dir):
+    tok = load_wide(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("t"))
+    occ = tok.where(F.size("t") >= 4).select(
+        "doc_id",
+        F.explode(F.expr(
+            "transform(sequence(1, size(t) - 3), i -> struct("
+            "cast(i as bigint) as pos, "
+            "md5(array_join(slice(t, i, 4), ' ')) as h))")).alias("u")
+    ).select("doc_id", F.col("u.pos").alias("pos"), F.col("u.h").alias("h"))
+    w = Window.partitionBy("h").orderBy("doc_id", "pos")
+    r = occ.withColumn("rn", F.row_number().over(w))
+    agg = r.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_spans"),
+        F.sum(F.when(F.col("rn") > 1, 1).otherwise(0)).cast("long")
+        .alias("n_lost"))
+    return agg.select(
+        "doc_id", "n_spans", "n_lost",
+        F.expr("(n_spans - n_lost) * 10000 DIV n_spans").alias("keep_bp"))
+
+
+@register(
+    "bigram_surprisal",
+    """WITH tok AS (
+         SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       occ AS (
+         SELECT doc_id, u.w1 AS w1, u.w2 AS w2 FROM (
+           SELECT doc_id,
+                  unnest([{'w1': t[i], 'w2': t[i+1]}
+                          for i in range(1, len(t))]) AS u
+           FROM tok WHERE len(t) >= 2)),
+       bc AS (
+         SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2
+         FROM occ GROUP BY w1, w2),
+       uc AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM bc GROUP BY w1),
+       j AS (
+         SELECT o.doc_id,
+                CAST(len(bin(uc.c1)) - len(bin(bc.c2)) AS BIGINT) AS bits
+         FROM occ o
+         JOIN bc ON o.w1 = bc.w1 AND o.w2 = bc.w2
+         JOIN uc ON o.w1 = uc.w1),
+       doc AS (
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                CAST(sum(bits) AS BIGINT) AS surprisal_bits
+         FROM j GROUP BY doc_id)
+     SELECT doc_id, n_bigrams, surprisal_bits,
+            CAST(surprisal_bits * 1000 // n_bigrams AS BIGINT) AS avg_mbits,
+            CASE WHEN surprisal_bits * 1000 // n_bigrams < 4500 THEN 'head'
+                 WHEN surprisal_bits * 1000 // n_bigrams < 4650 THEN 'middle'
+                 ELSE 'tail' END AS ppl_bucket
+     FROM doc""",
+    "Language-model quality scoring (training-data pipeline): the "
+    "CCNet/ccnet-style perplexity filter with the KenLM model replaced "
+    "by a corpus-trained bigram LM whose per-token surprisal "
+    "-log2 p(w2|w1) is quantized to whole bits as "
+    "bitlength(count(w1)) - bitlength(count(w1,w2)) — pure integer "
+    "arithmetic (Spark bin()/DuckDB bin() string length), so per-doc "
+    "sums are order-free BIGINTs and the value hash is exact with no "
+    "float summation-order risk. Two-pass distributed shape exactly "
+    "like production LM filtering: pass 1 trains the model (one "
+    "groupBy over exploded bigrams — model table is vocab-sized, "
+    "broadcast back), pass 2 scores every token occurrence via "
+    "broadcast joins and aggregates per doc; docs land in "
+    "head/middle/tail buckets like CCNet's perplexity terciles.",
+)
+def q_bigram_surprisal(spark, sf_dir):
+    tok = load_wide(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("t"))
+    occ = tok.where(F.size("t") >= 2).select(
+        "doc_id",
+        F.explode(F.expr(
+            "transform(sequence(1, size(t) - 1), i -> struct("
+            "element_at(t, i) as w1, element_at(t, i + 1) as w2))"))
+        .alias("u")
+    ).select("doc_id", F.col("u.w1").alias("w1"), F.col("u.w2").alias("w2"))
+    bc = occ.groupBy("w1", "w2").agg(
+        F.count("*").cast("long").alias("c2"))
+    uc = bc.groupBy("w1").agg(F.sum("c2").cast("long").alias("c1"))
+    j = (occ.join(F.broadcast(bc), ["w1", "w2"])
+         .join(F.broadcast(uc), ["w1"]))
+    bits = (F.length(F.bin(F.col("c1")))
+            - F.length(F.bin(F.col("c2")))).cast("long")
+    doc = j.select("doc_id", bits.alias("bits")).groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        F.sum("bits").cast("long").alias("surprisal_bits"))
+    avg = F.expr("surprisal_bits * 1000 DIV n_bigrams")
+    return doc.select(
+        "doc_id", "n_bigrams", "surprisal_bits",
+        avg.alias("avg_mbits"),
+        F.when(avg < 4500, "head").when(avg < 4650, "middle")
+        .otherwise("tail").alias("ppl_bucket"))
+
+
+@register(
+    "domain_mix_weights",
+    """WITH d AS (
+         SELECT lang, source,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+         FROM documents),
+       grp AS (
+         SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(n) AS BIGINT) AS n_tokens
+         FROM d GROUP BY lang, source),
+       tot AS (
+         SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+                CAST(count(*) AS BIGINT) AS n_groups
+         FROM grp)
+     SELECT lang, source, n_docs, n_tokens,
+            CAST(n_tokens * 1000000 // total_tokens AS BIGINT)
+                AS weight_ppm,
+            CAST((n_tokens * 1000000 // total_tokens
+                  + 1000000 // n_groups) // 2 AS BIGINT) AS smoothed_ppm
+     FROM grp, tot""",
+    "Data-mixing weights (training-data pipeline): the mixture-weight "
+    "computation that precedes sampled pretraining (DoReMi / The Pile "
+    "style) — per-(lang, source) token totals as a share of the corpus "
+    "in ppm, plus a 50/50 blend with the uniform mixture as the "
+    "smoothed sampling weight. One aggregation to the group grain, one "
+    "scalar-sized broadcast of the totals back across the group table; "
+    "integer ppm arithmetic keeps the oracle hash exact.",
+)
+def q_domain_mix_weights(spark, sf_dir):
+    d = load(spark, sf_dir, "documents").select(
+        "lang", "source",
+        F.size(F.split("text", " ")).cast("long").alias("n"))
+    grp = d.groupBy("lang", "source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n").cast("long").alias("n_tokens"))
+    tot = grp.agg(
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.count("*").cast("long").alias("n_groups"))
+    return grp.crossJoin(F.broadcast(tot)).select(
+        "lang", "source", "n_docs", "n_tokens",
+        F.expr("n_tokens * 1000000 DIV total_tokens").alias("weight_ppm"),
+        F.expr("(n_tokens * 1000000 DIV total_tokens"
+               " + 1000000 DIV n_groups) DIV 2").alias("smoothed_ppm"))
+
+
+@register(
     "auth_gateway",
     """WITH req AS (
          SELECT event_id AS rid, CAST(event_id % 9 AS INT) AS c,
@@ -5562,6 +5735,14 @@ DRIVER_ORDER: list[str] = [
     # sequence packing — per-shard keyed-window running sum, closed-form
     # placement; machinery twin of the sessionize/hypertable keyed windows
     "sequence_packing",
+    # training-data pipeline (r6 fourth wave, oracled outside the window):
+    # span-level exact dedup (C4 three-sentence rule / Lee et al. 2022,
+    # hash-window first-occurrence-wins — machinery twin of dedup_exact +
+    # perhost_topk's keyed windows), bigram-LM surprisal quality filter
+    # (CCNet shape with integer-exact bit quantization — twin of the
+    # gopher_quality text-quality family), and data-mixing weights
+    # (group-grain aggregation + broadcast totals)
+    "span_dedup", "bigram_surprisal", "domain_mix_weights",
     # r6 swaps (rationale in COVERAGE.md): promoted template_render,
     # execution_finalize, ledger_rollup; demoted the named twins —
     # ac_engine_parse (G-family JSON-SERP parsing stays gated via

@@ -495,6 +495,9 @@ def main() -> None:
             "template_render", "execution_finalize", "ledger_rollup",
             "proxy_select_replay", "request_validate", "cache_store_gate",
             "crawl_results_page", "sequence_packing",
+            # round-6 training-data additions: span-level exact dedup,
+            # bigram-LM surprisal filter, data-mixing weights
+            "span_dedup", "bigram_surprisal", "domain_mix_weights",
         ]))
 
         # second headline window (post-suite, same JVM) + one fresh-JVM

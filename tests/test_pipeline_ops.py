@@ -1521,3 +1521,108 @@ class TestDedupRepresentatives:
             assert all(d["group_size"] == len(docs) for d in docs)
             best = max(docs, key=lambda d: (d["quality"], -d["doc_id"]))
             assert k["doc_id"] == best["doc_id"]
+
+
+class TestSpanDedup:
+    """span_dedup is recomputed exactly by an independent pure-Python
+    twin: spans keyed by their raw 4-token window (grouping-equivalent
+    to the md5 key), winner = lexicographic min (doc_id, pos)."""
+
+    def test_matches_python_twin(self, spark):
+        import pyarrow.parquet as pq
+
+        from anycrawl_spark.operators.queries import REGISTRY
+
+        rows = (REGISTRY["span_dedup"]
+                .fn(spark, "/root/testdata/sf0.001").collect())
+        tbl = pq.read_table(
+            "/root/testdata/sf0.001/documents.parquet").to_pydict()
+        first_seen = {}
+        occs = []  # (doc_id, span_key, is_first)
+        for doc_id, text in sorted(zip(tbl["doc_id"], tbl["text"])):
+            t = text.split(" ")
+            for i in range(len(t) - 3):
+                key = tuple(t[i:i + 4])
+                occs.append((doc_id, key))
+        expected = {}
+        for doc_id, key in occs:  # occs already in (doc_id, pos) order
+            n_spans, n_lost = expected.get(doc_id, (0, 0))
+            lost = key in first_seen
+            first_seen.setdefault(key, doc_id)
+            expected[doc_id] = (n_spans + 1, n_lost + (1 if lost else 0))
+        assert len(rows) == len(expected)
+        for r in rows:
+            n_spans, n_lost = expected[r["doc_id"]]
+            assert (r["n_spans"], r["n_lost"]) == (n_spans, n_lost)
+            assert r["keep_bp"] == (n_spans - n_lost) * 10000 // n_spans
+        # every distinct span keeps exactly one occurrence globally
+        assert (sum(r["n_spans"] for r in rows)
+                - sum(r["n_lost"] for r in rows)) == len(first_seen)
+
+
+class TestBigramSurprisal:
+    """bigram_surprisal recomputed by an independent pure-Python twin:
+    bigram/context counts from the raw parquet text, surprisal =
+    bit_length(c1) - bit_length(c2) per occurrence."""
+
+    def test_matches_python_twin(self, spark):
+        from collections import Counter
+
+        import pyarrow.parquet as pq
+
+        from anycrawl_spark.operators.queries import REGISTRY
+
+        rows = (REGISTRY["bigram_surprisal"]
+                .fn(spark, "/root/testdata/sf0.001").collect())
+        tbl = pq.read_table(
+            "/root/testdata/sf0.001/documents.parquet").to_pydict()
+        docs = {d: t.split(" ") for d, t in zip(tbl["doc_id"], tbl["text"])}
+        bc, uc = Counter(), Counter()
+        for t in docs.values():
+            for a, b in zip(t, t[1:]):
+                bc[(a, b)] += 1
+                uc[a] += 1
+        assert len(rows) == sum(1 for t in docs.values() if len(t) >= 2)
+        for r in rows:
+            t = docs[r["doc_id"]]
+            bits = [uc[a].bit_length() - bc[(a, b)].bit_length()
+                    for a, b in zip(t, t[1:])]
+            assert r["n_bigrams"] == len(bits)
+            assert r["surprisal_bits"] == sum(bits)
+            avg = sum(bits) * 1000 // len(bits)
+            assert r["avg_mbits"] == avg
+            want = ("head" if avg < 4500
+                    else "middle" if avg < 4650 else "tail")
+            assert r["ppl_bucket"] == want
+
+
+class TestDomainMixWeights:
+    """Mixture weights: group totals recomputed in Python; ppm shares
+    floor-round so they sum to at most 1e6 and miss by < n_groups."""
+
+    def test_matches_python_twin(self, spark):
+        from collections import Counter
+
+        import pyarrow.parquet as pq
+
+        from anycrawl_spark.operators.queries import REGISTRY
+
+        rows = (REGISTRY["domain_mix_weights"]
+                .fn(spark, "/root/testdata/sf0.001").collect())
+        tbl = pq.read_table(
+            "/root/testdata/sf0.001/documents.parquet").to_pydict()
+        toks, ndocs = Counter(), Counter()
+        for lang, src, text in zip(tbl["lang"], tbl["source"], tbl["text"]):
+            toks[(lang, src)] += len(text.split(" "))
+            ndocs[(lang, src)] += 1
+        total = sum(toks.values())
+        assert len(rows) == len(toks)
+        for r in rows:
+            key = (r["lang"], r["source"])
+            assert r["n_docs"] == ndocs[key]
+            assert r["n_tokens"] == toks[key]
+            w = toks[key] * 1_000_000 // total
+            assert r["weight_ppm"] == w
+            assert r["smoothed_ppm"] == (w + 1_000_000 // len(toks)) // 2
+        s = sum(r["weight_ppm"] for r in rows)
+        assert 1_000_000 - len(rows) < s <= 1_000_000

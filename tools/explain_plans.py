@@ -620,6 +620,52 @@ def main() -> None:
     assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, \
         "agg must reuse the window's single domain exchange"
 
+    # 32. span_dedup: the dedup window is keyed by the span hash (uniform
+    # key at any corpus size) and the whole flow stays JVM-side
+    p = plan_of(REGISTRY["span_dedup"].fn(spark, "/root/testdata/sf0.01"))
+    sections.append((
+        "span_dedup: hash-keyed first-occurrence window, JVM-side",
+        p,
+        {
+            "window keyed by span hash (no unpartitioned WindowExec)":
+                r"hashpartitioning\(h",
+            "parquet scan prunes to (doc_id, text)":
+                r"ReadSchema: struct<doc_id:bigint,text:string",
+            "hash aggregation for the per-doc rollup": r"HashAggregate",
+        },
+    ))
+    assert "EvalPython" not in p, "span_dedup must stay JVM-side"
+
+    # 33. bigram_surprisal: the vocab-sized model tables broadcast back
+    # onto the occurrence stream — score pass shuffles only per-doc
+    p = plan_of(REGISTRY["bigram_surprisal"].fn(spark, "/root/testdata/sf0.01"))
+    sections.append((
+        "bigram_surprisal: LM tables broadcast, score pass shuffle-lean",
+        p,
+        {
+            "model join is broadcast (both bc and uc)":
+                r"BroadcastHashJoin",
+            "hash aggregation (train + score passes)": r"HashAggregate",
+        },
+    ))
+    assert "EvalPython" not in p, "bigram_surprisal must stay JVM-side"
+    assert len(re.findall(r"BroadcastHashJoin", p)) >= 2, \
+        "both LM tables must broadcast onto the occurrence stream"
+
+    # 34. domain_mix_weights: totals broadcast over the group table
+    p = plan_of(REGISTRY["domain_mix_weights"].fn(
+        spark, "/root/testdata/sf0.01"))
+    sections.append((
+        "domain_mix_weights: group agg + broadcast totals",
+        p,
+        {
+            "totals join is a broadcast nested loop over 1 row":
+                r"BroadcastNestedLoopJoin",
+            "hash aggregation to the group grain": r"HashAggregate",
+        },
+    ))
+    assert "EvalPython" not in p, "mix weights must stay JVM-side"
+
     with open(os.path.join(REPO, "PLANS.md"), "w") as f:
         f.write("# PLANS — physical-plan evidence (auto-generated by "
                 "tools/explain_plans.py)\n\n"
