@@ -4764,6 +4764,123 @@ def q_domain_mix_weights(spark, sf_dir):
 
 
 @register(
+    "pretrain_data_pipeline",
+    """WITH tok AS (
+         SELECT doc_id, lang, string_split(text, ' ') AS t,
+                md5(text) AS fp
+         FROM documents),
+       q AS (SELECT * FROM tok WHERE len(t) >= 20),
+       d AS (
+         SELECT * FROM (
+           SELECT *, row_number() OVER (PARTITION BY fp
+                                        ORDER BY doc_id) AS rn
+           FROM q) WHERE rn = 1),
+       grams AS (
+         SELECT doc_id,
+                unnest([md5(array_to_string(t[i:i+3], ' '))
+                        for i in range(1, greatest(len(t) - 2, 1))]) AS g
+         FROM d),
+       bench AS (
+         SELECT DISTINCT g FROM grams WHERE doc_id % 13 = 0),
+       contaminated AS (
+         SELECT DISTINCT c.doc_id
+         FROM grams c JOIN bench b USING (g)
+         WHERE c.doc_id % 13 <> 0),
+       clean AS (
+         SELECT * FROM d
+         WHERE doc_id % 13 <> 0
+           AND doc_id NOT IN (SELECT doc_id FROM contaminated)),
+       s AS (
+         SELECT *,
+                ((strpos('0123456789abcdef',
+                         substr(md5(CAST(doc_id AS VARCHAR) || ':sample'),
+                                1, 1)) - 1) * 4096
+                 + (strpos('0123456789abcdef',
+                           substr(md5(CAST(doc_id AS VARCHAR) || ':sample'),
+                                  2, 1)) - 1) * 256
+                 + (strpos('0123456789abcdef',
+                           substr(md5(CAST(doc_id AS VARCHAR) || ':sample'),
+                                  3, 1)) - 1) * 16
+                 + (strpos('0123456789abcdef',
+                           substr(md5(CAST(doc_id AS VARCHAR) || ':sample'),
+                                  4, 1)) - 1)) AS bucket
+         FROM clean),
+       keep AS (
+         SELECT doc_id, lang, CAST(len(t) AS BIGINT) AS n_tokens,
+                CAST(doc_id % 8 AS BIGINT) AS shard
+         FROM s
+         WHERE bucket < CASE lang WHEN 'en' THEN 49152
+                                  WHEN 'de' THEN 16384
+                                  ELSE 6553 END),
+       c AS (
+         SELECT *,
+                CAST(coalesce(sum(n_tokens) OVER (
+                    PARTITION BY shard ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS start_offset
+         FROM keep)
+     SELECT doc_id, lang, shard, n_tokens, start_offset,
+            start_offset // 512 AS first_seq,
+            (start_offset + n_tokens - 1) // 512 AS last_seq
+     FROM c""",
+    "The capstone composition — the full webtext pretraining data-prep "
+    "chain as ONE dataflow, every stage of which is also individually "
+    "oracled in this registry: (1) quality floor (>=20 tokens, the "
+    "Gopher word-count gate), (2) exact dedup (md5 fingerprint, "
+    "first-doc-wins keyed window), (3) benchmark decontamination (drop "
+    "any training doc sharing a 4-token shingle with the held-out "
+    "doc_id%13 benchmark set, which is itself excluded from the "
+    "output), (4) deterministic stratified sampling (per-language "
+    "hash-threshold keep rates), (5) fixed-512-token sequence packing "
+    "(per-shard keyed-window running sum, closed-form placement). "
+    "Shuffle inventory at 100 TB: one window by fingerprint, one "
+    "shingle equi-join against the (small, broadcastable) benchmark "
+    "shingle set, one anti-join on doc_id, one keyed window by shard — "
+    "no self-joins, no unpartitioned windows; everything else is "
+    "map-side. Pure integer/hash outputs, exact oracle.",
+)
+def q_pretrain_data_pipeline(spark, sf_dir):
+    tok = load_wide(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.split("text", " ").alias("t"),
+        F.md5(F.col("text")).alias("fp"))
+    q = tok.where(F.size("t") >= 20)
+    d = (q.withColumn("rn", F.row_number().over(
+            Window.partitionBy("fp").orderBy("doc_id")))
+         .where(F.col("rn") == 1).drop("rn"))
+    grams = d.select(
+        "doc_id",
+        F.explode(F.expr(
+            "transform(sequence(1, greatest(size(t) - 3, 0)), "
+            "i -> md5(array_join(slice(t, i, 4), ' ')))")).alias("g"))
+    bench = (grams.where(F.col("doc_id") % 13 == 0)
+             .select("g").distinct())
+    contaminated = (grams.where(F.col("doc_id") % 13 != 0)
+                    .join(bench, "g").select("doc_id").distinct())
+    clean = (d.where(F.col("doc_id") % 13 != 0)
+             .join(contaminated, "doc_id", "left_anti"))
+    hexpos = ("(locate(substring(md5(concat(cast(doc_id as string), "
+              "':sample')), {i}, 1), '0123456789abcdef') - 1)")
+    bucket = F.expr(" + ".join(
+        f"{hexpos.format(i=i)} * {16 ** (4 - i)}" for i in range(1, 5)))
+    rate = (F.when(F.col("lang") == "en", F.lit(49152))
+            .when(F.col("lang") == "de", F.lit(16384))
+            .otherwise(F.lit(6553)))
+    keep = (clean.withColumn("bucket", bucket).where(F.col("bucket") < rate)
+            .select("doc_id", "lang",
+                    F.size("t").cast("long").alias("n_tokens"),
+                    (F.col("doc_id") % 8).cast("long").alias("shard")))
+    w = (Window.partitionBy("shard").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    placed = keep.withColumn(
+        "start_offset",
+        F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("bigint"))
+    return placed.select(
+        "doc_id", "lang", "shard", "n_tokens", "start_offset",
+        F.expr("start_offset DIV 512").alias("first_seq"),
+        F.expr("(start_offset + n_tokens - 1) DIV 512").alias("last_seq"))
+
+
+@register(
     "auth_gateway",
     """WITH req AS (
          SELECT event_id AS rid, CAST(event_id % 9 AS INT) AS c,
@@ -5743,6 +5860,11 @@ DRIVER_ORDER: list[str] = [
     # gopher_quality text-quality family), and data-mixing weights
     # (group-grain aggregation + broadcast totals)
     "span_dedup", "bigram_surprisal", "domain_mix_weights",
+    # the capstone composition: quality floor -> exact dedup ->
+    # decontamination -> stratified sample -> sequence packing as ONE
+    # dataflow with a single CTE-chain oracle; every stage is also
+    # individually oracled above, so it sits in the tail by the twin rule
+    "pretrain_data_pipeline",
     # r6 swaps (rationale in COVERAGE.md): promoted template_render,
     # execution_finalize, ledger_rollup; demoted the named twins —
     # ac_engine_parse (G-family JSON-SERP parsing stays gated via

@@ -496,8 +496,10 @@ def main() -> None:
             "proxy_select_replay", "request_validate", "cache_store_gate",
             "crawl_results_page", "sequence_packing",
             # round-6 training-data additions: span-level exact dedup,
-            # bigram-LM surprisal filter, data-mixing weights
+            # bigram-LM surprisal filter, data-mixing weights, and the
+            # composed prep chain
             "span_dedup", "bigram_surprisal", "domain_mix_weights",
+            "pretrain_data_pipeline",
         ]))
 
         # second headline window (post-suite, same JVM) + one fresh-JVM

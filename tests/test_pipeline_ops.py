@@ -1626,3 +1626,72 @@ class TestDomainMixWeights:
             assert r["smoothed_ppm"] == (w + 1_000_000 // len(toks)) // 2
         s = sum(r["weight_ppm"] for r in rows)
         assert 1_000_000 - len(rows) < s <= 1_000_000
+
+
+class TestPretrainDataPipeline:
+    """The capstone composition recomputed end-to-end by a pure-Python
+    twin: quality floor -> exact dedup -> decontamination -> stratified
+    sample -> 512-token sequence packing."""
+
+    def test_matches_python_twin(self, spark):
+        import hashlib
+
+        import pyarrow.parquet as pq
+
+        from anycrawl_spark.operators.queries import REGISTRY
+
+        def md5(s):
+            return hashlib.md5(s.encode()).hexdigest()
+
+        rows = (REGISTRY["pretrain_data_pipeline"]
+                .fn(spark, "/root/testdata/sf0.001").collect())
+        tbl = pq.read_table(
+            "/root/testdata/sf0.001/documents.parquet").to_pydict()
+        docs = sorted(zip(tbl["doc_id"], tbl["lang"], tbl["text"]))
+        # quality floor + exact dedup (first doc_id per fingerprint wins)
+        seen_fp, d = set(), []
+        for doc_id, lang, text in docs:
+            t = text.split(" ")
+            if len(t) < 20:
+                continue
+            fp = md5(text)
+            if fp in seen_fp:
+                continue
+            seen_fp.add(fp)
+            d.append((doc_id, lang, t))
+        # decontamination vs the doc_id%13 held-out set
+        bench_grams = set()
+        for doc_id, _, t in d:
+            if doc_id % 13 == 0:
+                for i in range(len(t) - 3):
+                    bench_grams.add(tuple(t[i:i + 4]))
+        clean = []
+        for doc_id, lang, t in d:
+            if doc_id % 13 == 0:
+                continue
+            if any(tuple(t[i:i + 4]) in bench_grams
+                   for i in range(len(t) - 3)):
+                continue
+            clean.append((doc_id, lang, t))
+        # stratified sample (16-bit md5 bucket vs per-lang rate)
+        rates = {"en": 49152, "de": 16384}
+        keep = [(doc_id, lang, len(t)) for doc_id, lang, t in clean
+                if int(md5(f"{doc_id}:sample")[:4], 16)
+                < rates.get(lang, 6553)]
+        # per-shard packing in doc_id order
+        expected = {}
+        offsets = {}
+        for doc_id, lang, n in keep:  # keep is already doc_id-sorted
+            shard = doc_id % 8
+            off = offsets.get(shard, 0)
+            expected[doc_id] = (lang, shard, n, off, off // 512,
+                                (off + n - 1) // 512)
+            offsets[shard] = off + n
+        assert len(rows) == len(expected)
+        for r in rows:
+            lang, shard, n, off, first, last = expected[r["doc_id"]]
+            assert (r["lang"], r["shard"], r["n_tokens"],
+                    r["start_offset"], r["first_seq"], r["last_seq"]) \
+                == (lang, shard, n, off, first, last)
+        # the pipeline actually filters at every stage on this corpus
+        assert 0 < len(rows) < len(docs)

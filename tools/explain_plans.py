@@ -666,6 +666,25 @@ def main() -> None:
     ))
     assert "EvalPython" not in p, "mix weights must stay JVM-side"
 
+    # 35. pretrain_data_pipeline: the capstone composition's shuffle
+    # inventory matches its docstring — fingerprint window, shingle
+    # equi-join, anti-join, shard window; all windows keyed
+    p = plan_of(REGISTRY["pretrain_data_pipeline"].fn(
+        spark, "/root/testdata/sf0.01"))
+    sections.append((
+        "pretrain_data_pipeline: composed prep chain, keyed windows only",
+        p,
+        {
+            "dedup window keyed by fingerprint": r"hashpartitioning\(fp",
+            "packing window keyed by shard": r"hashpartitioning\(shard",
+            "decontamination is a LeftAnti hash join": r"LeftAnti",
+            "parquet scan prunes to (doc_id, text, lang)":
+                r"ReadSchema: struct<doc_id:bigint,text:string,"
+                r"lang:string",
+        },
+    ))
+    assert "EvalPython" not in p, "prep chain must stay JVM-side"
+
     with open(os.path.join(REPO, "PLANS.md"), "w") as f:
         f.write("# PLANS — physical-plan evidence (auto-generated by "
                 "tools/explain_plans.py)\n\n"
