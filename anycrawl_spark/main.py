@@ -11,6 +11,7 @@ Subcommands mirror the reference's four job types (SURVEY.md §3):
         map    --corpus <pages.parquet> --robots <robots.parquet>
                --host <host> --out <dir>
         validate --requests <log.jsonl|parquet> --kind crawl --out <dir>
+        prep   --docs <dir with documents.parquet> --out <dir>
 
 Packaging: ``python tools/package_pyfiles.py`` builds anycrawl_spark.zip.
 """
@@ -149,6 +150,34 @@ def cmd_validate(args) -> None:
     print(json.dumps({"kind": args.kind,
                       "accepted": counts.get(True, 0),
                       "rejected": counts.get(False, 0)}))
+
+
+def cmd_prep(args) -> None:
+    """Run the training-data prep chain (quality floor -> exact dedup ->
+    benchmark decontamination -> stratified sample -> 512-token sequence
+    packing) over a documents table and write the packed placements."""
+    from pyspark.sql import functions as F
+
+    from anycrawl_spark.operators.queries import REGISTRY
+
+    spark = build_session("anycrawl-prep")
+    out = REGISTRY["pretrain_data_pipeline"].fn(spark, args.docs)
+    out.write.mode("overwrite").parquet(args.out)
+    written = spark.read.parquet(args.out)
+    stats = written.agg(
+        F.count("*").alias("docs"),
+        F.sum("n_tokens").alias("tokens"),
+        F.countDistinct("shard").alias("shards")).collect()[0]
+    print(json.dumps({
+        "docs": stats["docs"],
+        "tokens": int(stats["tokens"] or 0),
+        "shards": stats["shards"],
+        "sequences": int((written.groupBy("shard")
+                          .agg(F.max(F.col("start_offset")
+                                     + F.col("n_tokens")).alias("t"))
+                          .agg(F.sum(F.expr("(t + 511) DIV 512")))
+                          .collect()[0][0]) or 0),
+    }))
 
 
 def cmd_map(args) -> None:
@@ -315,6 +344,12 @@ def main(argv=None) -> None:
     p.add_argument("--limit", type=int, default=5000)
     p.add_argument("--out", required=True)
     p.set_defaults(fn=cmd_map)
+
+    p = sub.add_parser("prep")
+    p.add_argument("--docs", required=True,
+                   help="dir containing documents.parquet")
+    p.add_argument("--out", required=True)
+    p.set_defaults(fn=cmd_prep)
 
     p = sub.add_parser("validate")
     p.add_argument("--requests", required=True,

@@ -4764,6 +4764,94 @@ def q_domain_mix_weights(spark, sf_dir):
 
 
 @register(
+    "semantic_dedup",
+    """WITH e AS (
+         SELECT vec_id,
+                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         FROM embeddings),
+       med AS (SELECT vec_id AS m, v AS mv FROM e WHERE vec_id < 8),
+       sc AS (
+         SELECT e.vec_id, med.m,
+                ROUND(list_cosine_similarity(e.v, med.mv), 6) AS c
+         FROM e, med),
+       asg AS (
+         SELECT vec_id, m AS cluster FROM (
+           SELECT vec_id, m,
+                  row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY c DESC, m ASC) AS rn
+           FROM sc) WHERE rn = 1),
+       ec AS (
+         SELECT a.vec_id AS vid, a.cluster, e.v
+         FROM asg a JOIN e ON a.vec_id = e.vec_id),
+       pairs AS (
+         SELECT b.vid AS dup_id
+         FROM ec a JOIN ec b ON a.cluster = b.cluster AND a.vid < b.vid
+         WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.4),
+       dups AS (
+         SELECT dup_id, CAST(count(*) AS BIGINT) AS n
+         FROM pairs GROUP BY dup_id),
+       sz AS (
+         SELECT cluster, CAST(count(*) AS BIGINT) AS cluster_size
+         FROM asg GROUP BY cluster)
+     SELECT a.vec_id, CAST(a.cluster AS BIGINT) AS cluster,
+            s.cluster_size,
+            CAST(coalesce(d.n, 0) AS BIGINT) AS n_dups_to_earlier,
+            d.dup_id IS NOT NULL AS dropped
+     FROM asg a
+     JOIN sz s USING (cluster)
+     LEFT JOIN dups d ON a.vec_id = d.dup_id""",
+    "Semantic deduplication (training-data pipeline): the SemDeDup "
+    "recipe (Abbas et al. 2023) — cluster the embedding space, then "
+    "search for near-duplicates ONLY within each cluster, so the "
+    "pairwise work is bounded by cluster size instead of corpus size. "
+    "Centroids here are 8 fixed medoid documents (vec_id < 8) so the "
+    "assignment is deterministic and the oracle exact; production "
+    "swaps in the k-means centroids ann.py already trains. Assignment "
+    "= argmax cosine over the broadcast medoid table (keyed window, "
+    "ties to the lowest medoid); near-dup = within-cluster cosine "
+    ">= 0.4 on the 6-dp rounded value (same fixed-order double fold "
+    "and rounding discipline as embed_cosine_pairs); survivors keep "
+    "the lowest vec_id per duplicate pair. At 100 TB the cluster "
+    "count scales with the corpus, keeping per-cluster blocks small — "
+    "the same partition-pruned posture as the IVF index.",
+)
+def q_semantic_dedup(spark, sf_dir):
+    e = load_wide(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+    med = (e.where(F.col("vec_id") < 8)
+           .select(F.col("vec_id").alias("m"), F.col("v").alias("mv")))
+    sc = e.crossJoin(F.broadcast(med)).select(
+        "vec_id", "m",
+        F.round(_cos_spark(F.col("v"), F.col("mv")), 6).alias("c"))
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("c").desc(), F.col("m").asc())
+    asg = (sc.withColumn("rn", F.row_number().over(w))
+           .where(F.col("rn") == 1)
+           .select("vec_id", F.col("m").alias("cluster")))
+    ec = (asg.join(e, "vec_id")
+          .select(F.col("vec_id").alias("vid"), "cluster", "v"))
+    a, b = ec.alias("a"), ec.alias("b")
+    cos = _cos_spark(F.col("a.v"), F.col("b.v"))
+    pairs = (a.join(b, (F.col("a.cluster") == F.col("b.cluster"))
+                    & (F.col("a.vid") < F.col("b.vid")))
+             .where(F.round(cos, 6) >= 0.4)
+             .select(F.col("b.vid").alias("dup_id")))
+    dups = pairs.groupBy("dup_id").agg(
+        F.count("*").cast("long").alias("n"))
+    sz = asg.groupBy("cluster").agg(
+        F.count("*").cast("long").alias("cluster_size"))
+    return (asg.join(sz, "cluster")
+            .join(dups, asg["vec_id"] == dups["dup_id"], "left")
+            .select("vec_id",
+                    F.col("cluster").cast("long").alias("cluster"),
+                    "cluster_size",
+                    F.coalesce(F.col("n"), F.lit(0)).cast("long")
+                    .alias("n_dups_to_earlier"),
+                    F.col("dup_id").isNotNull().alias("dropped")))
+
+
+@register(
     "pretrain_data_pipeline",
     """WITH tok AS (
          SELECT doc_id, lang, string_split(text, ' ') AS t,
@@ -5865,6 +5953,10 @@ DRIVER_ORDER: list[str] = [
     # dataflow with a single CTE-chain oracle; every stage is also
     # individually oracled above, so it sits in the tail by the twin rule
     "pretrain_data_pipeline",
+    # SemDeDup (Abbas et al. 2023): cluster-then-dedup over embeddings —
+    # fixed-medoid assignment keeps the oracle exact; machinery twin of
+    # embed_cosine_pairs (blocked pair join) + the IVF assignment shape
+    "semantic_dedup",
     # r6 swaps (rationale in COVERAGE.md): promoted template_render,
     # execution_finalize, ledger_rollup; demoted the named twins —
     # ac_engine_parse (G-family JSON-SERP parsing stays gated via

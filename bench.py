@@ -499,7 +499,7 @@ def main() -> None:
             # bigram-LM surprisal filter, data-mixing weights, and the
             # composed prep chain
             "span_dedup", "bigram_surprisal", "domain_mix_weights",
-            "pretrain_data_pipeline",
+            "pretrain_data_pipeline", "semantic_dedup",
         ]))
 
         # second headline window (post-suite, same JVM) + one fresh-JVM

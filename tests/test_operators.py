@@ -970,3 +970,21 @@ class TestDocsRegistryDrift:
         unoracled = [n for n in window if REGISTRY[n].oracle is None]
         assert not unoracled, f"driver window has rows-only queries: {unoracled}"
         assert len(DRIVER_ORDER) == len(REGISTRY)
+
+
+class TestPrepCli:
+    def test_prep_subcommand(self, spark, tmp_root, monkeypatch, capsys):
+        import json as _json
+
+        from anycrawl_spark import main as cli
+
+        out = os.path.join(tmp_root, "prep_out")
+        monkeypatch.setattr(cli, "build_session", lambda app: spark)
+        cli.main(["prep", "--docs", "/root/testdata/sf0.001",
+                  "--out", out])
+        stats = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        rows = spark.read.parquet(out).collect()
+        assert stats["docs"] == len(rows) > 0
+        assert stats["tokens"] == sum(r["n_tokens"] for r in rows)
+        assert stats["shards"] == len({r["shard"] for r in rows})
+        assert stats["sequences"] > 0

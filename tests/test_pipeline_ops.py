@@ -1695,3 +1695,58 @@ class TestPretrainDataPipeline:
                 == (lang, shard, n, off, first, last)
         # the pipeline actually filters at every stage on this corpus
         assert 0 < len(rows) < len(docs)
+
+
+class TestSemanticDedup:
+    """SemDeDup recomputed by a pure-Python twin. Dot products use plain
+    left-to-right float accumulation — the same fold order as the Spark
+    F.aggregate expression — then the 6-dp round both engines apply."""
+
+    def test_matches_python_twin(self, spark):
+        import math
+
+        import pyarrow.parquet as pq
+
+        from anycrawl_spark.operators.queries import REGISTRY
+
+        def cos(a, b):
+            dot = na = nb = 0.0
+            for x, y in zip(a, b):
+                dot += x * y
+                na += x * x
+                nb += y * y
+            return round(dot / (math.sqrt(na) * math.sqrt(nb)), 6)
+
+        rows = (REGISTRY["semantic_dedup"]
+                .fn(spark, "/root/testdata/sf0.001").collect())
+        tbl = pq.read_table(
+            "/root/testdata/sf0.001/embeddings.parquet").to_pydict()
+        vecs = {vid: [float(x) for x in v]
+                for vid, v in zip(tbl["vec_id"], tbl["embedding"])}
+        meds = {m: vecs[m] for m in vecs if m < 8}
+        assign = {}
+        for vid, v in vecs.items():
+            best = max(sorted(meds), key=lambda m: (cos(v, meds[m]), -m))
+            assign[vid] = best
+        by_cluster = {}
+        for vid in sorted(vecs):
+            by_cluster.setdefault(assign[vid], []).append(vid)
+        n_dups = {vid: 0 for vid in vecs}
+        for members in by_cluster.values():
+            for i, a in enumerate(members):
+                for b in members[i + 1:]:
+                    if cos(vecs[a], vecs[b]) >= 0.4:
+                        n_dups[b] += 1
+        assert len(rows) == len(vecs)
+        found_dropped = 0
+        for r in rows:
+            vid = r["vec_id"]
+            assert r["cluster"] == assign[vid]
+            assert r["cluster_size"] == len(by_cluster[assign[vid]])
+            assert r["n_dups_to_earlier"] == n_dups[vid]
+            assert r["dropped"] == (n_dups[vid] > 0)
+            found_dropped += r["dropped"]
+        # medoids are their own nearest medoid, and some dups exist
+        for m in meds:
+            assert assign[m] == m
+        assert found_dropped > 0

@@ -685,6 +685,24 @@ def main() -> None:
     ))
     assert "EvalPython" not in p, "prep chain must stay JVM-side"
 
+    # 36. semantic_dedup: medoid table broadcast, assignment window keyed
+    # by vec_id, within-cluster pair join is an equi-join on the cluster
+    # key — never a cartesian product
+    p = plan_of(REGISTRY["semantic_dedup"].fn(
+        spark, "/root/testdata/sf0.01"))
+    sections.append((
+        "semantic_dedup: broadcast medoids, cluster-keyed pair join",
+        p,
+        {
+            "assignment window keyed by vec_id":
+                r"hashpartitioning\(vec_id",
+            "8-row medoid table broadcast": r"BroadcastNestedLoopJoin",
+        },
+    ))
+    assert "EvalPython" not in p, "semantic dedup must stay JVM-side"
+    assert "CartesianProduct" not in p, \
+        "within-cluster pairs must equi-join on the cluster key"
+
     with open(os.path.join(REPO, "PLANS.md"), "w") as f:
         f.write("# PLANS — physical-plan evidence (auto-generated by "
                 "tools/explain_plans.py)\n\n"
