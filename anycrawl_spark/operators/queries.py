@@ -4393,10 +4393,13 @@ def q_search_request_validate(spark, sf_dir):
 def q_decontaminate_ngrams(spark, sf_dir):
     docs = load_wide(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.split(F.col("text"), " ").alias("t"))
-    grams = tok.select(
+    # guard with a size filter, NOT greatest(size-3, 0): Spark's
+    # sequence(1, 0) is the DESCENDING [1, 0] and slice(t, 0, 4) throws —
+    # the filter form matches the oracle's empty-range semantics exactly
+    grams = tok.where(F.size("t") >= 4).select(
         "doc_id",
         F.explode(F.expr(
-            "transform(sequence(1, greatest(size(t) - 3, 0)), "
+            "transform(sequence(1, size(t) - 3), "
             "i -> md5(array_join(slice(t, i, 4), ' ')))")).alias("g")
     ).distinct()
     bench = (grams.where(F.col("doc_id") % 13 == 0)
@@ -4618,12 +4621,18 @@ def q_sequence_packing(spark, sf_dir):
     "adapted to sliding 4-token spans over this corpus's sentence-free "
     "text. Every span occurrence hashes to a 128-bit key; the globally "
     "first occurrence (min (doc_id, pos)) survives and every other "
-    "occurrence is marked removed. One explode + one keyed window over "
-    "the span hash + one per-doc aggregation — the window partitions by "
-    "span hash so the shuffle key is uniform at any corpus size; no "
-    "self-join, no quadratic pair set. Per-doc outputs (span counts, "
-    "lost-occurrence counts, kept fraction in basis points) are pure "
-    "integers so the oracle hash is exact.",
+    "occurrence is marked removed. Physical shape: each hash keeps "
+    "exactly ONE winner occurrence, so the winner set is computed as a "
+    "min(struct(doc_id, pos)) hash aggregation per span hash — partial "
+    "aggregation combines map-side and no per-key sort exists, so a "
+    "boilerplate span occurring in half the corpus (cookie banners) "
+    "costs one combiner row per task instead of one giant sorted "
+    "window partition. Per-doc kept counts then come from a second "
+    "small aggregation; n_lost = n_spans - n_kept. Per-doc outputs "
+    "(span counts, lost-occurrence counts, kept fraction in basis "
+    "points) are pure integers so the oracle hash is exact; the oracle "
+    "states the same winner rule as a row_number window, which is "
+    "value-identical.",
 )
 def q_span_dedup(spark, sf_dir):
     tok = load_wide(spark, sf_dir, "documents").select(
@@ -4635,12 +4644,18 @@ def q_span_dedup(spark, sf_dir):
             "cast(i as bigint) as pos, "
             "md5(array_join(slice(t, i, 4), ' ')) as h))")).alias("u")
     ).select("doc_id", F.col("u.pos").alias("pos"), F.col("u.h").alias("h"))
-    w = Window.partitionBy("h").orderBy("doc_id", "pos")
-    r = occ.withColumn("rn", F.row_number().over(w))
-    agg = r.groupBy("doc_id").agg(
-        F.count("*").cast("long").alias("n_spans"),
-        F.sum(F.when(F.col("rn") > 1, 1).otherwise(0)).cast("long")
-        .alias("n_lost"))
+    winners = (occ.groupBy("h")
+               .agg(F.min(F.struct("doc_id", "pos")).alias("w"))
+               .select(F.col("w.doc_id").alias("doc_id")))
+    n_kept = winners.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_kept"))
+    n_spans = occ.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_spans"))
+    agg = (n_spans.join(n_kept, "doc_id", "left")
+           .select("doc_id", "n_spans",
+                   (F.col("n_spans")
+                    - F.coalesce(F.col("n_kept"), F.lit(0)))
+                   .cast("long").alias("n_lost")))
     return agg.select(
         "doc_id", "n_spans", "n_lost",
         F.expr("(n_spans - n_lost) * 10000 DIV n_spans").alias("keep_bp"))
@@ -4685,10 +4700,14 @@ def q_span_dedup(spark, sf_dir):
     "sums are order-free BIGINTs and the value hash is exact with no "
     "float summation-order risk. Two-pass distributed shape exactly "
     "like production LM filtering: pass 1 trains the model (one "
-    "groupBy over exploded bigrams — model table is vocab-sized, "
-    "broadcast back), pass 2 scores every token occurrence via "
-    "broadcast joins and aggregates per doc; docs land in "
-    "head/middle/tail buckets like CCNet's perplexity terciles.",
+    "groupBy over exploded bigrams), pass 2 scores every occurrence "
+    "and aggregates per doc. Join posture: the unigram context table "
+    "is vocab-sized and broadcasts (CCNet likewise ships its KenLM "
+    "binary to every worker); the bigram table grows with the corpus, "
+    "so its join is left UNHINTED — a shuffle equi-join on the "
+    "(uniform) word-pair key that AQE converts to broadcast only when "
+    "runtime stats say it fits. Docs land in head/middle/tail buckets "
+    "like CCNet's perplexity terciles.",
 )
 def q_bigram_surprisal(spark, sf_dir):
     tok = load_wide(spark, sf_dir, "documents").select(
@@ -4703,7 +4722,7 @@ def q_bigram_surprisal(spark, sf_dir):
     bc = occ.groupBy("w1", "w2").agg(
         F.count("*").cast("long").alias("c2"))
     uc = bc.groupBy("w1").agg(F.sum("c2").cast("long").alias("c1"))
-    j = (occ.join(F.broadcast(bc), ["w1", "w2"])
+    j = (occ.join(bc, ["w1", "w2"])
          .join(F.broadcast(uc), ["w1"]))
     bits = (F.length(F.bin(F.col("c1")))
             - F.length(F.bin(F.col("c2")))).cast("long")
@@ -4747,7 +4766,7 @@ def q_bigram_surprisal(spark, sf_dir):
     "integer ppm arithmetic keeps the oracle hash exact.",
 )
 def q_domain_mix_weights(spark, sf_dir):
-    d = load(spark, sf_dir, "documents").select(
+    d = load_wide(spark, sf_dir, "documents").select(
         "lang", "source",
         F.size(F.split("text", " ")).cast("long").alias("n"))
     grp = d.groupBy("lang", "source").agg(
@@ -4811,15 +4830,19 @@ def q_domain_mix_weights(spark, sf_dir):
     "ties to the lowest medoid); near-dup = within-cluster cosine "
     ">= 0.4 on the 6-dp rounded value (same fixed-order double fold "
     "and rounding discipline as embed_cosine_pairs); survivors keep "
-    "the lowest vec_id per duplicate pair. At 100 TB the cluster "
-    "count scales with the corpus, keeping per-cluster blocks small — "
-    "the same partition-pruned posture as the IVF index.",
+    "the lowest vec_id per duplicate pair. Scale posture: K is a "
+    "PARAMETER (n_medoids, default 8 for the fixed oracle corpus) and "
+    "must grow with the corpus — SemDeDup itself uses ~100k clusters "
+    "so per-cluster blocks stay small and the within-cluster pair "
+    "join's key cardinality scales with the data; at K=8 the pair "
+    "stage is quadratic-per-cluster and only appropriate at oracle "
+    "scale, exactly like the demoted embed_cosine_pairs block join.",
 )
-def q_semantic_dedup(spark, sf_dir):
+def q_semantic_dedup(spark, sf_dir, n_medoids: int = 8):
     e = load_wide(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"))
-    med = (e.where(F.col("vec_id") < 8)
+    med = (e.where(F.col("vec_id") < n_medoids)
            .select(F.col("vec_id").alias("m"), F.col("v").alias("mv")))
     sc = e.crossJoin(F.broadcast(med)).select(
         "vec_id", "m",
@@ -4867,7 +4890,7 @@ def q_semantic_dedup(spark, sf_dir):
          SELECT doc_id,
                 unnest([md5(array_to_string(t[i:i+3], ' '))
                         for i in range(1, greatest(len(t) - 2, 1))]) AS g
-         FROM d),
+         FROM tok WHERE len(t) >= 4),
        bench AS (
          SELECT DISTINCT g FROM grams WHERE doc_id % 13 = 0),
        contaminated AS (
@@ -4918,12 +4941,16 @@ def q_semantic_dedup(spark, sf_dir):
     "first-doc-wins keyed window), (3) benchmark decontamination (drop "
     "any training doc sharing a 4-token shingle with the held-out "
     "doc_id%13 benchmark set, which is itself excluded from the "
-    "output), (4) deterministic stratified sampling (per-language "
+    "output; bench shingles come from the RAW corpus, before the floor "
+    "and the dedup, so a verbatim benchmark copy cannot slip through "
+    "by out-competing the benchmark doc in dedup), (4) deterministic "
+    "stratified sampling (per-language "
     "hash-threshold keep rates), (5) fixed-512-token sequence packing "
     "(per-shard keyed-window running sum, closed-form placement). "
     "Shuffle inventory at 100 TB: one window by fingerprint, one "
-    "shingle equi-join against the (small, broadcastable) benchmark "
-    "shingle set, one anti-join on doc_id, one keyed window by shard — "
+    "shingle equi-join (both sides scale with the corpus; the key is a "
+    "uniform hash so it shuffles cleanly — no broadcast assumption), "
+    "one anti-join on doc_id, one keyed window by shard — "
     "no self-joins, no unpartitioned windows; everything else is "
     "map-side. Pure integer/hash outputs, exact oracle.",
 )
@@ -4935,10 +4962,13 @@ def q_pretrain_data_pipeline(spark, sf_dir):
     d = (q.withColumn("rn", F.row_number().over(
             Window.partitionBy("fp").orderBy("doc_id")))
          .where(F.col("rn") == 1).drop("rn"))
-    grams = d.select(
+    # bench shingles come from the RAW corpus (tok, not d): a benchmark
+    # doc dropped by the floor or out-competed in dedup must still
+    # contribute its shingles, or its verbatim copies leak into training
+    grams = tok.where(F.size("t") >= 4).select(
         "doc_id",
         F.explode(F.expr(
-            "transform(sequence(1, greatest(size(t) - 3, 0)), "
+            "transform(sequence(1, size(t) - 3), "
             "i -> md5(array_join(slice(t, i, 4), ' ')))")).alias("g"))
     bench = (grams.where(F.col("doc_id") % 13 == 0)
              .select("g").distinct())

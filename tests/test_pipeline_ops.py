@@ -1659,10 +1659,13 @@ class TestPretrainDataPipeline:
                 continue
             seen_fp.add(fp)
             d.append((doc_id, lang, t))
-        # decontamination vs the doc_id%13 held-out set
+        # decontamination vs the doc_id%13 held-out set; bench shingles
+        # come from the RAW corpus (pre-floor, pre-dedup) so a verbatim
+        # benchmark copy can't leak by out-competing the benchmark doc
         bench_grams = set()
-        for doc_id, _, t in d:
+        for doc_id, _, text in docs:
             if doc_id % 13 == 0:
+                t = text.split(" ")
                 for i in range(len(t) - 3):
                     bench_grams.add(tuple(t[i:i + 4]))
         clean = []

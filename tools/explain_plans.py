@@ -620,37 +620,43 @@ def main() -> None:
     assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, \
         "agg must reuse the window's single domain exchange"
 
-    # 32. span_dedup: the dedup window is keyed by the span hash (uniform
-    # key at any corpus size) and the whole flow stays JVM-side
+    # 32. span_dedup: the winner rule is a min-struct HASH AGGREGATION
+    # keyed by the span hash — partial aggregation combines map-side, so
+    # a boilerplate span in half the corpus costs one combiner row per
+    # task; NO sorted window exists anywhere in the plan
     p = plan_of(REGISTRY["span_dedup"].fn(spark, "/root/testdata/sf0.01"))
     sections.append((
-        "span_dedup: hash-keyed first-occurrence window, JVM-side",
+        "span_dedup: min-struct winner aggregation, no sorted window",
         p,
         {
-            "window keyed by span hash (no unpartitioned WindowExec)":
+            "winner aggregation keyed by span hash":
                 r"hashpartitioning\(h",
             "parquet scan prunes to (doc_id, text)":
                 r"ReadSchema: struct<doc_id:bigint,text:string",
-            "hash aggregation for the per-doc rollup": r"HashAggregate",
+            "hash aggregation (partial combine map-side)":
+                r"HashAggregate",
         },
     ))
     assert "EvalPython" not in p, "span_dedup must stay JVM-side"
+    assert not re.search(r"\(\d+\) Window", p), \
+        "winner rule must be an aggregation, never a per-key sorted window"
 
-    # 33. bigram_surprisal: the vocab-sized model tables broadcast back
-    # onto the occurrence stream — score pass shuffles only per-doc
+    # 33. bigram_surprisal: the vocab-sized unigram table broadcasts
+    # (CCNet ships its KenLM binary the same way); the corpus-scale
+    # bigram table is UNHINTED — a keyed shuffle equi-join that AQE may
+    # upgrade at runtime, never a forced driver-side broadcast
     p = plan_of(REGISTRY["bigram_surprisal"].fn(spark, "/root/testdata/sf0.01"))
     sections.append((
-        "bigram_surprisal: LM tables broadcast, score pass shuffle-lean",
+        "bigram_surprisal: unigram LM broadcast, bigram join shuffle-safe",
         p,
         {
-            "model join is broadcast (both bc and uc)":
-                r"BroadcastHashJoin",
+            "unigram context table broadcast": r"BroadcastHashJoin",
+            "bigram join is a keyed equi-join (no forced broadcast)":
+                r"(SortMergeJoin|ShuffledHashJoin)",
             "hash aggregation (train + score passes)": r"HashAggregate",
         },
     ))
     assert "EvalPython" not in p, "bigram_surprisal must stay JVM-side"
-    assert len(re.findall(r"BroadcastHashJoin", p)) >= 2, \
-        "both LM tables must broadcast onto the occurrence stream"
 
     # 34. domain_mix_weights: totals broadcast over the group table
     p = plan_of(REGISTRY["domain_mix_weights"].fn(
