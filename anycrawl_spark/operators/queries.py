@@ -4783,6 +4783,84 @@ def q_domain_mix_weights(spark, sf_dir):
 
 
 @register(
+    "incremental_dedup",
+    f"""WITH docs AS (
+         SELECT doc_id, text, md5(text) AS fp FROM documents
+         WHERE len(regexp_extract_all(text, '\\S+')) >= 3),
+       sigs AS (SELECT doc_id, fp, {_minhash_sigs_sql(6)} FROM docs),
+       b AS (
+         SELECT doc_id, fp,
+                md5(sig0 || sig1 || sig2) AS b1,
+                md5(sig3 || sig4 || sig5) AS b2
+         FROM sigs),
+       cat AS (SELECT * FROM b WHERE doc_id % 5 <> 4),
+       newb AS (SELECT * FROM b WHERE doc_id % 5 = 4),
+       catbands AS (
+         SELECT b1 AS h FROM cat UNION SELECT b2 FROM cat),
+       hits AS (
+         SELECT n.doc_id,
+                n.fp IN (SELECT fp FROM cat) AS exact_dup,
+                CAST((CASE WHEN n.b1 IN (SELECT h FROM catbands)
+                           THEN 1 ELSE 0 END
+                    + CASE WHEN n.b2 IN (SELECT h FROM catbands)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_band_hits
+         FROM newb n)
+     SELECT doc_id, exact_dup, n_band_hits,
+            n_band_hits > 0 AS near_dup,
+            NOT exact_dup AND n_band_hits = 0 AS admitted
+     FROM hits""",
+    "Incremental (continuous-ingestion) dedup: the production posture "
+    "at 100 TB is not one-shot — new shards arrive and must dedup "
+    "against the STANDING catalog, not against themselves alone. The "
+    "doc_id%5==4 slice plays the incoming batch; the rest is the "
+    "catalog. Exact layer = fingerprint membership against the "
+    "catalog's fp set; near layer = MinHash-LSH band membership (the "
+    "same 6-signature/2-band construction as lsh_candidate_pairs) "
+    "against the catalog's band-hash set. Both layers are hash "
+    "equi-joins keyed by uniform digests — batch-sized left side, "
+    "catalog-sized right side, no self-join, no signature recompute "
+    "for the catalog at deployment (its bands persist as the LSH "
+    "index table, exactly like the seen-set bloom segments persist "
+    "for URL dedup). Admitted = no exact hit and zero band hits.",
+)
+def q_incremental_dedup(spark, sf_dir):
+    documents = load_wide(spark, sf_dir, "documents")
+    words = F.regexp_extract_all("text", F.lit(r"\S+"), 0)
+    base = (
+        documents.where(F.size(words) >= 3)
+        .withColumn("__dg", _minhash_digest_col())
+        .select("doc_id", F.md5("text").alias("fp"),
+                *_minhash_sigs_spark(6))
+        # the signature subtree feeds catalog AND batch branches —
+        # materialize once (same posture as lsh_candidate_pairs)
+        .localCheckpoint()
+    )
+    b = base.select(
+        "doc_id", "fp",
+        F.md5(F.concat("sig0", "sig1", "sig2")).alias("b1"),
+        F.md5(F.concat("sig3", "sig4", "sig5")).alias("b2"))
+    cat = b.where(F.col("doc_id") % 5 != 4)
+    new = b.where(F.col("doc_id") % 5 == 4)
+    catbands = (cat.select(F.col("b1").alias("h"))
+                .union(cat.select(F.col("b2").alias("h")))
+                .distinct())
+    catfp = cat.select("fp").distinct().withColumn("me", F.lit(1))
+    m1 = catbands.select(F.col("h").alias("b1"), F.lit(1).alias("m1"))
+    m2 = catbands.select(F.col("h").alias("b2"), F.lit(1).alias("m2"))
+    hits = (new.join(m1, "b1", "left")
+            .join(m2, "b2", "left")
+            .join(catfp, "fp", "left"))
+    n_band_hits = (F.coalesce(F.col("m1"), F.lit(0))
+                   + F.coalesce(F.col("m2"), F.lit(0))).cast("long")
+    return hits.select(
+        "doc_id",
+        F.col("me").isNotNull().alias("exact_dup"),
+        n_band_hits.alias("n_band_hits"),
+        (n_band_hits > 0).alias("near_dup"),
+        (F.col("me").isNull() & (n_band_hits == 0)).alias("admitted"))
+
+
+@register(
     "semantic_dedup",
     """WITH e AS (
          SELECT vec_id,
@@ -5987,6 +6065,10 @@ DRIVER_ORDER: list[str] = [
     # fixed-medoid assignment keeps the oracle exact; machinery twin of
     # embed_cosine_pairs (blocked pair join) + the IVF assignment shape
     "semantic_dedup",
+    # continuous-ingestion dedup: new batch vs the standing catalog's
+    # fingerprint + LSH-band index tables — machinery twin of
+    # dedup_exact + lsh_candidate_pairs with the batch/catalog split
+    "incremental_dedup",
     # r6 swaps (rationale in COVERAGE.md): promoted template_render,
     # execution_finalize, ledger_rollup; demoted the named twins —
     # ac_engine_parse (G-family JSON-SERP parsing stays gated via

@@ -500,6 +500,7 @@ def main() -> None:
             # composed prep chain
             "span_dedup", "bigram_surprisal", "domain_mix_weights",
             "pretrain_data_pipeline", "semantic_dedup",
+            "incremental_dedup",
         ]))
 
         # second headline window (post-suite, same JVM) + one fresh-JVM

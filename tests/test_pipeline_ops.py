@@ -1770,3 +1770,53 @@ class TestSemanticDedup:
         # more clusters can only shrink blocks: every cluster_size is
         # bounded by the K=8 run's largest block
         assert max(r["cluster_size"] for r in rows) <= 500
+
+
+class TestIncrementalDedup:
+    """Incremental dedup recomputed by a pure-Python twin: catalog
+    fingerprint set + LSH band set from raw text, batch membership."""
+
+    def test_matches_python_twin(self, spark):
+        import hashlib
+        import re as _re
+
+        import pyarrow.parquet as pq
+
+        from anycrawl_spark.operators.queries import REGISTRY
+
+        def md5(s):
+            return hashlib.md5(s.encode()).hexdigest()
+
+        rows = (REGISTRY["incremental_dedup"]
+                .fn(spark, "/root/testdata/sf0.001").collect())
+        tbl = pq.read_table(
+            "/root/testdata/sf0.001/documents.parquet").to_pydict()
+        bands = {}
+        fps = {}
+        for doc_id, text in zip(tbl["doc_id"], tbl["text"]):
+            w = _re.findall(r"\S+", text)
+            if len(w) < 3:
+                continue
+            digests = [md5(" ".join(w[i:i + 3]))
+                       for i in range(len(w) - 2)]
+            sigs = [min(md5(f"{i}:{h}") for h in digests)
+                    for i in range(6)]
+            bands[doc_id] = (md5("".join(sigs[0:3])),
+                             md5("".join(sigs[3:6])))
+            fps[doc_id] = md5(text)
+        cat_fp = {fps[d] for d in fps if d % 5 != 4}
+        cat_bands = {b for d in bands if d % 5 != 4 for b in bands[d]}
+        expected = {d: (fps[d] in cat_fp,
+                        sum(b in cat_bands for b in bands[d]))
+                    for d in fps if d % 5 == 4}
+        assert len(rows) == len(expected)
+        admitted = 0
+        for r in rows:
+            exact, hits = expected[r["doc_id"]]
+            assert r["exact_dup"] == exact
+            assert r["n_band_hits"] == hits
+            assert r["near_dup"] == (hits > 0)
+            assert r["admitted"] == (not exact and hits == 0)
+            admitted += r["admitted"]
+        # the batch actually splits: some admitted, some near-dups
+        assert 0 < admitted < len(rows)
