@@ -1089,6 +1089,19 @@ def _minhash_sigs_spark(n_sigs: int = 6):
     return _minhash_sig_cols(F.col("__dg"), n_sigs)
 
 
+# The LSH banding contract — 6 signatures -> 2 bands of 3 — is shared by
+# lsh_candidate_pairs and incremental_dedup ("the same construction" is a
+# registered claim, so the construction must live in ONE place or the
+# equivalence silently breaks, same rule as _trigram_shingles_col).
+_BAND1_SQL = "md5(sig0 || sig1 || sig2)"
+_BAND2_SQL = "md5(sig3 || sig4 || sig5)"
+
+
+def _band_hash_cols():
+    return (F.md5(F.concat("sig0", "sig1", "sig2")),
+            F.md5(F.concat("sig3", "sig4", "sig5")))
+
+
 def _minhash_sigs_sql(n_sigs: int = 6) -> str:
     cols = ", ".join(
         f"""list_aggregate(list_transform(
@@ -1125,9 +1138,9 @@ def q_minhash_signature(spark, sf_dir):
          SELECT doc_id, {_minhash_sigs_sql(6)}
          FROM documents WHERE len(regexp_extract_all(text, '\\S+')) >= 3),
        bands AS (
-         SELECT doc_id, md5(sig0 || sig1 || sig2) AS band_hash FROM sigs
+         SELECT doc_id, {_BAND1_SQL} AS band_hash FROM sigs
          UNION ALL
-         SELECT doc_id, md5(sig3 || sig4 || sig5) AS band_hash FROM sigs)
+         SELECT doc_id, {_BAND2_SQL} AS band_hash FROM sigs)
        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        FROM bands a JOIN bands b ON a.band_hash = b.band_hash AND a.doc_id < b.doc_id""",
     "MinHash-LSH: band → bucket-join → candidate duplicate pairs",
@@ -1144,10 +1157,9 @@ def q_lsh_candidate_pairs(spark, sf_dir):
         # (tiny: doc_id + 6 hex strings per doc)
         .localCheckpoint()
     )
-    band1 = sigs.select(
-        "doc_id", F.md5(F.concat("sig0", "sig1", "sig2")).alias("band_hash"))
-    band2 = sigs.select(
-        "doc_id", F.md5(F.concat("sig3", "sig4", "sig5")).alias("band_hash"))
+    b1_col, b2_col = _band_hash_cols()
+    band1 = sigs.select("doc_id", b1_col.alias("band_hash"))
+    band2 = sigs.select("doc_id", b2_col.alias("band_hash"))
     bands = band1.unionByName(band2)
     a = bands.alias("a")
     b = bands.alias("b")
@@ -4622,35 +4634,38 @@ def q_sequence_packing(spark, sf_dir):
     "text. Every span occurrence hashes to a 128-bit key; the globally "
     "first occurrence (min (doc_id, pos)) survives and every other "
     "occurrence is marked removed. Physical shape: each hash keeps "
-    "exactly ONE winner occurrence, so the winner set is computed as a "
-    "min(struct(doc_id, pos)) hash aggregation per span hash — partial "
-    "aggregation combines map-side and no per-key sort exists, so a "
-    "boilerplate span occurring in half the corpus (cookie banners) "
-    "costs one combiner row per task instead of one giant sorted "
-    "window partition. Per-doc kept counts then come from a second "
-    "small aggregation; n_lost = n_spans - n_kept. Per-doc outputs "
-    "(span counts, lost-occurrence counts, kept fraction in basis "
-    "points) are pure integers so the oracle hash is exact; the oracle "
-    "states the same winner rule as a row_number window, which is "
-    "value-identical.",
+    "exactly ONE winner occurrence, and per-doc attribution only needs "
+    "the winner's DOCUMENT — the (doc_id, pos) tiebreak is internal to "
+    "a doc and cannot change its counts — so the winner set is "
+    "min(doc_id) per span hash: a pure BIGINT min, genuinely "
+    "hash-aggregable (min over a struct or string silently falls back "
+    "to SortAggregate, a per-task sort of the whole occurrence "
+    "stream). Partial aggregation combines map-side, so a boilerplate "
+    "span occurring in half the corpus (cookie banners) costs one "
+    "combiner row per task instead of one giant sorted partition; the "
+    "plan check asserts NO SortAggregate exists. The expensive "
+    "explode+md5 subtree is evaluated ONCE (the winners branch); "
+    "per-doc span counts need no explode at all — n_spans = "
+    "size(tokens) - 3 is arithmetic on the scan. n_lost = n_spans - "
+    "n_kept. Per-doc outputs are pure integers so the oracle hash is "
+    "exact; the oracle states the same winner rule as a row_number "
+    "window over (doc_id, pos), which is value-identical.",
 )
 def q_span_dedup(spark, sf_dir):
-    tok = load_wide(spark, sf_dir, "documents").select(
-        "doc_id", F.split("text", " ").alias("t"))
-    occ = tok.where(F.size("t") >= 4).select(
+    tok = (load_wide(spark, sf_dir, "documents")
+           .select("doc_id", F.split("text", " ").alias("t"))
+           .where(F.size("t") >= 4))
+    n_spans = tok.select(
+        "doc_id", (F.size("t") - 3).cast("long").alias("n_spans"))
+    occ = tok.select(
         "doc_id",
         F.explode(F.expr(
-            "transform(sequence(1, size(t) - 3), i -> struct("
-            "cast(i as bigint) as pos, "
-            "md5(array_join(slice(t, i, 4), ' ')) as h))")).alias("u")
-    ).select("doc_id", F.col("u.pos").alias("pos"), F.col("u.h").alias("h"))
+            "transform(sequence(1, size(t) - 3), "
+            "i -> md5(array_join(slice(t, i, 4), ' ')))")).alias("h"))
     winners = (occ.groupBy("h")
-               .agg(F.min(F.struct("doc_id", "pos")).alias("w"))
-               .select(F.col("w.doc_id").alias("doc_id")))
+               .agg(F.min("doc_id").alias("doc_id")))
     n_kept = winners.groupBy("doc_id").agg(
         F.count("*").cast("long").alias("n_kept"))
-    n_spans = occ.groupBy("doc_id").agg(
-        F.count("*").cast("long").alias("n_spans"))
     agg = (n_spans.join(n_kept, "doc_id", "left")
            .select("doc_id", "n_spans",
                    (F.col("n_spans")
@@ -4790,8 +4805,8 @@ def q_domain_mix_weights(spark, sf_dir):
        sigs AS (SELECT doc_id, fp, {_minhash_sigs_sql(6)} FROM docs),
        b AS (
          SELECT doc_id, fp,
-                md5(sig0 || sig1 || sig2) AS b1,
-                md5(sig3 || sig4 || sig5) AS b2
+                {_BAND1_SQL} AS b1,
+                {_BAND2_SQL} AS b2
          FROM sigs),
        cat AS (SELECT * FROM b WHERE doc_id % 5 <> 4),
        newb AS (SELECT * FROM b WHERE doc_id % 5 = 4),
@@ -4837,8 +4852,7 @@ def q_incremental_dedup(spark, sf_dir):
     )
     b = base.select(
         "doc_id", "fp",
-        F.md5(F.concat("sig0", "sig1", "sig2")).alias("b1"),
-        F.md5(F.concat("sig3", "sig4", "sig5")).alias("b2"))
+        *(c.alias(n) for c, n in zip(_band_hash_cols(), ("b1", "b2"))))
     cat = b.where(F.col("doc_id") % 5 != 4)
     new = b.where(F.col("doc_id") % 5 == 4)
     catbands = (cat.select(F.col("b1").alias("h"))
@@ -4964,17 +4978,19 @@ def q_semantic_dedup(spark, sf_dir, n_medoids: int = 8):
            SELECT *, row_number() OVER (PARTITION BY fp
                                         ORDER BY doc_id) AS rn
            FROM q) WHERE rn = 1),
-       grams AS (
+       bench AS (
+         SELECT DISTINCT
+                unnest([md5(array_to_string(t[i:i+3], ' '))
+                        for i in range(1, greatest(len(t) - 2, 1))]) AS g
+         FROM tok WHERE len(t) >= 4 AND doc_id % 13 = 0),
+       train_grams AS (
          SELECT doc_id,
                 unnest([md5(array_to_string(t[i:i+3], ' '))
                         for i in range(1, greatest(len(t) - 2, 1))]) AS g
-         FROM tok WHERE len(t) >= 4),
-       bench AS (
-         SELECT DISTINCT g FROM grams WHERE doc_id % 13 = 0),
+         FROM d WHERE doc_id % 13 <> 0),
        contaminated AS (
          SELECT DISTINCT c.doc_id
-         FROM grams c JOIN bench b USING (g)
-         WHERE c.doc_id % 13 <> 0),
+         FROM train_grams c JOIN bench b USING (g)),
        clean AS (
          SELECT * FROM d
          WHERE doc_id % 13 <> 0
@@ -5042,15 +5058,17 @@ def q_pretrain_data_pipeline(spark, sf_dir):
          .where(F.col("rn") == 1).drop("rn"))
     # bench shingles come from the RAW corpus (tok, not d): a benchmark
     # doc dropped by the floor or out-competed in dedup must still
-    # contribute its shingles, or its verbatim copies leak into training
-    grams = tok.where(F.size("t") >= 4).select(
-        "doc_id",
-        F.explode(F.expr(
-            "transform(sequence(1, size(t) - 3), "
-            "i -> md5(array_join(slice(t, i, 4), ' ')))")).alias("g"))
-    bench = (grams.where(F.col("doc_id") % 13 == 0)
-             .select("g").distinct())
-    contaminated = (grams.where(F.col("doc_id") % 13 != 0)
+    # contribute its shingles, or its verbatim copies leak into
+    # training. The TRAINING side only needs shingles of docs that
+    # survived the floor + dedup (d) — anything else is discarded by
+    # the anti-join anyway, so exploding it is wasted shuffle volume
+    gram_expr = F.explode(F.expr(
+        "transform(sequence(1, size(t) - 3), "
+        "i -> md5(array_join(slice(t, i, 4), ' ')))")).alias("g")
+    bench = (tok.where((F.size("t") >= 4) & (F.col("doc_id") % 13 == 0))
+             .select(gram_expr).distinct())
+    contaminated = (d.where(F.col("doc_id") % 13 != 0)
+                    .select("doc_id", gram_expr)
                     .join(bench, "g").select("doc_id").distinct())
     clean = (d.where(F.col("doc_id") % 13 != 0)
              .join(contaminated, "doc_id", "left_anti"))

@@ -620,13 +620,14 @@ def main() -> None:
     assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, \
         "agg must reuse the window's single domain exchange"
 
-    # 32. span_dedup: the winner rule is a min-struct HASH AGGREGATION
-    # keyed by the span hash — partial aggregation combines map-side, so
-    # a boilerplate span in half the corpus costs one combiner row per
-    # task; NO sorted window exists anywhere in the plan
+    # 32. span_dedup: the winner rule is min() over a packed string —
+    # genuinely hash-aggregable (min over a STRUCT silently falls back
+    # to SortAggregate, a per-task sort of the whole occurrence
+    # stream), so partial aggregation combines map-side and neither a
+    # sorted window nor ANY sort-based aggregate exists in the plan
     p = plan_of(REGISTRY["span_dedup"].fn(spark, "/root/testdata/sf0.01"))
     sections.append((
-        "span_dedup: min-struct winner aggregation, no sorted window",
+        "span_dedup: packed-string winner min, hash-aggregated only",
         p,
         {
             "winner aggregation keyed by span hash":
@@ -640,6 +641,10 @@ def main() -> None:
     assert "EvalPython" not in p, "span_dedup must stay JVM-side"
     assert not re.search(r"\(\d+\) Window", p), \
         "winner rule must be an aggregation, never a per-key sorted window"
+    assert "SortAggregate" not in p, \
+        "winner min must stay hash-aggregable (packed string, not struct)"
+    assert len(re.findall(r"Generate explode", p)) <= 1, \
+        "the explode+md5 subtree must be evaluated once (winners branch)"
 
     # 33. bigram_surprisal: the vocab-sized unigram table broadcasts
     # (CCNet ships its KenLM binary the same way); the corpus-scale
