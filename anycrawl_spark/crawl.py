@@ -57,7 +57,6 @@ from .politeness import (
 from .seen import (
     DRIVER_MERGE_MAX_BYTES,
     exact_antijoin,
-    segments_from_driver,
     segments_to_driver,
 )
 from .udfs import make_extract_udf
@@ -401,10 +400,17 @@ class CrawlEngine:
         return (self.catalog.root / "_cancelled").exists()
 
     def _seed_frontier(self, cfg: CrawlConfig) -> DataFrame:
-        seed = self.spark.createDataFrame(
-            [(cfg.job_id, cfg.seed_url, 0, 0, 0, 1)],
-            schema="job_id string, url string, depth int, seq long, "
-                   "round_added int, attempt int",
+        # range(1) + literals instead of createDataFrame(local rows): a
+        # local-Python-rows source is a pickled RDD whose scan needs Python
+        # workers (measured ~1 s of worker spin-up per crawl job just to
+        # collect the one seed row); a range source stays JVM-only.
+        seed = self.spark.range(1).select(
+            F.lit(cfg.job_id).alias("job_id"),
+            F.lit(cfg.seed_url).alias("url"),
+            F.lit(0).cast("int").alias("depth"),
+            F.lit(0).cast("long").alias("seq"),
+            F.lit(0).cast("int").alias("round_added"),
+            F.lit(1).cast("int").alias("attempt"),
         )
         return _canonical_cols(seed, "url").select(*FRONTIER_COLS)
 
@@ -764,9 +770,12 @@ class CrawlEngine:
         if not cfg.politeness_budget and not cfg.batch_size:
             # unlimited budget: all pending admitted; a schema-only empty
             # frame (no lineage back into pending) keeps the deferred branch
-            # out of the next round's write plans entirely
-            admitted, deferred = pending, spark.createDataFrame(
-                [], pending.schema)
+            # out of the next round's write plans entirely. range(0) keeps
+            # the empty source JVM-only (createDataFrame([]) is a pickled
+            # RDD that pulls in Python workers when scanned).
+            admitted, deferred = pending, spark.range(0).select(
+                *[F.lit(None).cast(f.dataType).alias(f.name)
+                  for f in pending.schema.fields])
         else:
             # Salting is a large-frontier knob: below ~10k rows/round the
             # two-stage top-k's extra partial agg costs more than the skew
@@ -954,7 +963,10 @@ class CrawlEngine:
                         self._bloom_mem = segments_to_driver(seg_df)
                         self._bloom_mem_round = r - 1
                 if prefilter_on and self._bloom_mem is not None:
-                    segments = segments_from_driver(spark, self._bloom_mem)
+                    # driver-resident filter: hand the dict straight to the
+                    # probe (broadcast once per executor) — no per-row
+                    # bitmap column, no createDataFrame scan per round
+                    segments = self._bloom_mem
             else:
                 segments = self._latest_bloom(spark, up_to_round=r - 1)
             if prefilter_on:
@@ -1084,11 +1096,22 @@ class CrawlEngine:
             for b in sorted(counts):
                 offsets.append((b, acc))
                 acc += counts[b]
-            off_df = spark.createDataFrame(
-                [(b, o) for b, o in offsets if o < capacity],
-                "__bucket long, __off long")
+            # bucket→offset as a literal map expression, not a broadcast
+            # join of a createDataFrame frame: local Python rows make a
+            # pickled RDD whose broadcast build re-ran Python workers in
+            # every job that touched new_rows, each round. element_at on a
+            # literal map is pure codegen; a bucket pruned by the capacity
+            # check is absent from the map → null → filtered, exactly the
+            # inner join's semantics. Bucket count is bounded (4×cores), so
+            # the literal stays small at any scale.
+            off_pairs = [
+                x for b, o in offsets if o < capacity
+                for x in (F.lit(b).cast("long"), F.lit(o).cast("long"))]
+            off_map = (F.create_map(*off_pairs) if off_pairs
+                       else F.create_map().cast("map<bigint,bigint>"))
             new_rows = (
-                ranked.join(F.broadcast(off_df), "__bucket")
+                ranked.withColumn("__off", off_map[F.col("__bucket")])
+                .where(F.col("__off").isNotNull())
                 .withColumn("__rn", F.col("__off") + F.col("__lrn"))
                 .where(F.col("__rn") <= capacity)
                 .withColumn("depth", F.col("parent_depth") + 1)

@@ -34,12 +34,19 @@ def connected_components(vertices: DataFrame, edges: DataFrame,
     """
     import warnings
 
+    # The edge table is static across iterations: pre-partition it on the
+    # join key and cache (localCheckpoint would lose the partitioning —
+    # LogicalRDD reports no outputPartitioning), so every iteration's
+    # neighbor join reuses the exchange instead of re-shuffling the edges
+    # (guide §2.4: two operations keyed the same way share one exchange).
     sym = (
         edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
         .unionByName(
             edges.select(F.col(dst_col).alias("u"), F.col(src_col).alias("v")))
         .distinct()
-        .localCheckpoint()
+        .repartition(int(edges.sparkSession.conf.get(
+            "spark.sql.shuffle.partitions", "200")), "v")
+        .cache()
     )
     labels = vertices.select(
         F.col(id_col).alias("id"), F.col(id_col).alias("label"))
@@ -50,23 +57,24 @@ def connected_components(vertices: DataFrame, edges: DataFrame,
             sym.join(labels, sym["v"] == labels["id"])
             .groupBy("u").agg(F.min("label").alias("nmin"))
         )
+        # __chg rides in the checkpointed frame so convergence detection is
+        # a shuffle-free scan of the materialized blocks, not a second join
+        # of old vs new labels per iteration.
         new_labels = (
             labels.join(neighbor_min, labels["id"] == neighbor_min["u"], "left")
             .select(
                 "id",
                 F.least(F.col("label"), F.coalesce("nmin", "label"))
-                .alias("label"))
+                .alias("label"),
+                (F.col("nmin").isNotNull()
+                 & (F.col("nmin") < F.col("label"))).alias("__chg"))
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.label") != F.col("o.label"))
-            .limit(1).count()
-        )
-        labels = new_labels
+        changed = new_labels.where(F.col("__chg")).limit(1).count()
+        labels = new_labels.drop("__chg")
         if changed == 0:
             break
+    sym.unpersist()
     if changed != 0:
         warnings.warn(
             f"connected_components did not converge within max_iter={max_iter}"
@@ -106,6 +114,7 @@ def connected_components_two_star(vertices: DataFrame, edges: DataFrame,
         .distinct()
         .localCheckpoint()
     )
+    n_e = e.count()
 
     def _min_neighbor(df):  # m(u) = min(N(u) ∪ {u})
         return (df.groupBy("u")
@@ -137,10 +146,16 @@ def connected_components_two_star(vertices: DataFrame, edges: DataFrame,
             .distinct()
             .localCheckpoint()
         )
-        # converged when the (set-valued) canonical edge list is unchanged
-        delta = (small.exceptAll(e).limit(1).count()
-                 + e.exceptAll(small).limit(1).count())
-        e = small
+        # converged when the (set-valued) canonical edge list is unchanged.
+        # Both sides are distinct sets, so equality ⇔ equal cardinality +
+        # one-sided containment: a count of the just-checkpointed frame
+        # (shuffle-free) plus a single left_anti probe only when the counts
+        # match — replacing the two exceptAll jobs (4 shuffles) per round.
+        n_small = small.count()
+        delta = 1
+        if n_small == n_e:
+            delta = small.join(e, ["u", "v"], "left_anti").limit(1).count()
+        e, n_e = small, n_small
         if delta == 0:
             break
 

@@ -4931,24 +4931,63 @@ def q_incremental_dedup(spark, sf_dir):
     "scale, exactly like the demoted embed_cosine_pairs block join.",
 )
 def q_semantic_dedup(spark, sf_dir, n_medoids: int = 8):
-    e = load_wide(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+    # r7 optimization (guide §2.3/§2.4): the L2 norm is a per-VECTOR
+    # quantity — precompute it once per row (`nv`) instead of re-folding it
+    # inside every pair's cosine (bit-identical: the same left-to-right
+    # double fold, evaluated once and carried as a column; IEEE ops are
+    # deterministic, so dot/(na*nb) is unchanged to the last ulp). The
+    # assignment subtree (crossJoin + window) used to be re-derived by
+    # every downstream reference (ec twice via the self-join, sz, and the
+    # final join) — localCheckpoint materializes it once, and its accurate
+    # size stats let AQE broadcast the small sides unhinted.
+    norm = F.sqrt(F.aggregate(
+        F.transform(F.col("v"), lambda x: x * x),
+        F.lit(0.0), lambda acc, x: acc + x))
+    e = (load_wide(spark, sf_dir, "embeddings")
+         .select("vec_id",
+                 F.transform("embedding",
+                             lambda x: x.cast("double")).alias("v"))
+         .withColumn("nv", norm)
+         .localCheckpoint())
     med = (e.where(F.col("vec_id") < n_medoids)
-           .select(F.col("vec_id").alias("m"), F.col("v").alias("mv")))
+           .select(F.col("vec_id").alias("m"), F.col("v").alias("mv"),
+                   F.col("nv").alias("nm")))
+    dot_m = F.aggregate(F.zip_with(F.col("v"), F.col("mv"),
+                                   lambda x, y: x * y),
+                        F.lit(0.0), lambda acc, x: acc + x)
     sc = e.crossJoin(F.broadcast(med)).select(
         "vec_id", "m",
-        F.round(_cos_spark(F.col("v"), F.col("mv")), 6).alias("c"))
+        F.round(dot_m / (F.col("nv") * F.col("nm")), 6).alias("c"))
     w = Window.partitionBy("vec_id").orderBy(
         F.col("c").desc(), F.col("m").asc())
     asg = (sc.withColumn("rn", F.row_number().over(w))
            .where(F.col("rn") == 1)
-           .select("vec_id", F.col("m").alias("cluster")))
+           .select("vec_id", F.col("m").alias("cluster"))
+           .localCheckpoint())
+    # The assignment join's output lands AQE-coalesced to one partition
+    # (byte-based coalescing; the frame is ~1 MB) — but the pair stage
+    # below is compute-dense per byte, so pin its parallelism with an
+    # explicit repartition (REPARTITION_BY_NUM is exempt from coalescing).
     ec = (asg.join(e, "vec_id")
-          .select(F.col("vec_id").alias("vid"), "cluster", "v"))
+          .select(F.col("vec_id").alias("vid"), "cluster", "v", "nv")
+          .repartition(spark.sparkContext.defaultParallelism)
+          .localCheckpoint())
     a, b = ec.alias("a"), ec.alias("b")
-    cos = _cos_spark(F.col("a.v"), F.col("b.v"))
-    pairs = (a.join(b, (F.col("a.cluster") == F.col("b.cluster"))
+    dot = F.aggregate(F.zip_with(F.col("a.v"), F.col("b.v"),
+                                 lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    cos = dot / (F.col("a.nv") * F.col("b.nv"))
+    # Deliberate broadcast (guide §3.1), bound to the ORACLE configuration:
+    # with fixed K medoids the assigned-vector table is the oracle corpus
+    # (sf-small by design — this query is the quadratic-per-cluster exact
+    # twin; the production path scales K with the corpus and goes through
+    # ann.py's learned centroids). Broadcasting the probe side keeps the
+    # per-pair cosine fold map-side on the checkpointed partitioning —
+    # the unhinted plan shuffles on `cluster` (8 keys) and AQE's byte-based
+    # coalescing then collapses the compute-dense pair stage onto a single
+    # task (measured 3.2 s single-task vs ~0.3 s spread).
+    pairs = (a.join(F.broadcast(b),
+                    (F.col("a.cluster") == F.col("b.cluster"))
                     & (F.col("a.vid") < F.col("b.vid")))
              .where(F.round(cos, 6) >= 0.4)
              .select(F.col("b.vid").alias("dup_id")))

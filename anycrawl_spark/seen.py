@@ -222,7 +222,8 @@ def exact_antijoin(candidates: DataFrame, seen_exact: DataFrame,
     )
 
 
-def prefilter_antijoin(candidates: DataFrame, segments: DataFrame | None,
+def prefilter_antijoin(candidates: DataFrame,
+                       segments: "DataFrame | dict[int, bytes] | None",
                        seen_exact: DataFrame | None, url_hash_col: str,
                        num_buckets: int, test_batch) -> DataFrame:
     """Shared pre-filter + exact-anti-join pipeline for both filter
@@ -236,17 +237,20 @@ def prefilter_antijoin(candidates: DataFrame, segments: DataFrame | None,
     exact anti-join; with no exact history it is a no-op (a probabilistic
     filter can never CONFIRM membership — dropping on a filter hit would
     lose rows to false positives).
+
+    ``segments`` is either the distributed ``(bucket, bitmap)`` DataFrame
+    or — for driver-resident filters (≤ DRIVER_MERGE_MAX_BYTES) — the
+    driver dict itself. The dict path ships the whole filter ONCE per
+    executor as a Spark broadcast and probes by bucket lookup inside the
+    Arrow batch; the old join path attached the full bucket bitmap (16 KiB
+    at default geometry, far more at deployment geometry) to EVERY
+    candidate row and pushed those bytes through the Python boundary
+    (guide §4.1: pass only the columns the function needs).
     """
     if seen_exact is None:
         return candidates
     if segments is None:
         return exact_antijoin(candidates, seen_exact, url_hash_col)
-
-    cand = candidates.withColumn("__bucket", bucket_col(url_hash_col, num_buckets))
-    joined = cand.join(
-        F.broadcast(segments.withColumnRenamed("bucket", "__bucket")),
-        "__bucket", "left",
-    )
 
     out_fields = list(candidates.columns)
     # fresh StructType — StructType.add MUTATES and DataFrame.schema is a
@@ -257,13 +261,37 @@ def prefilter_antijoin(candidates: DataFrame, segments: DataFrame | None,
     schema = StructType([*candidates.schema.fields,
                          StructField("__maybe_seen", BooleanType())])
 
-    def test(iterator):
-        for pdf in iterator:
-            out = pdf[out_fields].copy()
-            out["__maybe_seen"] = test_batch(pdf[url_hash_col], pdf["bitmap"])
-            yield out
+    if isinstance(segments, dict):
+        bc = candidates.sparkSession.sparkContext.broadcast(segments)
 
-    tested = joined.mapInPandas(test, schema=schema)
+        def test(iterator):
+            seg = bc.value
+            for pdf in iterator:
+                hashes = pdf[url_hash_col]
+                blobs = pd.Series(
+                    [seg.get(int(h[:8], 16) % num_buckets) for h in hashes],
+                    index=hashes.index, dtype=object)
+                out = pdf[out_fields].copy()
+                out["__maybe_seen"] = test_batch(hashes, blobs)
+                yield out
+
+        tested = candidates.mapInPandas(test, schema=schema)
+    else:
+        cand = candidates.withColumn(
+            "__bucket", bucket_col(url_hash_col, num_buckets))
+        joined = cand.join(
+            F.broadcast(segments.withColumnRenamed("bucket", "__bucket")),
+            "__bucket", "left",
+        )
+
+        def test(iterator):
+            for pdf in iterator:
+                out = pdf[out_fields].copy()
+                out["__maybe_seen"] = test_batch(pdf[url_hash_col],
+                                                 pdf["bitmap"])
+                yield out
+
+        tested = joined.mapInPandas(test, schema=schema)
     # ONE anti-join whose residual condition exempts probe-negative rows:
     # a definitely-new row satisfies the condition against no seen row and
     # passes through; a maybe-seen row survives only if absent from the
