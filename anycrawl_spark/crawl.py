@@ -194,31 +194,55 @@ def _strip_fragment(col):
     return F.split(col, "#", 2)[0]
 
 
+# Canonical-column expression cache: the Column trees below are identical
+# for every caller with the same url column name, but building them costs
+# ~0.19 s of py4j round-trips — which the crawl loop used to pay EVERY
+# round for the links subtree (profiled: _canonical_cols 1.67 s of a 25 s
+# 10k crawl). Column objects are immutable and reusable across DataFrames;
+# the cache is keyed by the owning SparkContext's applicationId so a
+# restarted session (tests, CLI reruns) rebuilds instead of touching stale
+# JVM references.
+_CANON_EXPR_CACHE: dict[tuple[str, str], list] = {}
+
+
 def _canonical_cols(df: DataFrame, url_col: str) -> DataFrame:
     """Attach (url_hash, host, origin, path) derived from the fragment-stripped
     canonical URL — the crawlee uniqueKey scope. All JVM expressions."""
     from .kernel.canonical import canonical_url_col
 
-    canon = _strip_fragment(canonical_url_col(url_col))
-    return (
-        df.withColumn("__canon", canon)
-        .withColumn("url_hash", F.sha2(F.col("__canon"), 256))
-        .withColumn("host", F.lower(F.parse_url(F.col("__canon"), F.lit("HOST"))))
-        .withColumn("origin", F.concat(
-            F.lower(F.regexp_extract(F.col("__canon"), r"^([A-Za-z][A-Za-z0-9+.-]*):", 1)),
-            F.lit("://"),
-            # netloc minus userinfo from the canonical URL: keeps the
-            # non-default port (canonicalization already stripped default
-            # ports and lowercased the host), matching origin_of() — a
-            # parse_url HOST here would drop ports and break same-origin
-            # crawls of ported seeds
-            F.regexp_replace(
-                F.regexp_extract(F.col("__canon"), r"^[^:]+://([^/?#]*)", 1),
-                r"^.*@", ""),
-        ))
-        .withColumn("path", F.coalesce(F.parse_url(F.col("__canon"), F.lit("PATH")), F.lit("/")))
-        .drop("__canon")
-    )
+    app_id = df.sparkSession.sparkContext.applicationId
+    key = (app_id, url_col)
+    cached = _CANON_EXPR_CACHE.get(key)
+    if cached is None:
+        canon = _strip_fragment(canonical_url_col(url_col)).alias("__canon")
+        c = F.col("__canon")
+        derived = [
+            F.sha2(c, 256).alias("url_hash"),
+            F.lower(F.parse_url(c, F.lit("HOST"))).alias("host"),
+            F.concat(
+                F.lower(F.regexp_extract(c, r"^([A-Za-z][A-Za-z0-9+.-]*):", 1)),
+                F.lit("://"),
+                # netloc minus userinfo from the canonical URL: keeps the
+                # non-default port (canonicalization already stripped default
+                # ports and lowercased the host), matching origin_of() — a
+                # parse_url HOST here would drop ports and break same-origin
+                # crawls of ported seeds
+                F.regexp_replace(
+                    F.regexp_extract(c, r"^[^:]+://([^/?#]*)", 1),
+                    r"^.*@", ""),
+            ).alias("origin"),
+            F.coalesce(F.parse_url(c, F.lit("PATH")), F.lit("/")).alias("path"),
+        ]
+        cached = [canon, derived]
+        if len(_CANON_EXPR_CACHE) > 8:   # sessions come and go in tests
+            _CANON_EXPR_CACHE.clear()
+        _CANON_EXPR_CACHE[key] = cached
+    canon, derived = cached
+    # withColumn-replacement semantics for any colliding names (none of the
+    # engine's callers collide; keeps the contract for external callers)
+    base = [F.col(c) for c in df.columns
+            if c not in ("url_hash", "host", "origin", "path")]
+    return df.select("*", canon).select(*base, *derived)
 
 
 def prepare_corpus(pages: DataFrame, dedup: bool = True) -> DataFrame:
@@ -601,6 +625,122 @@ class CrawlEngine:
         return meta
 
     # -- the round loop -----------------------------------------------------
+    def _static_exprs(self, cfg: CrawlConfig, extract_udf) -> dict:
+        """Round-invariant Column expression trees, built ONCE per run.
+
+        Profiling a 10k-limit crawl showed ~9.4 s of a 25 s run spent in
+        driver-side py4j round-trips, most of it re-building identical
+        Column objects every round (the docs select list, the failure
+        classifier tree, the link filters). Column objects are immutable
+        and reusable across DataFrames, so the loop now builds them here
+        and re-uses them; only genuinely per-round literals (round number,
+        width-bucket bounds, enqueue offsets) are constructed inside
+        _run_round."""
+        ex: dict = {}
+        ex["keys_sel"] = F.col("url_hash").alias("page_url_hash")
+        ex["status"] = (F.when(F.col("html").isNotNull(), 200)
+                        .otherwise(404).alias("status"))
+        if cfg.simulate_fetch_errors:
+            sim = F.pmod(
+                F.conv(F.substring("url_hash", 1, 4), 16, 10).cast("long"),
+                F.lit(5))
+            miss_msg = (
+                F.when(sim == 0, "cloudflare challenge detected CF_CHALLENGE")
+                .when(sim == 1, "Received blocked status code: 403")
+                .when(sim == 2, "ERR_PROXY_CONNECTION_FAILED while fetching")
+                .when(sim == 3, "Navigation timeout of 30000 ms exceeded")
+                .otherwise("Received 404 status code")
+            )
+        else:
+            miss_msg = F.lit("Received 404 status code")
+        ex["error_msg"] = (
+            F.when(F.col("status") == 200, F.lit(None).cast("string"))
+            .otherwise(miss_msg).alias("error_message"))
+        ex["doc"] = F.when(
+            F.col("status") == 200,
+            extract_udf(F.col("url"), F.col("html"))).alias("doc")
+        ex["docs_fields"] = [
+            F.col(c) for c in ("job_id", "url", "url_hash", "host", "depth",
+                               "seq", "attempt", "status")
+        ] + [
+            # F11 error classification (EngineConfigurator.ts:599-613):
+            # five-class mapToFailureReason over the fetch error message
+            F.when(F.col("status") == 200, F.lit(None).cast("string"))
+            .otherwise(failure_reason_col(F.col("error_message")))
+            .alias("failure_reason"),
+            F.col("error_message"),
+            F.col("doc.title").alias("title"),
+            F.col("doc.metadata").alias("metadata"),
+            F.col("doc.html").alias("html_clean"),
+            F.col("doc.markdown").alias("markdown"),
+            F.col("doc.text").alias("text"),
+            F.col("doc.links").alias("links"),
+            F.length("html").alias("bytes"),
+        ]
+        # Base.ts:1294-1295: every result document carries the resolved
+        # proxy mode name ('base' when no proxy option is set)
+        ex["proxy"] = F.lit(self._resolved_proxy_mode(cfg)).alias("proxy")
+        ex["should_scrape"] = (
+            path_filter_cond(F.col("url"), cfg.scrape_paths, [])
+            if cfg.scrape_paths else F.lit(True)).alias("should_scrape")
+        final_attempt = ((F.col("status") == 200)
+                         | (F.col("attempt") >= cfg.max_attempts))
+        if cfg.simulate_fetch_errors:
+            # per-class retry decision (errorHandler): non-retryable classes
+            # fail on their first attempt regardless of max_attempts
+            final_attempt = final_attempt | ~should_retry_col(
+                F.col("error_message"))
+        ex["final_attempt"] = final_attempt
+        ex["outcome_key"] = final_attempt.alias("final")
+        ex["outcome_aggs"] = [F.count("*").alias("count"),
+                              F.min("seq").alias("min_seq"),
+                              F.max("seq").alias("max_seq")]
+        ex["metrics_key"] = F.spark_partition_id().alias("partition_id")
+        ex["metrics_aggs"] = [
+            F.count("*").alias("urls"),
+            F.sum(F.when(F.col("status") == 200, 1).otherwise(0))
+            .alias("fetched"),
+            F.sum(F.coalesce(F.col("bytes"), F.lit(0))).alias("bytes")]
+        ex["job_id"] = F.lit(cfg.job_id).alias("job_id")
+        ex["visits_sel"] = [F.col(c) for c in
+                            ("job_id", "url", "url_hash", "host", "depth",
+                             "seq", "attempt", "status", "round")]
+        ex["links_pre"] = [
+            F.col("job_id"),
+            F.col("depth").alias("parent_depth"),
+            F.col("seq").alias("parent_seq"),
+            F.posexplode_outer("links").alias("link_pos", "url"),
+        ]
+        ex["status_200"] = F.col("status") == 200
+        ex["links_precond"] = (
+            F.col("url").isNotNull()
+            & (F.col("parent_depth") < cfg.max_depth)              # F6
+            & F.col("url").startswith("http"))
+        ex["links_cond"] = (
+            strategy_cond(F.col("host"), F.col("origin"), cfg.seed_url,
+                          cfg.strategy)
+            & path_filter_cond(F.col("url"), cfg.include_paths,
+                               cfg.exclude_paths))
+        link_cols = ["job_id", "parent_depth", "parent_seq", "link_pos",
+                     "url", "host", "origin", "path"]
+        ex["dedup_agg"] = F.min_by(
+            F.struct(*[F.col(c) for c in link_cols]),
+            F.struct(F.col("parent_seq"), F.col("link_pos"))).alias("__first")
+        ex["dedup_sel"] = [F.col("url_hash")] + [
+            F.col(f"__first.{c}").alias(c) for c in link_cols]
+        w_local = Window.partitionBy("__bucket").orderBy(
+            "parent_seq", "link_pos")
+        ex["lrn"] = F.row_number().over(w_local).alias("__lrn")
+        ex["ranked_sel"] = [F.col(c) for c in
+                            ("job_id", "url", "url_hash", "host", "origin",
+                             "path", "parent_depth", "__bucket", "__lrn")]
+        ex["frontier_head"] = [F.col(c) for c in
+                               ("job_id", "url", "url_hash", "host",
+                                "origin", "path")]
+        ex["new_depth"] = (F.col("parent_depth") + 1).alias("depth")
+        ex["new_attempt"] = F.lit(1).alias("attempt")
+        return ex
+
     @staticmethod
     def _resolved_proxy_mode(cfg: CrawlConfig) -> str:
         """libs/proxy.ts:54-71 via Base.ts:1294-1295: the mode name the
@@ -712,6 +852,7 @@ class CrawlEngine:
 
         extract_udf = make_extract_udf(
             formats=cfg.formats, only_main_content=cfg.only_main_content)
+        ex = self._static_exprs(cfg, extract_udf)
 
         while round_no <= cfg.max_rounds and not progress.get("finalized"):
             if self.is_cancelled():
@@ -725,8 +866,7 @@ class CrawlEngine:
                             "phase": "cancelled"}
                 self.catalog.commit_round(round_no, [], progress)
                 break
-            progress = self._run_round(cfg, round_no, progress, extract_udf,
-                                       fam)
+            progress = self._run_round(cfg, round_no, progress, ex, fam)
             round_no += 1
 
         fetched_total = progress["done"] - progress["failed"]
@@ -741,7 +881,7 @@ class CrawlEngine:
         }
 
     def _run_round(self, cfg: CrawlConfig, r: int, progress: dict,
-                   extract_udf, fam) -> dict:
+                   ex: dict, fam) -> dict:
         spark = self.spark
         writes = self._writes
         _t0 = time.time()
@@ -773,9 +913,12 @@ class CrawlEngine:
             # out of the next round's write plans entirely. range(0) keeps
             # the empty source JVM-only (createDataFrame([]) is a pickled
             # RDD that pulls in Python workers when scanned).
+            if "empty_pending" not in ex:
+                ex["empty_pending"] = [
+                    F.lit(None).cast(f.dataType).alias(f.name)
+                    for f in pending.schema.fields]
             admitted, deferred = pending, spark.range(0).select(
-                *[F.lit(None).cast(f.dataType).alias(f.name)
-                  for f in pending.schema.fields])
+                *ex["empty_pending"])
         else:
             # Salting is a large-frontier knob: below ~10k rows/round the
             # two-stage top-k's extra partial agg costs more than the skew
@@ -825,77 +968,51 @@ class CrawlEngine:
         corpus_side = self.corpus
         if (cfg.fetch_semi_max > 0 and known_pending is not None
                 and 0 < known_pending <= cfg.fetch_semi_max):
-            keys = admitted.select(
-                F.col("url_hash").alias("page_url_hash"))
+            keys = admitted.select(ex["keys_sel"])
             corpus_side = self.corpus.join(F.broadcast(keys),
                                            "page_url_hash", "left_semi")
+        # F11: a corpus miss carries an error message like a fetch error
+        # would (ex["error_msg"]; simulate_fetch_errors draws all five
+        # failure classes deterministically from the url hash).
         fetched = (
             admitted.join(corpus_side,
                           admitted["url_hash"] == corpus_side["page_url_hash"],
                           "left")
             .drop("page_url_hash")
-            .withColumn("status", F.when(F.col("html").isNotNull(), 200).otherwise(404))
+            .select("*", ex["status"])
+            .select("*", ex["error_msg"])
         )
-        # F11: a corpus miss carries an error message like a fetch error
-        # would. Plain replay mode: a crawlee-style 404 status text. With
-        # simulate_fetch_errors, the message is drawn deterministically from
-        # the url hash so every failure class (and its retry path) occurs.
-        if cfg.simulate_fetch_errors:
-            sim = F.pmod(F.conv(F.substring("url_hash", 1, 4), 16, 10).cast("long"),
-                         F.lit(5))
-            miss_msg = (
-                F.when(sim == 0, "cloudflare challenge detected CF_CHALLENGE")
-                .when(sim == 1, "Received blocked status code: 403")
-                .when(sim == 2, "ERR_PROXY_CONNECTION_FAILED while fetching")
-                .when(sim == 3, "Navigation timeout of 30000 ms exceeded")
-                .otherwise("Received 404 status code")
-            )
-        else:
-            miss_msg = F.lit("Received 404 status code")
-        error_msg = F.when(F.col("status") == 200,
-                           F.lit(None).cast("string")).otherwise(miss_msg)
-        fetched = fetched.withColumn("error_message", error_msg)
 
         # --- extraction (vectorized UDF) -----------------------------------
         docs = (
-            fetched.withColumn(
-                "doc",
-                F.when(F.col("status") == 200, extract_udf(F.col("url"), F.col("html"))),
-            )
-            .select(
-                "job_id", "url", "url_hash", "host", "depth", "seq", "attempt",
-                "status",
-                # F11 error classification (EngineConfigurator.ts:599-613):
-                # five-class mapToFailureReason over the fetch error message
-                F.when(F.col("status") == 200, F.lit(None).cast("string"))
-                .otherwise(failure_reason_col(F.col("error_message")))
-                .alias("failure_reason"),
-                "error_message",
-                F.col("doc.title").alias("title"),
-                F.col("doc.metadata").alias("metadata"),
-                F.col("doc.html").alias("html_clean"),
-                F.col("doc.markdown").alias("markdown"),
-                F.col("doc.text").alias("text"),
-                F.col("doc.links").alias("links"),
-                F.length("html").alias("bytes"),
-            )
-            .withColumn("round", F.lit(r))
-            # Base.ts:1294-1295: every result document carries the resolved
-            # proxy mode name ('base' when no proxy option is set)
-            .withColumn("proxy", F.lit(self._resolved_proxy_mode(cfg)))
-            .withColumn(
-                "should_scrape",
-                path_filter_cond(F.col("url"), cfg.scrape_paths, []) if cfg.scrape_paths
-                else F.lit(True),
-            )
+            fetched.select("*", ex["doc"])
+            .select(*ex["docs_fields"], F.lit(r).alias("round"),
+                    ex["proxy"], ex["should_scrape"])
             .cache()
         )
+        # Scale-adaptive consumer view (guide §2.2/§6): the cached docs
+        # frame keeps the fetch-join's full shuffle width so the extraction
+        # UDF materializes at full parallelism (the cache also pins that
+        # width — canChangeCachedPlanOutputPartitioning is off, so AQE
+        # cannot byte-coalesce the compute-dense extract stage). But every
+        # CONSUMER job (results/visits writes, outcome counts) then paid 64
+        # task launches and wrote 64 splinter files per round regardless of
+        # round size — for a 100-row round that is pure scheduling overhead
+        # (measured ~0.55 s per job). Consumers therefore read a coalesced
+        # view sized from the driver-known round size (~1k rows/task);
+        # coalesce over the cached scan is a narrow op reading the same
+        # blocks, so the extraction work is not re-partitioned. The metrics
+        # aggregation stays on the full-width frame — its rows record
+        # spark_partition_id() lineage, which the view would renumber.
+        if known_pending is not None:
+            n_view = max(1, min(spark.sparkContext.defaultParallelism,
+                                (known_pending + 999) // 1000))
+            docs_view = docs.coalesce(n_view)
+        else:
+            n_view = None
+            docs_view = docs
 
-        final_attempt = (F.col("status") == 200) | (F.col("attempt") >= cfg.max_attempts)
-        if cfg.simulate_fetch_errors:
-            # per-class retry decision (errorHandler): non-retryable classes
-            # fail on their first attempt regardless of max_attempts
-            final_attempt = final_attempt | ~should_retry_col(F.col("error_message"))
+        final_attempt = ex["final_attempt"]
 
         # --- discovery subtree construction (links → filters → seen) -------
         # Built BEFORE the outcome job so its one materialization (the
@@ -914,28 +1031,27 @@ class CrawlEngine:
         disc_fut = None
         if enqueued < cfg.limit:
             links = (
-                docs.where(F.col("status") == 200)
-                .select("job_id",
-                        F.col("depth").alias("parent_depth"),
-                        F.col("seq").alias("parent_seq"),
-                        F.posexplode_outer("links").alias("link_pos", "url"))
-                .where(F.col("url").isNotNull())
-                .where(F.col("parent_depth") < cfg.max_depth)     # F6
-                .where(F.col("url").startswith("http"))
+                docs.where(ex["status_200"])
+                .select(*ex["links_pre"])
+                .where(ex["links_precond"])
             )
             links = _canonical_cols(links, "url")
-            links = links.where(
-                strategy_cond(F.col("host"), F.col("origin"), cfg.seed_url, cfg.strategy))
-            links = links.where(
-                path_filter_cond(F.col("url"), cfg.include_paths, cfg.exclude_paths))
+            links = links.where(ex["links_cond"])
             if self.robots is not None and cfg.respect_robots:
                 links = robots_allowed(links, self.robots)
 
-            # in-batch dedup: first discovery wins (FIFO order)
-            w_first = Window.partitionBy("url_hash").orderBy("parent_seq", "link_pos")
+            # in-batch dedup: first discovery wins (FIFO order). min_by over
+            # the (parent_seq, link_pos) struct ⇔ row_number()==1 over that
+            # order — (parent_seq, link_pos) is unique per discovered link,
+            # so no tie ambiguity — but as a hash aggregation it partially
+            # aggregates map-side, shuffling one row per distinct url per
+            # map partition instead of every duplicate discovery, and needs
+            # no sort (guide §2.3: aggregate before you shuffle; BFS fanout
+            # makes duplicate links the common case)
             links = (
-                links.withColumn("__rn", F.row_number().over(w_first))
-                .where(F.col("__rn") == 1).drop("__rn")
+                links.groupBy("url_hash")
+                .agg(ex["dedup_agg"])
+                .select(*ex["dedup_sel"])
             )
 
             # seen filter: Bloom pre-filter + exact anti-join. Each bloom
@@ -992,18 +1108,23 @@ class CrawlEngine:
                 # truncates lineage to a LogicalRDD — no plan matching, no
                 # recompute path. Blocks are freed by the ContextCleaner
                 # once the graveyard drops the reference.
-                w_local = Window.partitionBy("__bucket").orderBy(
-                    "parent_seq", "link_pos")
-                return (
-                    links.withColumn(
-                        "__bucket",
+                ranked_df = (
+                    links.select(
+                        "*",
                         F.width_bucket(F.col("parent_seq"), F.lit(lo),
-                                       F.lit(hi + 1), F.lit(n_buckets)))
-                    .withColumn("__lrn", F.row_number().over(w_local))
-                    .select("job_id", "url", "url_hash", "host", "origin",
-                            "path", "parent_depth", "__bucket", "__lrn")
-                    .localCheckpoint()
+                                       F.lit(hi + 1), F.lit(n_buckets))
+                        .alias("__bucket"))
+                    .select("*", ex["lrn"])
+                    .select(*ex["ranked_sel"])
                 )
+                if n_view is not None:
+                    # checkpoint the frontier delta at round-size-matched
+                    # width: its consumers (counts collect, enqueue select,
+                    # pending write) are all thin per-row work, and 64
+                    # splinter blocks/files per small round cost more in
+                    # task launches than the data
+                    ranked_df = ranked_df.coalesce(n_view)
+                return ranked_df.localCheckpoint()
 
             bounds = progress.get("pending_seq_range")
             if bounds is not None:
@@ -1023,10 +1144,8 @@ class CrawlEngine:
         # single-compute). The no-bounds fallback resolves it early.
         def _outcome_job():
             return (
-                docs.groupBy("status", final_attempt.alias("final"))
-                .agg(F.count("*").alias("count"),
-                     F.min("seq").alias("min_seq"),
-                     F.max("seq").alias("max_seq"))
+                docs_view.groupBy("status", ex["outcome_key"])
+                .agg(*ex["outcome_aggs"])
                 .collect()
             )
 
@@ -1044,23 +1163,19 @@ class CrawlEngine:
         pending_writes = [
             writes.submit(
                 self.catalog.append_round,
-                docs.where(F.col("should_scrape")).drop("links", "should_scrape"),
+                docs_view.where(F.col("should_scrape")).drop("links", "should_scrape"),
                 "results", r),
             writes.submit(
                 self.catalog.append_round,
-                docs.select("job_id", "url", "url_hash", "host", "depth", "seq",
-                            "attempt", "status", "round"),
+                docs_view.select(*ex["visits_sel"]),
                 "visits", r),
         ]
 
         # per-partition lineage/metrics (north rule)
         metrics = (
-            docs.groupBy(F.spark_partition_id().alias("partition_id"), "host")
-            .agg(F.count("*").alias("urls"),
-                 F.sum(F.when(F.col("status") == 200, 1).otherwise(0)).alias("fetched"),
-                 F.sum(F.coalesce(F.col("bytes"), F.lit(0))).alias("bytes"))
-            .withColumn("round", F.lit(r))
-            .withColumn("job_id", F.lit(cfg.job_id))
+            docs.groupBy(ex["metrics_key"], "host")
+            .agg(*ex["metrics_aggs"])
+            .select("*", F.lit(r).alias("round"), ex["job_id"])
         )
         pending_writes.append(
             writes.submit(self.catalog.append_round, metrics, "metrics", r))
@@ -1104,21 +1219,22 @@ class CrawlEngine:
             # check is absent from the map → null → filtered, exactly the
             # inner join's semantics. Bucket count is bounded (4×cores), so
             # the literal stays small at any scale.
-            off_pairs = [
-                x for b, o in offsets if o < capacity
-                for x in (F.lit(b).cast("long"), F.lit(o).cast("long"))]
-            off_map = (F.create_map(*off_pairs) if off_pairs
-                       else F.create_map().cast("map<bigint,bigint>"))
+            # one F.expr over a rendered literal string: building the same
+            # map from per-literal F.lit().cast() Column objects cost ~250
+            # py4j round-trips per round on the driver (profiled ~0.24 s)
+            off_items = ",".join(f"{b}L,{o}L" for b, o in offsets
+                                 if o < capacity)
+            off_map = F.expr(f"map({off_items})" if off_items
+                             else "cast(map() as map<bigint,bigint>)")
+            rn = F.col("__off") + F.col("__lrn")
             new_rows = (
-                ranked.withColumn("__off", off_map[F.col("__bucket")])
-                .where(F.col("__off").isNotNull())
-                .withColumn("__rn", F.col("__off") + F.col("__lrn"))
-                .where(F.col("__rn") <= capacity)
-                .withColumn("depth", F.col("parent_depth") + 1)
-                .withColumn("seq", F.lit(enqueued) - 1 + F.col("__rn"))
-                .withColumn("round_added", F.lit(r))
-                .withColumn("attempt", F.lit(1))
-                .select(*FRONTIER_COLS)
+                ranked.select("*", off_map[F.col("__bucket")].alias("__off"))
+                .where(F.col("__off").isNotNull() & (rn <= capacity))
+                .select(*ex["frontier_head"],
+                        ex["new_depth"],
+                        (F.lit(enqueued) - 1 + rn).alias("seq"),
+                        F.lit(r).alias("round_added"),
+                        ex["new_attempt"])
             )
             n_new = min(total, capacity)
         _t_discover = time.time()
