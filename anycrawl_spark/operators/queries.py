@@ -1729,7 +1729,7 @@ def q_multimodal_meta(spark, sf_dir):
 def q_media_decode_meta(spark, sf_dir):
     from anycrawl_spark.operators.multimodal import decode_media, synthesize_media
 
-    documents = load(spark, sf_dir, "documents")
+    documents = load_wide(spark, sf_dir, "documents")
     media = synthesize_media(documents)
     return decode_media(media).select(
         F.col("media_id").alias("doc_id"), "modality", "format",
@@ -1812,7 +1812,7 @@ def q_media_decode_meta(spark, sf_dir):
 def q_auto_engine_decision(spark, sf_dir):
     from anycrawl_spark.autoengine import engine_decision_col, js_score_col
 
-    documents = load(spark, sf_dir, "documents")
+    documents = load_wide(spark, sf_dir, "documents")
     d = F.col("doc_id")
     h = F.concat(
         F.lit("<html><head>"),
@@ -3369,7 +3369,7 @@ def q_extraction_markdown_parity(spark, sf_dir):
 def q_template_render(spark, sf_dir):
     from anycrawl_spark.template_handler import make_process_request_udf
 
-    documents = load(spark, sf_dir, "documents")
+    documents = load_wide(spark, sf_dir, "documents")
     d = F.col("doc_id")
     item = F.concat(F.lit("it "), (d % 100).cast("string"), F.lit("/v"))
     h = F.concat(F.lit("SHOP#"), (d % 5).cast("string"), F.lit(".TEST"))
@@ -4158,7 +4158,7 @@ def q_proxy_select_replay(spark, sf_dir):
     from anycrawl_spark.proxy import proxy_select
 
     e = F.col("event_id")
-    req = load(spark, sf_dir, "events").select(
+    req = load_wide(spark, sf_dir, "events").select(
         e.alias("seq"),
         F.when(e % 6 == 0, F.lit("https://exact.example.com/page"))
         .when(e % 6 == 1, F.concat(F.lit("https://a.github.com/api/v"),
@@ -4184,21 +4184,28 @@ def q_proxy_select_replay(spark, sf_dir):
         .alias("proxy_option"),
         F.when(e % 9 >= 6, F.lit(1)).when(e % 9 >= 3, F.lit(0))
         .cast("long").alias("user_tier"))
-    rules = spark.createDataFrame(
-        [(0, "https://exact.example.com/page", None, None,
-          "http://rule-exact:1"),
-         (1, None, "https://*.github.com/api/*", None,
-          "http://rule-pattern:1"),
-         (2, None, None, "*.gov.au", "http://rule-domain:1")],
-        "rule_idx long, url string, pattern string, domain string, "
-        "proxy string")
-    cache = spark.createDataFrame(
-        [("cached.example.com", "stealth", "http://bw:1", "http://sw:1")],
-        "domain string, mode string, base_working_proxy string, "
-        "stealth_working_proxy string")
-    fails = spark.createDataFrame(
-        [("cached.example.com", "http://bw:1", True)],
-        "domain string, proxy_url string, failure_active boolean")
+    # rules as a plain list (proxy_select accepts both) and the one-row
+    # dims via range(1)+literals: the createDataFrame frames were pickled
+    # RDDs whose broadcast builds spun Python workers, and the rules
+    # DataFrame additionally paid an orderBy+collect job inside
+    # proxy_select — ~1s of per-invocation fixed cost for 5 constant rows
+    rules = [
+        {"rule_idx": 0, "url": "https://exact.example.com/page",
+         "pattern": None, "domain": None, "proxy": "http://rule-exact:1"},
+        {"rule_idx": 1, "url": None, "pattern": "https://*.github.com/api/*",
+         "domain": None, "proxy": "http://rule-pattern:1"},
+        {"rule_idx": 2, "url": None, "pattern": None, "domain": "*.gov.au",
+         "proxy": "http://rule-domain:1"},
+    ]
+    cache = spark.range(1).select(
+        F.lit("cached.example.com").alias("domain"),
+        F.lit("stealth").alias("mode"),
+        F.lit("http://bw:1").alias("base_working_proxy"),
+        F.lit("http://sw:1").alias("stealth_working_proxy"))
+    fails = spark.range(1).select(
+        F.lit("cached.example.com").alias("domain"),
+        F.lit("http://bw:1").alias("proxy_url"),
+        F.lit(True).alias("failure_active"))
     return proxy_select(req, rules, cache, fails, _PSEL_BASE, _PSEL_STEALTH)
 
 
@@ -4306,7 +4313,7 @@ def q_request_validate(spark, sf_dir):
             F.lit('{"url":"'), u,
             F.lit('","scrape_options":{"timeout":'),
             (e % 100 + 2000).cast("string"), F.lit('}}'))))
-    req = load(spark, sf_dir, "events").select(
+    req = load_wide(spark, sf_dir, "events").select(
         e.alias("rid"), body.alias("request_json"))
     return validate_requests(req, "crawl")
 
@@ -5767,7 +5774,7 @@ _CACHE_GATE_ORACLE = f"""WITH d AS (
 def q_cache_store_gate(spark, sf_dir):
     from anycrawl_spark.cache import cache_key_cols, store_gate_cols
 
-    docs = load(spark, sf_dir, "documents")
+    docs = load_wide(spark, sf_dir, "documents")
     d = F.col("doc_id")
     m = (d % 12).cast("int")
     u = (d % 5).cast("int")
