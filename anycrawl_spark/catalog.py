@@ -105,26 +105,35 @@ class Catalog:
         return self._read_manifest()["meta"].get(str(round_no), {})
 
     def read(self, spark: SparkSession, table: str,
-             up_to_round: int | None = None) -> DataFrame | None:
-        """Union of all committed rounds of ``table`` (optionally ≤ a round)."""
+             up_to_round: int | None = None,
+             schema: str | None = None) -> DataFrame | None:
+        """Union of all committed rounds of ``table`` (optionally ≤ a round).
+        ``schema``: optional explicit DDL schema — skips the driver-side
+        footer read parquet schema inference costs per call (the round loop
+        reads seen/pending/bloom every round)."""
         rounds = self.committed_rounds(table)
         if up_to_round is not None:
             rounds = [r for r in rounds if r <= up_to_round]
         if not rounds:
             return None
         paths = [self.round_path(table, r) for r in rounds]
-        return spark.read.parquet(*paths)
+        reader = spark.read.schema(schema) if schema else spark.read
+        return reader.parquet(*paths)
 
     def read_round_uncommitted(self, spark: SparkSession, table: str,
-                               round_no: int) -> DataFrame:
+                               round_no: int,
+                               schema: str | None = None) -> DataFrame:
         """Read a round directory that has been written but not yet committed
         (used for footer-only counts inside the committing round)."""
-        return spark.read.parquet(self.round_path(table, round_no))
+        reader = spark.read.schema(schema) if schema else spark.read
+        return reader.parquet(self.round_path(table, round_no))
 
-    def read_round(self, spark: SparkSession, table: str, round_no: int) -> DataFrame | None:
+    def read_round(self, spark: SparkSession, table: str, round_no: int,
+                   schema: str | None = None) -> DataFrame | None:
         if round_no not in self.committed_rounds(table):
             return None
-        return spark.read.parquet(self.round_path(table, round_no))
+        reader = spark.read.schema(schema) if schema else spark.read
+        return reader.parquet(self.round_path(table, round_no))
 
     def drop_uncommitted(self) -> None:
         """Remove round directories not present in the manifest (resume hygiene)."""

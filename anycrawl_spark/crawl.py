@@ -56,6 +56,7 @@ from .politeness import (
 )
 from .seen import (
     DRIVER_MERGE_MAX_BYTES,
+    SEGMENT_SCHEMA,
     exact_antijoin,
     segments_to_driver,
 )
@@ -63,6 +64,9 @@ from .udfs import make_extract_udf
 
 FRONTIER_COLS = ["job_id", "url", "url_hash", "host", "origin", "path",
                  "depth", "seq", "round_added", "attempt"]
+FRONTIER_SCHEMA = ("job_id string, url string, url_hash string, host string, "
+                   "origin string, path string, depth int, seq long, "
+                   "round_added int, attempt int")
 
 # Frontier size above which budget_salt_n="auto" enables the two-stage
 # salted per-host top-k. Measured crossover (BENCH.md round-5 skew probes):
@@ -286,6 +290,16 @@ class CrawlEngine:
             from pyspark.storagelevel import StorageLevel
 
             self.corpus = self.corpus.persist(StorageLevel.MEMORY_AND_DISK)
+        # Truncate the corpus lineage to a LogicalRDD (lazy localCheckpoint —
+        # materialized by the first round's full corpus scan): every round
+        # builds ~30 DataFrame ops whose eager analysis re-walks the whole
+        # plan, and every per-round job re-optimizes it; carrying the
+        # prepare_corpus subtree (scan → canonicalize → dedup window) in
+        # each of them cost ~10 ms per op on the driver. Content-identical;
+        # blocks are released by the ContextCleaner when the engine goes
+        # out of scope.
+        if cache_corpus or prepared:
+            self.corpus = self.corpus.localCheckpoint(eager=False)
         self.catalog = Catalog(checkpoint_dir)
         self.robots = robots
         # driver-resident cumulative bloom segments (small-filter fast path;
@@ -331,10 +345,12 @@ class CrawlEngine:
         if (self._bloom_uncommitted is not None
                 and self._bloom_uncommitted[0] <= up_to_round
                 and (best is None or self._bloom_uncommitted[0] > best)):
-            return spark.read.parquet(self._bloom_uncommitted[1])
+            return spark.read.schema(SEGMENT_SCHEMA).parquet(
+                self._bloom_uncommitted[1])
         if best is None:
             return None
-        return self.catalog.read_round(spark, "bloom", best)
+        return self.catalog.read_round(spark, "bloom", best,
+                                       schema=SEGMENT_SCHEMA)
 
     def _read_seen(self, spark: SparkSession,
                    up_to_round: int) -> DataFrame | None:
@@ -359,7 +375,7 @@ class CrawlEngine:
                   and (floor is None or rr >= floor)]
         if not paths:
             return None
-        return spark.read.parquet(*paths)
+        return spark.read.schema("url_hash string").parquet(*paths)
 
     def _finalize_prev(self) -> None:
         """Complete the previous round's deferred tail: await its parquet
@@ -638,8 +654,6 @@ class CrawlEngine:
         _run_round."""
         ex: dict = {}
         ex["keys_sel"] = F.col("url_hash").alias("page_url_hash")
-        ex["status"] = (F.when(F.col("html").isNotNull(), 200)
-                        .otherwise(404).alias("status"))
         if cfg.simulate_fetch_errors:
             sim = F.pmod(
                 F.conv(F.substring("url_hash", 1, 4), 16, 10).cast("long"),
@@ -653,12 +667,18 @@ class CrawlEngine:
             )
         else:
             miss_msg = F.lit("Received 404 status code")
-        ex["error_msg"] = (
-            F.when(F.col("status") == 200, F.lit(None).cast("string"))
-            .otherwise(miss_msg).alias("error_message"))
-        ex["doc"] = F.when(
-            F.col("status") == 200,
-            extract_udf(F.col("url"), F.col("html"))).alias("doc")
+        # status, error_message, and doc are all keyed on the same corpus
+        # hit (status == 200 ⇔ html IS NOT NULL by construction), so one
+        # select derives all three — fewer eagerly-analyzed plan steps per
+        # round than the old status → error → doc chain, same values
+        hit = F.col("html").isNotNull()
+        ex["fetch_derived"] = [
+            F.when(hit, 200).otherwise(404).alias("status"),
+            F.when(hit, F.lit(None).cast("string"))
+            .otherwise(miss_msg).alias("error_message"),
+            F.when(hit, extract_udf(F.col("url"), F.col("html")))
+            .alias("doc"),
+        ]
         ex["docs_fields"] = [
             F.col(c) for c in ("job_id", "url", "url_hash", "host", "depth",
                                "seq", "attempt", "status")
@@ -889,7 +909,8 @@ class CrawlEngine:
         # its parquet write may still be in flight) or, on resume / first
         # round, the committed checkpoint
         pending = (self._pending_mem if self._pending_mem is not None
-                   else self.catalog.read_round(spark, "pending", r - 1))
+                   else self.catalog.read_round(spark, "pending", r - 1,
+                                                schema=FRONTIER_SCHEMA))
         # drain check: the prior round's meta already counted pending rows
         # (pending_next / seed enqueued), so only fall back to a head(1)
         # probe job when the count is absent (legacy checkpoints)
@@ -979,13 +1000,11 @@ class CrawlEngine:
                           admitted["url_hash"] == corpus_side["page_url_hash"],
                           "left")
             .drop("page_url_hash")
-            .select("*", ex["status"])
-            .select("*", ex["error_msg"])
         )
 
         # --- extraction (vectorized UDF) -----------------------------------
         docs = (
-            fetched.select("*", ex["doc"])
+            fetched.select("*", *ex["fetch_derived"])
             .select(*ex["docs_fields"], F.lit(r).alias("round"),
                     ex["proxy"], ex["should_scrape"])
             .cache()
@@ -1282,7 +1301,7 @@ class CrawlEngine:
                             and cfg.max_attempts == 1)
         if not pipeline_pending:
             state_writes[0].result()
-            next_pending = spark.read.parquet(
+            next_pending = spark.read.schema(FRONTIER_SCHEMA).parquet(
                 self.catalog.round_path("pending", r))
         compact_seen = False
         if n_new > 0:

@@ -1263,26 +1263,36 @@ REGISTRY["dedup_clusters_two_star"].oracle = _dedup_clusters_oracle()
     "SimHash (16-bit): per-bit ±1 vote over word hashes → fingerprint",
 )
 def q_simhash16(spark, sf_dir):
+    # r7: the 16 per-bit votes as 16 int COLUMNS of the word rows instead
+    # of a crossJoin row blowup (words × 16 through a (doc, bit) exchange).
+    # Vote math is expression-identical per bit (the bit index is a
+    # constant per column, so the same nibble/divide/mod chain constant-
+    # folds); one hash aggregation with map-side partials replaces two
+    # full groupBy exchanges over 16× the rows. Values byte-identical.
     documents = load_wide(spark, sf_dir, "documents")
     words = documents.select(
         "doc_id", F.explode(F.regexp_extract_all("text", F.lit(r"\S+"), 0)).alias("word"))
-    bits = words.crossJoin(
-        spark.range(0, 16).select(F.col("id").cast("int").alias("bit_idx")))
-    nibble = F.substring(F.md5("word"), (F.col("bit_idx") / 4).cast("int") + 1, 1)
-    nibble_val = F.instr(F.lit("0123456789abcdef"), nibble) - 1
-    bit = (nibble_val / F.pow(F.lit(2), F.col("bit_idx") % 4).cast("int")).cast("int") % 2
-    weights = (
-        bits.withColumn("vote", F.when(bit == 1, 1).otherwise(-1))
-        .groupBy("doc_id", "bit_idx")
-        .agg(F.sum("vote").alias("weight"))
-    )
-    return (
-        weights.groupBy("doc_id")
-        .agg(F.sum(
-            F.when(F.col("weight") > 0,
-                   F.pow(F.lit(2), F.col("bit_idx")).cast("long")).otherwise(0)
-        ).cast("long").alias("simhash"))
-    )
+    hashed = words.select("doc_id", F.md5("word").alias("__h"))
+
+    def vote(b: int):
+        nibble = F.substring(F.col("__h"), b // 4 + 1, 1)
+        nibble_val = F.instr(F.lit("0123456789abcdef"), nibble) - 1
+        bit = (nibble_val / F.pow(F.lit(2), F.lit(b % 4)).cast("int")) \
+            .cast("int") % 2
+        return F.when(bit == 1, 1).otherwise(-1)
+
+    votes = hashed.select(
+        "doc_id", *[vote(b).alias(f"__v{b}") for b in range(16)])
+    weights = votes.groupBy("doc_id").agg(
+        *[F.sum(f"__v{b}").alias(f"__w{b}") for b in range(16)])
+    simhash = None
+    for b in range(16):
+        term = (F.when(F.col(f"__w{b}") > 0,
+                       F.pow(F.lit(2), F.lit(b)).cast("long"))
+                .otherwise(0))
+        simhash = term if simhash is None else simhash + term
+    return weights.select(
+        "doc_id", simhash.cast("long").alias("simhash"))
 
 
 @register(
@@ -1516,10 +1526,18 @@ def _wta_band_col(band: int):
 )
 def q_cosine_over_candidates(spark, sf_dir):
     embeddings = load_wide(spark, sf_dir, "embeddings")
+    # r7: per-vector L2 norms computed once (`nv`) instead of re-folded
+    # inside every candidate pair's cosine — bit-identical (same
+    # left-to-right double fold carried as a column; dot/(na*nb) keeps
+    # the identical op order), same treatment as semantic_dedup.
+    norm = F.sqrt(F.aggregate(
+        F.transform(F.col("v"), lambda x: x * x),
+        F.lit(0.0), lambda acc, x: acc + x))
     e = (
         embeddings.select(
             "vec_id",
             F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+        .withColumn("nv", norm)
         # referenced four times (two band branches + two scoring sides)
         .localCheckpoint()
     )
@@ -1535,10 +1553,19 @@ def q_cosine_over_candidates(spark, sf_dir):
         .select(F.col("a.vec_id").alias("vec_a"),
                 F.col("b.vec_id").alias("vec_b"))
         .distinct()
+        # pin the pair-scoring parallelism: AQE's byte-based coalescing
+        # collapses the tiny candidate shuffle onto one task, but the
+        # per-pair cosine fold downstream is compute-dense per byte
+        .repartition(spark.sparkContext.defaultParallelism)
     )
-    ea = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
-    eb = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
-    cos = _cos_spark(F.col("va"), F.col("vb"))
+    ea = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
+                  F.col("nv").alias("na"))
+    eb = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"),
+                  F.col("nv").alias("nb"))
+    dot = F.aggregate(F.zip_with(F.col("va"), F.col("vb"),
+                                 lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    cos = dot / (F.col("na") * F.col("nb"))
     return (
         cands.join(ea, "vec_a").join(eb, "vec_b")
         .where(cos >= 0.35)
