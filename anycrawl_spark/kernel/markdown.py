@@ -210,7 +210,14 @@ def _collapse_whitespace(root: Element) -> None:
         node = children[i]
         cls = node.__class__
         if cls is Text:
-            text = _WS_RUN.sub(" ", node.data)
+            d = node.data
+            # identity fast path: without \t\r\n or a double space the
+            # collapse regex can only replace single spaces with
+            # themselves — four C-level scans beat the regex machinery
+            if "\n" in d or "  " in d or "\t" in d or "\r" in d:
+                text = _WS_RUN.sub(" ", d)
+            else:
+                text = d
             if (
                 (prev_text is None or prev_text.data.endswith(" "))
                 and not keep_leading_ws
@@ -972,13 +979,21 @@ def _strip_ws_only_text_nodes(root: Element) -> None:
     node sits between ``>`` and ``<``, so removing them all is the same
     transformation without the serialize/re-parse round trip."""
     stack = [root]
+    match_ws = _WS_ONLY.match
     while stack:
         el = stack.pop()
-        removed = [c for c in el.children if isinstance(c, Text) and _WS_ONLY.match(c.data)]
-        for c in removed:
-            el.remove_child(c)
-        for c in el.children:
-            if isinstance(c, Element):
+        children = el.children
+        kept = [c for c in children
+                if c.__class__ is not Text or not match_ws(c.data)]
+        if len(kept) != len(children):
+            # one list rebuild instead of per-node children.remove()
+            # (each remove is an O(n) scan — quadratic on wide nodes)
+            for c in children:
+                if c.__class__ is Text and match_ws(c.data):
+                    c.parent = None
+            el.children = kept
+        for c in kept:
+            if c.__class__ is Element:
                 stack.append(c)
 
 

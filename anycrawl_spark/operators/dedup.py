@@ -127,12 +127,15 @@ def connected_components_two_star(vertices: DataFrame, edges: DataFrame,
         sym = e.unionByName(
             e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         m = _min_neighbor(sym)
+        # no distinct here (r7): each sym row emits at most one pair, so
+        # |large| ≤ 2|E| with or without it — duplicates (two neighbors of
+        # v sharing one m) are absorbed by m2's min aggregate and the
+        # small-star distinct below; the dedup exchange was pure overhead
         large = (
             sym.join(m, "u")
             .where(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .where(F.col("u") != F.col("v"))
-            .distinct()
         )
         # -- small-star over larger-first edges: attach every (smaller)
         # neighbor and u itself to m(u)

@@ -1332,7 +1332,13 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
     a = shingled.alias("a")
     b = shingled.alias("b")
     inter = F.size(F.array_intersect(F.col("a.shingles"), F.col("b.shingles")))
-    union = F.size(F.array_distinct(F.concat(F.col("a.shingles"), F.col("b.shingles"))))
+    # shingle arrays are DISTINCT sets (_trigram_shingles_col), so
+    # |A ∪ B| = |A| + |B| − |A ∩ B| exactly — the per-pair concat +
+    # array_distinct (an allocation + hash-dedup over both arrays for
+    # every candidate pair) was half the pair work (r7). Same integers →
+    # the double division is bit-identical.
+    union = (F.size(F.col("a.shingles")) + F.size(F.col("b.shingles"))
+             - inter)
     jac = inter * F.lit(1.0) / union
     return (
         a.join(b, (F.col("a.lang") == F.col("b.lang"))
@@ -1456,7 +1462,9 @@ def q_jaccard_over_candidates(spark, sf_dir):
     sb = shingled.select(F.col("doc_id").alias("doc_b"),
                          F.col("shingles").alias("sh_b"))
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
-    union = F.size(F.array_distinct(F.concat(F.col("sh_a"), F.col("sh_b"))))
+    # |A ∪ B| = |A| + |B| − |A ∩ B| over distinct shingle sets — same
+    # integers, bit-identical division (see q_ngram_jaccard_pairs)
+    union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
     jac = inter * F.lit(1.0) / union
     return (
         pairs.join(sa, "doc_a").join(sb, "doc_b")
@@ -4771,11 +4779,20 @@ def q_bigram_surprisal(spark, sf_dir):
     bc = occ.groupBy("w1", "w2").agg(
         F.count("*").cast("long").alias("c2"))
     uc = bc.groupBy("w1").agg(F.sum("c2").cast("long").alias("c1"))
-    j = (occ.join(bc, ["w1", "w2"])
-         .join(F.broadcast(uc), ["w1"]))
+    # r7: surprisal bits are a function of the (w1, w2) GROUP, not the
+    # occurrence — compute them once per distinct bigram on the counts
+    # table and join occurrences a single time (was: occ joined bc AND uc,
+    # with the bin()/length() string machinery run per occurrence row).
+    # Integer-exact, so the per-doc sums are unchanged. Both joins stay
+    # unhinted: the bigram/unigram tables grow with corpus vocabulary,
+    # AQE upgrades them to broadcast only when runtime stats fit
+    # (ADVICE r6: a forced broadcast of uc could OOM at the 100 TB
+    # posture).
     bits = (F.length(F.bin(F.col("c1")))
             - F.length(F.bin(F.col("c2")))).cast("long")
-    doc = j.select("doc_id", bits.alias("bits")).groupBy("doc_id").agg(
+    bb = bc.join(uc, ["w1"]).select("w1", "w2", bits.alias("bits"))
+    j = occ.join(bb, ["w1", "w2"])
+    doc = j.select("doc_id", "bits").groupBy("doc_id").agg(
         F.count("*").cast("long").alias("n_bigrams"),
         F.sum("bits").cast("long").alias("surprisal_bits"))
     avg = F.expr("surprisal_bits * 1000 DIV n_bigrams")
