@@ -1002,6 +1002,18 @@ class CrawlEngine:
             .drop("page_url_hash")
         )
 
+        # Extraction width scaled to the round (guide §2.2): the fetch-join
+        # shuffle leaves 2×cores partitions, so a 100-row round still paid
+        # ~64 task launches plus 64 Arrow round-trips in the docs
+        # materialization — ~0.4 s of fixed cost per round. For small
+        # rounds, re-exchange the matched rows (tiny at that size) down to
+        # ~64 pages/task before the UDF projection; a coalesce would
+        # instead merge the whole narrow chain — measured pulling the full
+        # corpus-side scan into the shrunken stage (8 s/round single-task).
+        # Driver-known count, deterministic; big rounds keep full width.
+        if known_pending is not None and known_pending <= 4096:
+            fetched = fetched.repartition(
+                max(1, (known_pending + 63) // 64), "url_hash")
         # --- extraction (vectorized UDF) -----------------------------------
         docs = (
             fetched.select("*", *ex["fetch_derived"])
