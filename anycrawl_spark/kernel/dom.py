@@ -46,6 +46,9 @@ _IMPLICIT_CLOSE = {
 
 _RAWTEXT = {"script", "style"}
 
+# tags that, as the open-stack top, can implicitly close on some start tag
+_CLOSER_TOPS = {"p", *_IMPLICIT_CLOSE}
+
 # Open-element stack cap: beyond this, new elements attach flat instead of
 # nesting (browser-like). Bounds recursion depth in the (recursive) clean/
 # serialize/render walks — 512 levels x ~3 frames/level stays well under
@@ -193,7 +196,11 @@ class _TreeBuilder(HTMLParser):
     # tree operations as handle_starttag/handle_endtag without re-lowering
     # or list→dict conversion.
     def start_fast(self, tag: str, attr_dict: dict[str, str]) -> None:
-        self._implicit_close(tag)
+        # gate: only tops that can imply-close (p / list/table/option tags)
+        # enter the close loop — one set probe replaces a call + two dict
+        # lookups for the dominant div/section/body tops
+        if self.stack[-1].tag in _CLOSER_TOPS:
+            self._implicit_close(tag)
         el = Element(tag, attr_dict)
         top = self.stack[-1]        # Element.append inlined (hot path)
         el.parent = top

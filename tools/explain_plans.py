@@ -24,6 +24,35 @@ def plan_of(df) -> str:
     return out.getvalue()
 
 
+def plan_of_executed(df) -> str:
+    """Formatted explain AFTER executing the Dataset's own query: AQE
+    re-optimizes at runtime, so queries wrapped in AdaptiveSparkPlan
+    (anything with an exchange — including the r7 width-spread
+    repartitions) only show codegen ids and final join strategies in the
+    FINAL plan, like the UI's SQL tab. collect() (not a separate write,
+    which would spawn its own QueryExecution) finalizes this plan."""
+    df.collect()
+    return plan_of(df)
+
+
+def plan_without_checkpoints(fn, *args) -> str:
+    """Capture the full logical pipeline of a query whose implementation
+    localCheckpoints reused subtrees (r7: semantic_dedup, proxy replay):
+    the materialization barrier truncates lineage to a LogicalRDD, which
+    HIDES the upstream joins/windows this file asserts on. Stubbing
+    localCheckpoint to identity yields the un-truncated plan — the same
+    operators, minus the evaluate-once barriers. (Spark 4: the concrete
+    implementation lives on the classic DataFrame class.)"""
+    from pyspark.sql.classic.dataframe import DataFrame as _DF
+
+    orig = _DF.localCheckpoint
+    _DF.localCheckpoint = lambda self, eager=True: self
+    try:
+        return plan_of(fn(*args))
+    finally:
+        _DF.localCheckpoint = orig
+
+
 def summarize(name: str, plan: str, checks: dict[str, str]) -> str:
     lines = [f"### {name}\n"]
     for label, pattern in checks.items():
@@ -261,7 +290,8 @@ def main() -> None:
     assert not re.search(r"Join[^\n]*label", p), "no label block join in the scale path"
 
     # 13. auto-engine decision: pure JVM expression tree, zero Python
-    p = plan_of(REGISTRY["auto_engine_decision"].fn(spark, "/root/testdata/sf0.01"))
+    p = plan_of_executed(
+        REGISTRY["auto_engine_decision"].fn(spark, "/root/testdata/sf0.01"))
     sections.append((
         "auto_engine_decision: JS-requirement scoring stays JVM-side",
         p,
@@ -504,14 +534,19 @@ def main() -> None:
     # 28. proxy select replay: rules/cache/failure dims broadcast; the
     # only hash exchanges are the rule-pick window and the rotation
     # counter's range buckets (both keyed)
-    p = plan_of(REGISTRY["proxy_select_replay"].fn(
-        spark, "/root/testdata/sf0.01"))
+    p = plan_without_checkpoints(REGISTRY["proxy_select_replay"].fn,
+                                 spark, "/root/testdata/sf0.01")
     sections.append((
         "proxy_select_replay: rule CASE chain + broadcast dims + keyed "
         "rotation buckets",
         p,
         {
-            "cache/failure dims broadcast": r"BroadcastHashJoin",
+            # real callers pass dim DataFrames → BroadcastHashJoin; the
+            # registry query's one-row literal dims constant-fold the
+            # equi-key, so Catalyst plans the (optimal) one-row
+            # broadcast nested loop instead
+            "cache/failure dims broadcast":
+                r"Broadcast(Hash|NestedLoop)Join",
             "rotation cumsum keyed by range bucket":
                 r"hashpartitioning\(__bkt",
         },
@@ -587,7 +622,8 @@ def main() -> None:
     assert "EvalPython" not in p, "executions page must stay JVM-side"
 
     # 30. cache write gate + key derivation: pure JVM expression chains
-    p = plan_of(REGISTRY["cache_store_gate"].fn(spark, "/root/testdata/sf0.01"))
+    p = plan_of_executed(
+        REGISTRY["cache_store_gate"].fn(spark, "/root/testdata/sf0.01"))
     sections.append((
         "cache_store_gate: write-side admission + key derivation stays "
         "in codegen",
@@ -601,7 +637,11 @@ def main() -> None:
         },
     ))
     assert "EvalPython" not in p, "cache gate must stay JVM-side"
-    assert "Exchange" not in p, "cache gate is row-local (no shuffle)"
+    # row-local: no KEYED shuffle. (A round-robin repartition exchange is
+    # the deliberate r7 width-spread of the single-file driver table —
+    # it moves no rows to any particular key.)
+    assert "Exchange hashpartitioning" not in p, \
+        "cache gate is row-local (no keyed shuffle)"
 
     # 31. screenshot readiness hint: ONE shuffle — the aggregation reuses
     # the window's hashpartitioning(domain)
@@ -646,21 +686,35 @@ def main() -> None:
     assert len(re.findall(r"Generate explode", p)) <= 1, \
         "the explode+md5 subtree must be evaluated once (winners branch)"
 
-    # 33. bigram_surprisal: the vocab-sized unigram table broadcasts
-    # (CCNet ships its KenLM binary the same way); the corpus-scale
-    # bigram table is UNHINTED — a keyed shuffle equi-join that AQE may
-    # upgrade at runtime, never a forced driver-side broadcast
-    p = plan_of(REGISTRY["bigram_surprisal"].fn(spark, "/root/testdata/sf0.01"))
+    # 33. bigram_surprisal: every join (unigram context onto the bigram
+    # counts, and the single occurrence join) is UNHINTED — AQE may
+    # upgrade them to broadcast at runtime when stats fit, but no plan
+    # may force a driver-side broadcast of vocabulary-sized tables. The
+    # check is scale-aware (r6 VERDICT item 1): auto-broadcast is
+    # disabled while capturing, so at sf-small the plan shows the same
+    # shuffle joins it would at corpus scale — and because a broadcast()
+    # HINT would survive the disabled threshold, the absence of any
+    # BroadcastHashJoin here also proves the joins are hint-free.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        p = plan_of(REGISTRY["bigram_surprisal"].fn(
+            spark, "/root/testdata/sf0.01"))
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     sections.append((
-        "bigram_surprisal: unigram LM broadcast, bigram join shuffle-safe",
+        "bigram_surprisal: hint-free keyed equi-joins (auto-broadcast "
+        "disabled for capture — broadcast appearing here would mean a "
+        "forced hint)",
         p,
         {
-            "unigram context table broadcast": r"BroadcastHashJoin",
-            "bigram join is a keyed equi-join (no forced broadcast)":
+            "count/occurrence joins are keyed shuffle equi-joins":
                 r"(SortMergeJoin|ShuffledHashJoin)",
             "hash aggregation (train + score passes)": r"HashAggregate",
         },
     ))
+    assert "BroadcastHashJoin" not in p, \
+        "bigram joins must be hint-free (broadcast with threshold -1 " \
+        "implies a forced hint)"
     assert "EvalPython" not in p, "bigram_surprisal must stay JVM-side"
 
     # 34. domain_mix_weights: totals broadcast over the group table
@@ -699,8 +753,8 @@ def main() -> None:
     # 36. semantic_dedup: medoid table broadcast, assignment window keyed
     # by vec_id, within-cluster pair join is an equi-join on the cluster
     # key — never a cartesian product
-    p = plan_of(REGISTRY["semantic_dedup"].fn(
-        spark, "/root/testdata/sf0.01"))
+    p = plan_without_checkpoints(REGISTRY["semantic_dedup"].fn,
+                                 spark, "/root/testdata/sf0.01")
     sections.append((
         "semantic_dedup: broadcast medoids, cluster-keyed pair join",
         p,
