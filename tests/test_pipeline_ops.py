@@ -1754,6 +1754,34 @@ class TestSemanticDedup:
             assert assign[m] == m
         assert found_dropped > 0
 
+    def test_no_knife_edge_cosines(self):
+        """r6 ADVICE guard: the near-dup gate compares a 6-dp-rounded
+        cross-engine cosine against 0.4, and DuckDB's
+        list_cosine_similarity is not ulp-identical to the Spark fold —
+        a corpus pair sitting exactly on the rounding boundary
+        (0.3999995) could flip between engines. Assert no same-cluster
+        pair's cosine lies within 1e-6 of that boundary on the driver
+        corpora, so regenerated test data can't silently introduce the
+        knife edge. (ULP-level engine differences are ~1e-15; margin
+        1e-6 is ~10^9× that.)"""
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        for sf in ("sf0.001", "sf0.01", "sf0.1"):
+            tbl = pq.read_table(
+                f"/root/testdata/{sf}/embeddings.parquet").to_pydict()
+            v = np.array([[float(x) for x in e]
+                          for e in tbl["embedding"]], dtype=np.float64)
+            n = np.linalg.norm(v, axis=1)
+            n[n == 0] = 1.0
+            u = v / n[:, None]
+            # ALL pairs — strictly stronger than the per-cluster subset
+            # the query actually compares
+            sims = u @ u.T
+            iu = np.triu_indices(len(u), k=1)
+            worst = float(np.abs(sims[iu] - 0.3999995).min())
+            assert worst > 1e-6, (sf, worst)
+
     def test_medoid_count_parameter(self, spark):
         """K is a real knob: at n_medoids=16 every cluster id is < 16,
         medoids self-assign, and the union of cluster members is the

@@ -660,14 +660,14 @@ def main() -> None:
     assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, \
         "agg must reuse the window's single domain exchange"
 
-    # 32. span_dedup: the winner rule is min() over a packed string —
+    # 32. span_dedup: the winner rule is a pure BIGINT min over doc_id —
     # genuinely hash-aggregable (min over a STRUCT silently falls back
     # to SortAggregate, a per-task sort of the whole occurrence
     # stream), so partial aggregation combines map-side and neither a
     # sorted window nor ANY sort-based aggregate exists in the plan
     p = plan_of(REGISTRY["span_dedup"].fn(spark, "/root/testdata/sf0.01"))
     sections.append((
-        "span_dedup: packed-string winner min, hash-aggregated only",
+        "span_dedup: BIGINT doc_id winner min, hash-aggregated only",
         p,
         {
             "winner aggregation keyed by span hash":
@@ -682,7 +682,8 @@ def main() -> None:
     assert not re.search(r"\(\d+\) Window", p), \
         "winner rule must be an aggregation, never a per-key sorted window"
     assert "SortAggregate" not in p, \
-        "winner min must stay hash-aggregable (packed string, not struct)"
+        "winner min must stay hash-aggregable (pure BIGINT doc_id min, " \
+        "not a struct min)"
     assert len(re.findall(r"Generate explode", p)) <= 1, \
         "the explode+md5 subtree must be evaluated once (winners branch)"
 
