@@ -1010,10 +1010,16 @@ class CrawlEngine:
         # ~64 pages/task before the UDF projection; a coalesce would
         # instead merge the whole narrow chain — measured pulling the full
         # corpus-side scan into the shrunken stage (8 s/round single-task).
+        # Width capped at defaultParallelism so the re-exchanged stage is
+        # one task per core: the per-task fixed cost (Arrow round-trip +
+        # scheduling) dominates 64-row batches, and 50 tasks on 32 cores
+        # measured slower than 32×100-row tasks on identical rows (0.78 s
+        # vs 0.65 s for 3200 pages — tools/kernel_bench-style A/B).
         # Driver-known count, deterministic; big rounds keep full width.
         if known_pending is not None and known_pending <= 4096:
             fetched = fetched.repartition(
-                max(1, (known_pending + 63) // 64), "url_hash")
+                max(1, min(spark.sparkContext.defaultParallelism,
+                           (known_pending + 63) // 64)), "url_hash")
         # --- extraction (vectorized UDF) -----------------------------------
         docs = (
             fetched.select("*", *ex["fetch_derived"])

@@ -214,9 +214,17 @@ def filter_family(name: str = "bloom", *,
 
 def exact_antijoin(candidates: DataFrame, seen_exact: DataFrame,
                    url_hash_col: str = "url_hash") -> DataFrame:
-    """Rows of ``candidates`` not in the exact seen-hash history."""
+    """Rows of ``candidates`` not in the exact seen-hash history.
+
+    No ``distinct()`` on the seen side: a left-anti equi-join returns the
+    same rows whether or not the right side holds duplicates, the seen
+    checkpoint is unique by construction (each round's delta is new-only
+    hashes), and the dedup cost was real — a full exchange plus two
+    HashAggregate passes over the whole standing seen set EVERY round,
+    two extra stage barriers ahead of the (auto-broadcast) join build.
+    """
     return candidates.join(
-        seen_exact.select(F.col(url_hash_col).alias("__seen_hash")).distinct(),
+        seen_exact.select(F.col(url_hash_col).alias("__seen_hash")),
         on=candidates[url_hash_col] == F.col("__seen_hash"),
         how="left_anti",
     )
