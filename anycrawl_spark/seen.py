@@ -309,8 +309,11 @@ def prefilter_antijoin(candidates: DataFrame,
     # once per branch, which measured as ~half the BFS round's fixed cost.
     # The equi key keeps the hash distribution (no null-key skew), so the
     # probe-negative majority still flows partition-aligned at any scale.
+    # No distinct() on the seen side — same reasoning as exact_antijoin:
+    # left-anti results are duplicate-insensitive on the build side and the
+    # dedup cost an exchange + two aggregate passes over the seen set.
     seen_keys = seen_exact.select(
-        F.col(url_hash_col).alias("__seen_hash")).distinct()
+        F.col(url_hash_col).alias("__seen_hash"))
     return (tested.join(
                 seen_keys,
                 (tested[url_hash_col] == seen_keys["__seen_hash"])
